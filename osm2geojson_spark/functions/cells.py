@@ -1,0 +1,150 @@
+"""G1 — hierarchical spatial cell index (H3/S2-style), from scratch.
+
+A Z-order (Morton) curve over an equirectangular grid: at resolution ``r``
+the world is a 2^r x 2^r grid; a cell id interleaves the bits of the x/y
+grid coordinates so that (a) ``parent = cell >> 2`` gives the enclosing
+cell at r-1 (hierarchical containment like H3/S2 parent ops) and (b) ids
+that are numeric neighbors are usually spatial neighbors (locality for
+range pruning / partition pruning).
+
+Three synchronized implementations of the SAME arithmetic:
+
+- :func:`cell_expr` — Spark Column expressions (JVM-side, codegen'd; stays
+  inside WholeStageCodegen — no Python in the hot path).
+- :func:`cell_sql` — the identical expression as an ANSI-SQL string DuckDB
+  can run, so every cell-indexed query has a value-exact oracle.
+- :func:`encode_np` / :func:`decode_np` / :func:`disk_np` — vectorized
+  numpy kernels for the pandas-UDF paths (kNN ring expansion needs
+  de-interleave, which is branch-heavy as a column expression).
+
+The reference has no spatial index at all (SURVEY.md §2.4 GRAFT G1); this
+is engine-new. Resolutions up to 15 keep ids < 2^30 (safely positive in
+signed 64-bit in both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 15
+
+# magic-number bit spreading: place the low 16 bits of x at even positions
+_SPREAD = [
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+# ---------------------------------------------------------------- Spark side
+def _axis_expr(coord: Column, lo: float, span: float, res: int) -> Column:
+    """Grid coordinate on one axis: floor((c - lo) / span * 2^res), clamped."""
+    n = 1 << res
+    raw = F.floor((coord - F.lit(lo)) / F.lit(span) * F.lit(n)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+
+def _spread_expr(x: Column) -> Column:
+    for shift, mask in _SPREAD:
+        x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(F.lit(mask))
+    return x
+
+
+def lon_ix(lon: Column, res: int) -> Column:
+    return _axis_expr(lon, -180.0, 360.0, res)
+
+
+def lat_iy(lat: Column, res: int) -> Column:
+    return _axis_expr(lat, -90.0, 180.0, res)
+
+
+def cell_from_ixiy(ix: Column, iy: Column) -> Column:
+    return _spread_expr(ix).bitwiseOR(F.shiftleft(_spread_expr(iy), 1))
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Morton cell id at resolution ``res`` — pure built-in expressions."""
+    if not 0 < res <= MAX_RES:
+        raise ValueError(f"res must be in 1..{MAX_RES}")
+    return cell_from_ixiy(lon_ix(lon, res), lat_iy(lat, res))
+
+
+def parent_expr(cell: Column, levels: int = 1) -> Column:
+    """Enclosing cell ``levels`` resolutions up: drop 2 bits per level."""
+    return F.shiftright(cell, 2 * levels)
+
+
+# ---------------------------------------------------------------- SQL twin
+def _axis_sql(coord: str, lo: float, span: float, res: int) -> str:
+    n = 1 << res
+    raw = f"CAST(floor((({coord}) - ({lo})) / {span} * {n}) AS BIGINT)"
+    return f"least(greatest({raw}, 0), {n - 1})"
+
+
+def _spread_sql(x: str) -> str:
+    for shift, mask in _SPREAD:
+        x = f"((({x}) << {shift} | ({x})) & {mask})"
+    return x
+
+
+def cell_sql(lon: str, lat: str, res: int) -> str:
+    """The same Morton arithmetic as an ANSI-SQL string (DuckDB oracle)."""
+    ix = _axis_sql(lon, -180.0, 360.0, res)
+    iy = _axis_sql(lat, -90.0, 180.0, res)
+    return f"({_spread_sql(ix)} | ({_spread_sql(iy)} << 1))"
+
+
+# ---------------------------------------------------------------- numpy side
+def _spread_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64)
+    for shift, mask in _SPREAD:
+        x = (x << shift | x) & mask
+    return x
+
+
+def _compact_np(x: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_np: gather even-position bits back together."""
+    x = x & 0x5555555555555555
+    x = (x | (x >> 1)) & 0x3333333333333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    return x
+
+
+def encode_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    n = 1 << res
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return _spread_np(ix) | (_spread_np(iy) << 1)
+
+
+def decode_np(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id → (ix, iy) grid coordinates."""
+    return _compact_np(cell), _compact_np(cell >> 1)
+
+
+def cell_center_np(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << res
+    ix, iy = decode_np(np.asarray(cell, dtype=np.int64), res)
+    lon = (ix + 0.5) / n * 360.0 - 180.0
+    lat = (iy + 0.5) / n * 180.0 - 90.0
+    return lon, lat
+
+
+def disk_np(cell: np.ndarray, res: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the (2k+1)^2 disk), per input
+    cell. Returns shape (len(cell), <= (2k+1)^2) with -1 padding where the
+    disk falls off the grid edge. Used by kNN ring expansion (G3)."""
+    n = 1 << res
+    ix, iy = decode_np(np.asarray(cell, dtype=np.int64), res)
+    offs = np.arange(-k, k + 1)
+    ox, oy = np.meshgrid(offs, offs, indexing="ij")
+    nx = ix[:, None] + ox.ravel()[None, :]
+    ny = iy[:, None] + oy.ravel()[None, :]
+    valid = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+    out = np.where(valid, _spread_np(np.clip(nx, 0, n - 1)) | (_spread_np(np.clip(ny, 0, n - 1)) << 1), -1)
+    return out

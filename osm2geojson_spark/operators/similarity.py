@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_bruteforce` — exact top-k, the correctness baseline.
+  Dot products via zip_with/aggregate (JVM-side, sums in index order so the
+  DuckDB oracle's list_dot_product matches bit-for-bit on doubles).
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  shrink the candidate set; query side broadcast when small.
+- :func:`embedding_near_dup_pairs` — near-duplicate pairs (cosine ≥ τ)
+  via the same LSH bucketing, for embedding-based dedup.
+
+At 100 TB the corpus side stays partitioned; only queries/centroids are
+broadcast. No cross join without a bucket equi-prefilter (except the
+explicitly-named bruteforce baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Index-order double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN: broadcast queries x corpus, window top-k.
+    Deterministic tie-break on corpus id."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "corpus_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in p]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_planes: int = 8, n_tables: int = 4, seed: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN: n_tables independent hyperplane bucketings; a
+    corpus row is a candidate if it shares a bucket in ANY table. One
+    equi-join per union leg on (table, bucket) — shuffle keyed on buckets,
+    never all-pairs. Recall tunable via n_planes/n_tables."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    legs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = q.withColumn("bucket", lsh_bucket_expr(F.col("qv"), planes))
+        cb = c.withColumn("bucket", lsh_bucket_expr(F.col("cv"), planes))
+        legs.append(cb.join(F.broadcast(qb), "bucket").drop("bucket"))
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    cand = cand.dropDuplicates(["query_id", "corpus_id"])
+    scored = cand.select(
+        "query_id", "corpus_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, dim: int = 64,
+    n_planes: int = 12, n_tables: int = 3, seed: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    legs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        b = base.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+        legs.append(
+            b.alias("a").join(
+                b.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            ).select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return cand.select(
+        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
