@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship spatial pipeline (G1 cell encode → G2
+broadcast point-in-polygon → G4 tile assignment → per-tile rollup) on
+sf0.001. ``queries``/``oracle_sql`` expose the full operator catalog from
+``osm2geojson_spark.queries`` (one DuckDB-SQL twin per oracle-able op).
 """
 
 from __future__ import annotations
@@ -12,27 +11,36 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2geojson_spark import queries as Q
+from osm2geojson_spark.spatial import tiles as TI
+from osm2geojson_spark.spatial.pip import point_in_polygon_join
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: points → PIP (broadcast, cell-prefiltered) → tile
+    assignment → per-tile/per-polygon aggregate."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    pts = cust.select(
+        "c_custkey",
+        Q.lon_col(F.col("c_custkey")).alias("lon"),
+        Q.lat_col(F.col("c_custkey")).alias("lat"),
+    )
+    hits = point_in_polygon_join(pts, Q.region_boxes(region), res=6)
+    tiled = TI.assign_tiles(hits, zoom=5)
+    return tiled.groupBy("poly_id", "tile_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

@@ -85,8 +85,9 @@ def _axis_sql(coord: str, lo: float, span: float, res: int) -> str:
 
 
 def _spread_sql(x: str) -> str:
+    # fully parenthesized: shift/or/and precedence differs across dialects
     for shift, mask in _SPREAD:
-        x = f"((({x}) << {shift} | ({x})) & {mask})"
+        x = f"((((({x}) << {shift}) | ({x}))) & {mask})"
     return x
 
 

@@ -55,8 +55,13 @@ def lang_id_expr(text: Column) -> Column:
     count wins; ties and zero-hits → 'und'. Deterministic tie-break by
     language code order."""
     toks = F.filter(F.split(F.lower(text), _WORD_RE), lambda t: t != "")
+
+    def hit(markers):
+        # factory, NOT a default-arg lambda (PySpark counts defaults as params)
+        return lambda t: t.isin(markers)
+
     scores = [
-        (lang, F.size(F.filter(toks, lambda t, ms=markers: t.isin(ms))))
+        (lang, F.size(F.filter(toks, hit(markers))))
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
     best = F.greatest(*[s for _, s in scores])

@@ -1,0 +1,712 @@
+"""Driver-contract query catalog: every operator family from SURVEY.md §2
+expressed twice — once as the engine's DataFrame pipeline, once as ANSI SQL
+for the DuckDB oracle (CORRECTNESS gate).
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+
+- money/measure sums go through ``CAST(x AS DECIMAL(...))`` **before** the
+  sum: decimal addition is exact and order-independent, so Spark's
+  parallel partial aggregation and DuckDB's serial sum agree bit-for-bit;
+  the final value is cast back to double (one deterministic conversion).
+- derived lon/lat coordinates come from pure int64 modular arithmetic on
+  key columns (exact in both engines), divided once by a power of ten.
+- no trig in oracle'd distance ranking (haversine last-ulp libm drift);
+  the oracle'd kNN ranks by planar squared distance (mul/add only).
+- box-polygon edges sit at +5e-7 offsets so no 1e-6-grid point ever lies
+  exactly on an edge (strict interior semantics on both sides).
+- every computed column is aliased identically in both twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions import cells as C
+from osm2geojson_spark.functions import text as TX
+from osm2geojson_spark.operators import dedup as DD
+from osm2geojson_spark.operators import osm_join as OJ
+from osm2geojson_spark.operators import similarity as SIM
+from osm2geojson_spark.spatial import knn as KNN
+from osm2geojson_spark.spatial import pip as PIP
+from osm2geojson_spark.spatial import tiles as TI
+
+# --------------------------------------------------------------------------
+# shared helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic int64 coordinate derivation (identical in Spark + DuckDB)
+_LON_MUL = 2654435761
+_LAT_MUL = 2246822519
+_LAT_OFF = 1013904223
+
+
+def lon_col(key):
+    return ((key * F.lit(_LON_MUL)) % F.lit(360_000_000)).cast("double") / 1_000_000.0 - 180.0
+
+
+def lat_col(key):
+    return ((key * F.lit(_LAT_MUL) + F.lit(_LAT_OFF)) % F.lit(170_000_000)).cast("double") / 1_000_000.0 - 85.0
+
+
+def lon_sql(key: str) -> str:
+    return f"CAST((({key}) * {_LON_MUL}) % 360000000 AS DOUBLE) / 1000000.0 - 180.0"
+
+
+def lat_sql(key: str) -> str:
+    return f"CAST((({key}) * {_LAT_MUL} + {_LAT_OFF}) % 170000000 AS DOUBLE) / 1000000.0 - 85.0"
+
+
+def _dec_sum(col, prec: int = 28, scale: int = 6):
+    """Order-independent exact sum → double (see module docstring)."""
+    return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double")
+
+
+# PIP fixture polygons: 5 disjoint boxes derived from r_regionkey.
+# Edges at +5e-7 so no derived coordinate (1e-6 grid) is ever ON an edge.
+_BOX = dict(lon0="rk * 60 - 170.0000005", lon1="rk * 60 - 140.0000005",
+            lat0="rk * 25 - 60.0000005", lat1="rk * 25 - 40.0000005")
+
+
+def _box_cols(rk):
+    return (rk * 60 - 170.0000005, rk * 60 - 140.0000005,
+            rk * 25 - 60.0000005, rk * 25 - 40.0000005)
+
+
+def region_boxes(region: DataFrame) -> DataFrame:
+    """Polygon table (poly_id, ring) for the PIP operator: 5 axis-aligned
+    boxes — exercised through the *generic* ray-cast path, while the oracle
+    uses the strict box predicate (same interior for axis-aligned rings)."""
+    rk = F.col("r_regionkey").cast("long")
+    x0, x1, y0, y1 = _box_cols(rk)
+    pt = lambda x, y: F.struct(x.alias("lon"), y.alias("lat"))  # noqa: E731
+    return region.select(
+        F.col("r_regionkey").alias("poly_id"),
+        F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0)).alias("ring"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational surface (reference shapes J0-J6 / O1-O4 / A1 on TPC-H tables)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan→filter→hash agg (map-side partial, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 45)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), 18, 2).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), 18, 2).alias("sum_base_price"),
+        _dec_sum(disc).alias("sum_disc_price"),
+        _dec_sum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        "count_order",
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join(spark, sf_dir):
+    """Star join: big fact ⋈ broadcast dims (lineitem→orders→customer→
+    nation→region), revenue rollup per region. Catalyst broadcasts every
+    dim (< threshold); one shuffle for the final agg."""
+    li, orders, cust, nation, region = (
+        _t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "nation", "region"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(_dec_sum(disc).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_SQL_STAR = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_cogroup_join(spark, sf_dir):
+    """J0 — the reference's cogrouped inner join (EntryJoiningIterable):
+    group sizes per key present on BOTH sides; unmatched keys dropped."""
+    left = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.col("l_linenumber").cast("string").alias("value"))
+    right = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("value"))
+    cg = OJ.cogroup_join(left, right)
+    return cg.select(
+        "key", F.size("left_values").alias("n_left"), F.size("right_values").alias("n_right"))
+
+
+_SQL_COGROUP = """
+SELECT l.key, l.n_left, r.n_right
+FROM (SELECT l_orderkey AS key, CAST(COUNT(*) AS INT) AS n_left FROM lineitem GROUP BY 1) l
+JOIN (SELECT o_orderkey AS key, CAST(COUNT(*) AS INT) AS n_right FROM orders GROUP BY 1) r
+USING (key)
+"""
+
+
+def q_way_assembly(spark, sf_dir):
+    """J1+J2 on driver data: 'ways' = orders (ns = parts in linenumber
+    order), 'nodes' = parts with derived coords. Runs the REAL
+    assemble_ways operator, then flattens the ordered chain for the oracle
+    (order-preservation through the shuffle is the property under test)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        lon_col(F.col("p_partkey")).alias("lon"),
+        lat_col(F.col("p_partkey")).alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    ways = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("ns")
+    ).select(F.col("l_orderkey").alias("id"),
+             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    assembled = OJ.assemble_ways(nodes, ways)
+    return assembled.select(
+        F.col("id").alias("way_id"), F.posexplode("nodes").alias("pos", "n")
+    ).select("way_id", "pos", F.col("n.id").alias("node_id"),
+             F.col("n.lon").alias("lon"), F.col("n.lat").alias("lat"))
+
+
+_SQL_WAY_ASSEMBLY = f"""
+SELECT l_orderkey AS way_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) - 1 AS INT) AS pos,
+       l_partkey AS node_id,
+       {lon_sql('l_partkey')} AS lon,
+       {lat_sql('l_partkey')} AS lat
+FROM lineitem
+"""
+
+
+def q_window_topk(spark, sf_dir):
+    """Top-3 orders per customer — window + row_number (top-k pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+_SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    """Global sort + limit with deterministic tie-break (O2/O3 shape)."""
+    return (_t(spark, sf_dir, "part")
+            .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+            .limit(10)
+            .select("p_partkey", "p_name", "p_retailprice"))
+
+
+_SQL_SORT_LIMIT = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """Left-semi + left-anti joins, tagged and unioned."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    ok = orders.select("o_custkey")
+    semi = cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_semi") \
+        .select("c_custkey").withColumn("op", F.lit("has_orders"))
+    anti = cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_anti") \
+        .select("c_custkey").withColumn("op", F.lit("no_orders"))
+    return semi.unionByName(anti)
+
+
+_SQL_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS op FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS op FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = building.intersect(with_orders).withColumn("op", F.lit("intersect"))
+    only = building.subtract(with_orders).withColumn("op", F.lit("except"))
+    return both.unionByName(only)
+
+
+_SQL_SET_OPS = """
+SELECT c_custkey, 'intersect' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (engine addition; reference has none)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), 18, 2).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_qty"))
+
+
+_SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_string_scalar(spark, sf_dir):
+    """P10/P11 scalar surface: concat-prefix ids, lower, substring,
+    regexp_extract, length."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.concat(F.lit("part/"), F.col("p_partkey").cast("string")).alias("fid"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+_SQL_STRING_SCALAR = """
+SELECT 'part/' || CAST(p_partkey AS VARCHAR) AS fid,
+       lower(p_type) AS type_lower,
+       substring(p_name, 1, 8) AS name_prefix,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-bucketed agg on the events table (batch twin of the streaming
+    windowed agg; hour truncation + decimal-exact sums)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"), _dec_sum(F.col("value"), 18, 6).alias("sum_value")))
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag + cumulative flag-sum —
+    the stateful-session shape as deterministic window algebra."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s", F.when(
+            (F.col("sec") - F.lag("sec", 1).over(w)) > 1800, 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("sec").alias("start_sec"), F.max("sec").alias("end_sec")))
+
+
+_SQL_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+flagged AS (
+  SELECT *, CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text / dedup family (documents table)
+
+
+def q_text_stats(spark, sf_dir):
+    """Language-ID, quality score, token counts, fingerprint — all
+    JVM-side column expressions (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count_expr(t).alias("n_tok"),
+        TX.bpe_ish_token_count_expr(t).alias("n_bpe"),
+        TX.fingerprint_expr(t).alias("fingerprint"),
+        TX.lang_id_expr(t).alias("lang_pred"),
+        TX.quality_score_expr(t, F.col("n_chars")).alias("quality"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return ("length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            f"t -> t != '' AND list_contains({lst}, t)))")
+
+
+def _sql_text_stats() -> str:
+    scores = {lang: _lang_score_sql(m) for lang, m in sorted(TX.LANG_MARKERS.items())}
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    # tie-break: first language in sorted order wins (matches lang_id_expr)
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in scores
+    ) + " ELSE 'und' END"
+    score_cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars,
+    length(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')) AS n_tok,
+    length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != ''))
+      + length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g')) AS n_bpe,
+    substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint,
+    {score_cols}
+  FROM documents),
+scored AS (SELECT *, {best} AS best FROM toks)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_bpe AS INT) AS n_bpe,
+       fingerprint, {case} AS lang_pred,
+       ((CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok >= 3.0
+              AND CAST(n_chars AS DOUBLE)/n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+              / greatest(CAST(n_chars AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0 AS quality
+FROM scored
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: normalized-text fingerprint groups, min-id keeper."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+_SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index candidate join."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS id, list_distinct(sh) AS sh FROM (
+    SELECT doc_id,
+      CASE WHEN length(toks) >= 3 THEN
+        list_transform(range(1, length(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM (SELECT doc_id,
+            list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                        t -> t != '') AS toks
+          FROM documents))),
+postings AS (SELECT id, unnest(sh) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM postings a JOIN postings b ON a.g = b.g AND a.id < b.id)
+SELECT id_a, id_b,
+       CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+     / CAST(length(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh sa ON sa.id = cand.id_a
+JOIN sh sb ON sb.id = cand.id_b
+WHERE CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+     / CAST(length(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.2
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs (xxhash64 seeds — no DuckDB twin;
+    rows-only check; exactness pinned by pytest property tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hamming≤3 near-dup pairs (rows-only; pytest-pinned)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs)
+
+
+# --------------------------------------------------------------------------
+# embeddings / similarity search
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exactness baseline for ANN)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine_r"), "rank")
+
+
+_SQL_EMBEDDING_TOPK = """
+SELECT query_id, corpus_id, round(cosine, 6) AS cosine_r, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 10) WHERE rank <= 5
+"""
+
+
+def q_embedding_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path; rows-only — recall vs
+    brute force asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_lsh(emb, queries, k=5, dim=64)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (rows-only). The synthetic
+    embeddings have no true near-dups (max pairwise cosine ≈0.51), so the
+    demo threshold/bucketing is loosened to exercise the operator; recall
+    against brute force is pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=4, n_tables=6)
+
+
+# --------------------------------------------------------------------------
+# spatial layer (G1-G4) on derived coordinates
+
+
+def q_cell_encode(spark, sf_dir):
+    """G1 — Morton cell encode + parent, pure column expressions."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cell = C.cell_expr(lon_col(k), lat_col(k), 8)
+    return cust.select(
+        "c_custkey", cell.alias("cell"), C.parent_expr(cell, 3).alias("parent"))
+
+
+def _sql_cell_encode() -> str:
+    cell = C.cell_sql(lon_sql("c_custkey"), lat_sql("c_custkey"), 8)
+    return f"""
+SELECT c_custkey, {cell} AS cell, ({cell}) >> 6 AS parent FROM customer
+"""
+
+
+def q_tile_histogram(spark, sf_dir):
+    """G4 — shuffle-free tile assignment + per-tile histogram (the skew
+    detector feeding the salted join)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", lon_col(F.col("event_id")).alias("lon"),
+                    lat_col(F.col("event_id")).alias("lat"))
+    return TI.tile_histogram(pts, zoom=6)
+
+
+def _sql_tile_histogram() -> str:
+    tile = C.cell_sql(lon_sql("event_id"), lat_sql("event_id"), 6)
+    return f"""
+SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+def q_pip_join(spark, sf_dir):
+    """G2 — broadcast point-in-polygon join: Morton-cell equi prefilter +
+    generic ray-cast residual (axis-aligned fixture boxes make the oracle
+    an exact strict-interior box predicate)."""
+    cust = _t(spark, sf_dir, "customer")
+    region = _t(spark, sf_dir, "region")
+    pts = cust.select("c_custkey", lon_col(F.col("c_custkey")).alias("lon"),
+                      lat_col(F.col("c_custkey")).alias("lat"))
+    out = PIP.point_in_polygon_join(pts, region_boxes(region), res=6)
+    return out.select("c_custkey", "poly_id")
+
+
+_SQL_PIP = f"""
+SELECT c_custkey, r_regionkey AS poly_id
+FROM customer CROSS JOIN region
+WHERE {lon_sql('c_custkey')} > (r_regionkey * 60 - 170.0000005)
+  AND {lon_sql('c_custkey')} < (r_regionkey * 60 - 140.0000005)
+  AND {lat_sql('c_custkey')} > (r_regionkey * 25 - 60.0000005)
+  AND {lat_sql('c_custkey')} < (r_regionkey * 25 - 40.0000005)
+"""
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact kNN baseline, planar squared distance (mul/add only → oracle
+    bit-exact; the ring-expansion G3 path is checked against this in
+    pytest and registered rows-only below)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    supp = _t(spark, sf_dir, "supplier")
+    q = cust.select(F.col("c_custkey").alias("query_id"),
+                    lon_col(F.col("c_custkey")).alias("qx"),
+                    lat_col(F.col("c_custkey")).alias("qy"))
+    c = supp.select(F.col("s_suppkey").alias("corpus_id"),
+                    lon_col(F.col("s_suppkey")).alias("cx"),
+                    lat_col(F.col("s_suppkey")).alias("cy"))
+    dx, dy = F.col("qx") - F.col("cx"), F.col("qy") - F.col("cy")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "corpus_id", (dx * dx + dy * dy).alias("dist2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+_SQL_KNN_BRUTE = f"""
+SELECT query_id, corpus_id, dist2, CAST(rank AS INT) AS rank FROM (
+  SELECT q.query_id, c.corpus_id,
+         (q.qx - c.cx) * (q.qx - c.cx) + (q.qy - c.cy) * (q.qy - c.cy) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           (q.qx - c.cx) * (q.qx - c.cx) + (q.qy - c.cy) * (q.qy - c.cy) ASC,
+           c.corpus_id ASC) AS rank
+  FROM (SELECT c_custkey AS query_id, {lon_sql('c_custkey')} AS qx,
+               {lat_sql('c_custkey')} AS qy FROM customer WHERE c_custkey <= 20) q
+  CROSS JOIN (SELECT s_suppkey AS corpus_id, {lon_sql('s_suppkey')} AS cx,
+              {lat_sql('s_suppkey')} AS cy FROM supplier) c
+) WHERE rank <= 5
+"""
+
+
+def q_knn_ring(spark, sf_dir):
+    """G3 — kNN via cell-ring expansion (rows-only; equality with the
+    brute-force baseline pinned in pytest on covering-disk configs)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    supp = _t(spark, sf_dir, "supplier")
+    q = cust.select(F.col("c_custkey").alias("id"),
+                    lon_col(F.col("c_custkey")).alias("lon"),
+                    lat_col(F.col("c_custkey")).alias("lat"))
+    c = supp.select(F.col("s_suppkey").alias("id"),
+                    lon_col(F.col("s_suppkey")).alias("lon"),
+                    lat_col(F.col("s_suppkey")).alias("lat"))
+    return KNN.knn_join(c, q, k=5, res=4, max_rounds=4)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "star_join": q_star_join,
+        "cogroup_join": q_cogroup_join,
+        "way_assembly": q_way_assembly,
+        "window_topk": q_window_topk,
+        "sort_limit": q_sort_limit,
+        "semi_anti": q_semi_anti,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "string_scalar": q_string_scalar,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann": q_embedding_ann,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cell_encode": q_cell_encode,
+        "tile_histogram": q_tile_histogram,
+        "pip_join": q_pip_join,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ring": q_knn_ring,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "star_join": _SQL_STAR,
+        "cogroup_join": _SQL_COGROUP,
+        "way_assembly": _SQL_WAY_ASSEMBLY,
+        "window_topk": _SQL_WINDOW_TOPK,
+        "sort_limit": _SQL_SORT_LIMIT,
+        "semi_anti": _SQL_SEMI_ANTI,
+        "set_ops": _SQL_SET_OPS,
+        "rollup": _SQL_ROLLUP,
+        "string_scalar": _SQL_STRING_SCALAR,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "sessionize": _SQL_SESSIONIZE,
+        "text_stats": _sql_text_stats(),
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "cell_encode": _sql_cell_encode(),
+        "tile_histogram": _sql_tile_histogram(),
+        "pip_join": _SQL_PIP,
+        "knn_bruteforce": _SQL_KNN_BRUTE,
+        # minhash_pairs / simhash_pairs / embedding_ann / embedding_near_dup /
+        # knn_ring: seeded-hash or approximate ops → rows-only checks;
+        # exactness properties pinned in tests/ instead.
+    }

@@ -26,8 +26,8 @@ from osm2geojson_spark.functions import cells as C
 
 def polygon_cover_cells(ring: Column, res: int) -> Column:
     """All Morton cells intersecting the ring's bbox (conservative cover)."""
-    lons = F.transform(ring, lambda p: p[0])
-    lats = F.transform(ring, lambda p: p[1])
+    lons = F.transform(ring, lambda p: p["lon"])
+    lats = F.transform(ring, lambda p: p["lat"])
     ix0 = C.lon_ix(F.array_min(lons), res)
     ix1 = C.lon_ix(F.array_max(lons), res)
     iy0 = C.lat_iy(F.array_min(lats), res)
