@@ -1,0 +1,130 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Every query is forced end-to-end with the `noop` sink (full plan executes,
+nothing ships to the driver). The flagship `spatial_pipeline` is the
+north-star shape — cell encode → broadcast PIP → tile assignment → rollup —
+over the largest table (lineitem-derived points), and its rows/sec is
+reported as ``spatial_rows_per_sec``.
+
+Usage:
+  python bench.py                  # all headline queries
+  python bench.py q1 q2 ...        # subset
+  SPARK_GRAFT_BENCH_REPEAT=3 ...   # median of N runs per query
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from osm2geojson_spark import queries as Q  # noqa: E402
+from osm2geojson_spark.session import get_spark  # noqa: E402
+from osm2geojson_spark.spatial import tiles as TI  # noqa: E402
+from osm2geojson_spark.spatial.pip import point_in_polygon_join  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+
+
+def spatial_pipeline(spark, sf_dir):
+    """Flagship: 600k lineitem-derived points → PIP (broadcast, Morton
+    prefilter) → tile assign (zoom 7, shuffle-free) → per-(poly,tile) agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    pts = li.select(
+        key.alias("pt_id"),
+        Q.lon_col(key).alias("lon"),
+        Q.lat_col(key).alias("lat"),
+    )
+    hits = point_in_polygon_join(pts, Q.region_boxes(region), res=7)
+    tiled = TI.assign_tiles(hits, zoom=7)
+    return tiled.groupBy("poly_id", "tile_id").agg(
+        F.count("*").alias("n_points"), F.min("pt_id").alias("min_pt"))
+
+
+def tile_assign_full(spark, sf_dir):
+    """Pure tile assignment + histogram over ALL points (no PIP filter) —
+    the raw raster↔vector assignment rate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    pts = li.select(key.alias("pt_id"), Q.lon_col(key).alias("lon"),
+                    Q.lat_col(key).alias("lat"))
+    return TI.tile_histogram(pts, zoom=7)
+
+
+BENCH_QUERIES = {
+    "spatial_pipeline": spatial_pipeline,
+    "tile_assign_full": tile_assign_full,
+    "pricing_summary": Q.q_pricing_summary,
+    "star_join": Q.q_star_join,
+    "way_assembly": Q.q_way_assembly,
+    "cogroup_join": Q.q_cogroup_join,
+    "window_topk": Q.q_window_topk,
+    "sessionize": Q.q_sessionize,
+    "text_stats": Q.q_text_stats,
+    "minhash_pairs": Q.q_minhash_pairs,
+    "embedding_topk": Q.q_embedding_topk,
+    "knn_ring": Q.q_knn_ring,
+}
+
+
+def run_once(fn, spark) -> float:
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark("bench")
+    # warm the JVM/codegen and the Python UDF worker pool once, so per-query
+    # numbers measure the plan, not process spawn
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(10_000).repartition(64).select(_warm(F.col("id"))).write \
+        .format("noop").mode("overwrite").save()
+
+    n_points = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        if only and name not in only:
+            continue
+        runs = [run_once(fn, spark) for _ in range(REPEAT)]
+        # min = steady-state plan cost (excludes one-off codegen/GC noise)
+        timings[name] = round(min(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    spatial_sec = timings.get("spatial_pipeline")
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "n_points": n_points,
+        "spatial_rows_per_sec": round(n_points / spatial_sec) if spatial_sec else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

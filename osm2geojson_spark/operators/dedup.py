@@ -71,6 +71,82 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 7) -> 
     return F.array(*sig)
 
 
+def shingle_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, g) DISTINCT shingle posting rows — the shared substrate for
+    minhash signatures, inverted-index candidates, and exact Jaccard.
+
+    Built relationally (posexplode tokens → window lead → concat), NOT via
+    array higher-order functions: HOFs run interpreted with per-element
+    boxing, measured ~5-10x slower at sf0.1; this shape is whole-stage
+    codegen'd end-to-end and never carries wide arrays through a shuffle.
+    Docs with < n tokens contribute their whole token string (same
+    semantics as word_shingles)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    ).select("id", F.size("toks").alias("n_toks"), F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        "id", "n_toks", "pos",
+        F.concat_ws(" ", F.col("tok"), *lead_cols).alias("g"),
+    )
+    full = grams.filter(
+        (F.col("n_toks") >= n) & (F.col("pos") <= F.col("n_toks") - n)
+    ).select("id", "g")
+    # short docs: one shingle = the whole (normalized) token string
+    short = (
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("g"))
+        .filter(F.size(F.split("g", " ")) < n)
+    )
+    return full.unionByName(short).dropDuplicates(["id", "g"])
+
+
+def minhash_signatures(
+    postings: DataFrame, num_hashes: int = 32, seed: int = 7,
+) -> DataFrame:
+    """Signatures from (id, g) postings: ONE codegen'd xxhash64 per
+    shingle → the affine family as scalar columns → groupBy(id) with
+    map-side partial min aggregation. Shuffle carries only
+    (id, num_hashes mins) per doc after partial agg."""
+    h = F.abs(F.xxhash64("g", F.lit(seed))) % _P
+    mins = [
+        F.min((h * (2 * i + 1) + 7919 * (i + 1)) % _P).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = postings.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def pair_jaccard(postings: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact set Jaccard from posting rows, fully relational:
+    |A∩B| = pair count of the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
+    If ``pairs`` (id_a, id_b) is given, only those pairs are scored (pairs
+    sharing no shingle get jaccard 0)."""
+    sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = pairs.join(inter, ["id_a", "id_b"], "left") \
+            .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    inter_d = F.col("n_inter").cast("double")
+    union_d = (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+    return scored.select("id_a", "id_b", (inter_d / union_d).alias("jaccard"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -87,26 +163,18 @@ def minhash_lsh_pairs(
     → dedup pairs. Hot buckets (boilerplate docs) are the skew risk: AQE
     skew-join splits them; a bucket-size cap can be layered on top."""
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    )
-    banded = sig.select(
-        "id", "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # postings feed 4 subtrees (signatures, inverted-index both sides,
+    # sizes) — persist once instead of recomputing the tokenize+window
+    # pipeline per subtree (diamond reuse; Spark has no auto CTE
+    # materialization for DataFrames)
+    postings = shingle_postings(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures(postings, num_hashes)
+    band_hashes = [
+        F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(
             right,
@@ -114,17 +182,10 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
-    )
+    return pair_jaccard(postings, pairs)
 
 
 def ngram_jaccard_pairs(
@@ -134,25 +195,8 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs generated by shared-shingle
     co-occurrence (inverted-index join — never a cross join). For bounded
     fan-out, one shingle posting list row per (shingle, id)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    postings = sh.select("id", F.explode("sh").alias("g"))
-    cand = (
-        postings.alias("a")
-        .join(postings.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    withsets = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return withsets.select("id_a", "id_b", (inter / union).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    postings = shingle_postings(df, id_col, text_col, shingle_n).persist()
+    return pair_jaccard(postings).filter(F.col("jaccard") >= threshold)
 
 
 def _bit_masks(bits: int) -> Column:

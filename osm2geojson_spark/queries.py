@@ -41,6 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with explicit parallelism: the test file is a single tiny
+    parquet split, which would serialize the expression-heavy text kernels
+    into ONE task. At production scale the scan has many splits and this
+    round-robin exchange is a no-op to remove."""
+    df = _t(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # deterministic int64 coordinate derivation (identical in Spark + DuckDB)
 _LON_MUL = 2654435761
 _LAT_MUL = 2246822519
@@ -392,7 +401,7 @@ FROM sess GROUP BY user_id, session_id
 def q_text_stats(spark, sf_dir):
     """Language-ID, quality score, token counts, fingerprint — all
     JVM-side column expressions (functions/text.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -442,7 +451,7 @@ FROM scored
 
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: normalized-text fingerprint groups, min-id keeper."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.exact_dedup(docs, text_col="text", id_col="doc_id")
 
 
@@ -455,7 +464,7 @@ GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs via inverted-index candidate join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
 
 
@@ -489,13 +498,13 @@ WHERE CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (xxhash64 seeds — no DuckDB twin;
     rows-only check; exactness pinned by pytest property tests)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.minhash_lsh_pairs(docs)
 
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash hamming≤3 near-dup pairs (rows-only; pytest-pinned)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.simhash_near_dup_pairs(docs)
 
 

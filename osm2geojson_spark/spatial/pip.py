@@ -1,16 +1,19 @@
 """G2 — broadcast point-in-polygon join (equi prefilter + theta residual).
 
 Plan shape (SURVEY.md §2.4 G2):
-1. each polygon row → covering cells of its bbox at resolution ``res``
-   (pure column exprs: sequence over the ix/iy bbox, Morton-encoded);
-2. points → cell at the same resolution (column expr);
-3. equi-join on ``cell`` with the polygon side broadcast (polygon tables
-   are the small dim in the image-tiling workload);
-4. residual exact predicate: vectorized ray-cast pandas UDF (Arrow batch,
-   numpy inner loop — no per-row Python).
+1. polygons are the SMALL side (the tiling/extract workload joins billions
+   of points against thousands of polygons): collected once driver-side,
+   compiled to numpy edge arrays, and shipped to executors inside the
+   pandas-UDF closure (Spark broadcasts task closures);
+2. a slim ``(cell, poly_id)`` covering map — no ring payload — is
+   ``F.broadcast`` equi-joined against the points' Morton cell (pure
+   column expr, codegen'd): the points side NEVER shuffles;
+3. residual exact predicate: vectorized ray-cast — for each candidate
+   polygon in an Arrow batch, ALL its points are tested against ALL its
+   edges in one (P,E) numpy broadcast. No per-row Python.
 
-At 100 TB the points side never shuffles: broadcast + codegen'd cell expr
-means the scan → join → residual is one stage.
+At 100 TB: scan → cell expr → broadcast-hash-join → Arrow-batched
+residual is one stage, no shuffle, linear in points.
 """
 
 from __future__ import annotations
@@ -40,36 +43,38 @@ def polygon_cover_cells(ring: Column, res: int) -> Column:
     )
 
 
-@F.pandas_udf(T.BooleanType())
-def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series, holes: pd.Series) -> pd.Series:
-    """Even-odd ray cast, point in outer ring and outside all holes."""
-    out = np.zeros(len(lon), dtype=bool)
-    for i in range(len(lon)):
-        r = np.asarray([[p["lon"], p["lat"]] for p in ring.iloc[i]], dtype=np.float64)
-        px, py = lon.iloc[i], lat.iloc[i]
-        inside = _ray_cast(px, py, r)
-        if inside and holes.iloc[i] is not None:
-            for h in holes.iloc[i]:
-                hr = np.asarray([[p["lon"], p["lat"]] for p in h], dtype=np.float64)
-                if _ray_cast(px, py, hr):
-                    inside = False
-                    break
-        out[i] = inside
-    return pd.Series(out)
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    if len(r) and (r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]):
+        return np.vstack([r, r[:1]])
+    return r
 
 
-def _ray_cast(px: float, py: float, ring: np.ndarray) -> bool:
-    if len(ring) < 3:
-        return False
-    x, y = ring[:, 0], ring[:, 1]
-    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
-        x = np.append(x, x[0])
-        y = np.append(y, y[0])
-    x1, y1, x2, y2 = x[:-1], y[:-1], x[1:], y[1:]
-    cross = (y1 > py) != (y2 > py)
+def _pip_many(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast, vectorized: (P,) points vs (E,) edges → (P,) bool."""
+    if len(ring) < 4:  # closed ring needs >= 4 rows
+        return np.zeros(len(px), dtype=bool)
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    py_ = py[:, None]
+    cross = (y1[None, :] > py_) != (y2[None, :] > py_)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-    return bool(np.count_nonzero(cross & (px < xint)) % 2)
+        xint = x1[None, :] + (py_ - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+    hits = cross & (px[:, None] < xint)
+    return (np.count_nonzero(hits, axis=1) % 2).astype(bool)
+
+
+def _compile_polygons(rows) -> dict:
+    """Driver-side: polygon rows → {poly_id: (outer_ring, [hole_rings])}."""
+    compiled = {}
+    for r in rows:
+        outer = _close_ring(np.asarray([[p["lon"], p["lat"]] for p in r["ring"]],
+                                       dtype=np.float64))
+        holes = [
+            _close_ring(np.asarray([[p["lon"], p["lat"]] for p in h], dtype=np.float64))
+            for h in (r["holes"] or [])
+        ]
+        compiled[r["poly_id"]] = (outer, holes)
+    return compiled
 
 
 def point_in_polygon_join(
@@ -79,21 +84,43 @@ def point_in_polygon_join(
     """points(… lon, lat) ⋈ polygons(poly_id, ring, holes?) → matched rows.
 
     ``polygons.ring``: array<struct<lon,lat>>; optional ``holes``:
-    array<array<struct<lon,lat>>>.
+    array<array<struct<lon,lat>>>. Points on an edge follow even-odd
+    ray-cast semantics (strict interior for axis-aligned edges).
     """
     if "holes" not in polygons.columns:
         polygons = polygons.withColumn(
             "holes", F.lit(None).cast("array<array<struct<lon:double,lat:double>>>")
         )
-    poly_cells = polygons.select(
-        "poly_id", "ring", "holes",
-        F.explode(polygon_cover_cells(F.col("ring"), res)).alias("cell"),
-    )
+    poly_rows = polygons.select("poly_id", "ring", "holes").collect()
+    compiled = _compile_polygons(poly_rows)
+
+    spark = points.sparkSession
+    cover = polygons.select(
+        "poly_id", F.explode(polygon_cover_cells(F.col("ring"), res)).alias("cell"))
+    # slim covering map only — ring payloads travel in the UDF closure
+    cover = cover.select("poly_id", "cell")
+
+    @F.pandas_udf(T.BooleanType())
+    def residual(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        for p in np.unique(pid):  # grouped: one vectorized pass per polygon
+            m = pid == p
+            outer, holes = compiled[p]
+            inside = _pip_many(px[m], py[m], outer)
+            for h in holes:
+                if not inside.any():
+                    break
+                inside &= ~_pip_many(px[m], py[m], h)
+            out[m] = inside
+        return pd.Series(out)
+
     pts = points.withColumn("cell", C.cell_expr(F.col(lon_col), F.col(lat_col), res))
-    cand = pts.join(F.broadcast(poly_cells), "cell")
+    cand = pts.join(F.broadcast(cover), "cell")
     return (
-        cand.withColumn("_hit", _pip_udf(F.col(lon_col), F.col(lat_col),
-                                         F.col("ring"), F.col("holes")))
+        cand.withColumn("_hit", residual(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
         .filter(F.col("_hit"))
-        .drop("_hit", "ring", "holes", "cell")
+        .drop("_hit", "cell")
     )

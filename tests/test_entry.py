@@ -1,0 +1,67 @@
+"""Driver-contract self-check: replays the DuckDB oracle compare exactly
+like the driver (row count, sorted columns, order-insensitive value
+multiset) for a fast subset of queries at sf0.001; the full sweep lives in
+tools/check_oracle.py (run at sf0.01)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAST_QUERIES = [
+    "pricing_summary", "cogroup_join", "way_assembly", "string_scalar",
+    "cell_encode", "tile_histogram", "pip_join", "knn_bruteforce",
+    "exact_dedup", "sessionize",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return repr(v)
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"poly_id", "tile_id", "n_points", "min_custkey"}
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_oracle_match(spark, duck, name):
+    import __spark_entry__ as E
+
+    sdf = E.queries()[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(E.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _multiset(sdf.columns, srows) == _multiset(dcols, drows)
