@@ -21,20 +21,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: points → PIP (broadcast, cell-prefiltered) → tile
-    assignment → per-tile/per-polygon aggregate."""
-    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    """Flagship (north-star shape): image+caption rows → broadcast PIP
+    (Morton-cell prefilter + vectorized ray-cast residual) against
+    polygons derived from the sf0.001 region table → shuffle-free tile
+    assignment → per-(polygon, tile) rollup."""
+    from osm2geojson_spark.synth.images import images_table
+
     region = spark.read.parquet(f"{SF_DIR}/region.parquet")
-    pts = cust.select(
-        "c_custkey",
-        Q.lon_col(F.col("c_custkey")).alias("lon"),
-        Q.lat_col(F.col("c_custkey")).alias("lat"),
-    )
-    hits = point_in_polygon_join(pts, Q.region_boxes(region), res=6)
+    imgs = images_table(spark, n=2000, seed=42)
+    hits = point_in_polygon_join(imgs, Q.region_boxes(region), res=6)
     tiled = TI.assign_tiles(hits, zoom=5)
     return tiled.groupBy("poly_id", "tile_id").agg(
-        F.count("*").alias("n_points"),
-        F.min("c_custkey").alias("min_custkey"),
+        F.count("*").alias("n_images"),
+        F.min("image_id").alias("first_image"),
     )
 
 

@@ -1,0 +1,179 @@
+"""Image payload operators (M4) — Arrow-batched kernels over the
+image+caption table (input_hint schema).
+
+Mirrors the reference's quarantine discipline (problemNodes.gz,
+OsmJoin.java:111-113,176-179): undecodable rows are split out, never
+dropped silently. Every operator is mapInPandas/pandas_udf (Arrow batch
+transfer, numpy per image) — no row-at-a-time Python UDFs.
+
+Real JPEG/WebP/video/audio codecs are NOT in this container; those decode
+paths raise NotImplementedError behind a fmt dispatch whose Spark-side
+plumbing (schema, batching, quarantine) is real and tested — swap the
+stub for a Pillow/ffmpeg call on a cluster that has them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.synth.images import DECODERS, ENCODERS, phash64
+
+_STUB_FMTS = {"jpg", "jpeg", "png", "webp"}
+
+
+def _decode(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt in _STUB_FMTS:
+        raise NotImplementedError(
+            f"codec '{fmt}' requires an image library not present in this "
+            "container; plug Pillow/cv2 into DECODERS to enable")
+    dec = DECODERS.get(fmt)
+    if dec is None:
+        raise ValueError(f"unknown fmt '{fmt}'")
+    return dec(buf)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def validate_images(df: DataFrame) -> DataFrame:
+    """Per-row invariants vs the reference semantics (BASELINE.json):
+    decodability, stored-vs-recomputed phash equality, decode→re-encode→
+    decode PSNR (∞ for lossless fmts, ≥40 dB required for lossy), caption
+    non-null. Adds (ok, error, psnr_db, phash_match); split with
+    quarantine_split()."""
+    out_schema = ("image_id string, fmt string, w int, h int, ok boolean, "
+                  "error string, psnr_db double, phash_match boolean, "
+                  "caption_ok boolean")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                err, psnr_db, ph_ok, ok = None, None, False, False
+                cap_ok = t.caption is not None and len(t.caption) > 0
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt)
+                    if px.shape != (t.h, t.w, 3):
+                        raise ValueError(
+                            f"shape {px.shape} != declared ({t.h},{t.w},3)")
+                    ph_ok = phash64(px) == t.phash
+                    buf2 = ENCODERS[t.fmt](px)
+                    px2 = _decode(buf2, t.fmt)
+                    psnr_db = psnr(px, px2)
+                    ok = ph_ok and cap_ok and (psnr_db >= 40.0)
+                except Exception as ex:  # noqa: BLE001 — any decode failure quarantines
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append((t.image_id, t.fmt, t.w, t.h, ok, err, psnr_db,
+                             ph_ok, cap_ok))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "w", "h", "ok", "error",
+                               "psnr_db", "phash_match", "caption_ok"])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return df.select(*cols).mapInPandas(run, out_schema)
+
+
+def quarantine_split(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) — mirrors the problem* sinks."""
+    return validated.filter(F.col("ok")), validated.filter(~F.col("ok"))
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Decode + per-image brightness stats (feature-extraction shape)."""
+    out_schema = ("image_id string, mean_lum double, std_lum double, "
+                  "n_px long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt)
+                    g = px.astype(np.float64).mean(axis=2)
+                    rows.append((t.image_id, float(g.mean()), float(g.std()),
+                                 int(g.size)))
+                except (NotImplementedError, ValueError):
+                    rows.append((t.image_id, None, None, 0))
+            yield pd.DataFrame(rows, columns=["image_id", "mean_lum",
+                                              "std_lum", "n_px"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Mean-pool resize to a fixed thumbnail, re-encoded as lossless ppm.
+    (Box-filter downscale — pure numpy, no image library.)"""
+    out_schema = "image_id string, thumb binary, w int, h int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt).astype(np.float64)
+                    h, w, _ = px.shape
+                    ys = (np.arange(out_h + 1) * h // out_h)
+                    xs = (np.arange(out_w + 1) * w // out_w)
+                    thumb = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                    for i in range(out_h):
+                        for j in range(out_w):
+                            thumb[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]] \
+                                .mean(axis=(0, 1)).round()
+                    rows.append((t.image_id, ENCODERS["ppm"](thumb),
+                                 out_w, out_h))
+                except (NotImplementedError, ValueError):
+                    rows.append((t.image_id, None, out_w, out_h))
+            yield pd.DataFrame(rows, columns=["image_id", "thumb", "w", "h"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling needs ffmpeg (not in container). The
+    plumbing (schema, mapInPandas shape) is the real contract; the decode
+    raises per-row and rows land in quarantine."""
+    out_schema = "media_id string, frame_idx int, frame binary, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(mid, -1, None, "NotImplementedError: video decode needs ffmpeg")
+                 for mid in pdf["media_id"]],
+                columns=["media_id", "frame_idx", "frame", "error"])
+
+    return df.selectExpr("image_id as media_id", "bytes").mapInPandas(run, out_schema)
+
+
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs via stored phash: 4x16-bit band buckets
+    (same LSH trick as simhash) then exact hamming — all JVM-side; the
+    phash column rides the table, so no decode in this path at all."""
+    base = df.select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
+    banded = base.select(
+        "id", "h",
+        F.posexplode(F.array(*[
+            F.shiftright("h", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
+        ])).alias("band", "chunk"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.chunk") == F.col("b.chunk"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming)

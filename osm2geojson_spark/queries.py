@@ -660,6 +660,51 @@ def q_knn_ring(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# image payload (input_hint table — synthesized deterministically, so these
+# register as rows-only checks; invariants are pinned in tests/test_images.py)
+
+
+def q_image_validate(spark, sf_dir):
+    """M4 — decode/PSNR/phash/caption invariants per fmt (quarantine
+    discipline mirrors problemNodes). Input synthesized (not in sf_dir)."""
+    from osm2geojson_spark.operators.images import validate_images
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=500, seed=42)
+    v = validate_images(imgs)
+    return v.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+        F.sum(F.col("phash_match").cast("int")).alias("n_phash_match"),
+        F.min("psnr_db").alias("min_psnr_db"),
+    )
+
+
+def q_image_tile_join(spark, sf_dir):
+    """North-star shape: image rows → shuffle-free tile assignment →
+    broadcast join against the GeoJSON tile table → per-tile rollup."""
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=2000, seed=42)
+    tiles = TI.tile_table(spark, zoom=4).select("tile_id", "zoom", "geojson")
+    joined = TI.tile_vector_join(imgs, tiles, zoom=4)
+    return joined.groupBy("tile_id").agg(
+        F.count("*").alias("n_images"),
+        F.min("image_id").alias("first_image"),
+    )
+
+
+def q_image_phash_dedup(spark, sf_dir):
+    """Image near-dup pairs from the phash column — no decode in the hot
+    path (hash rides the table); 4x16-bit band LSH + exact hamming."""
+    from osm2geojson_spark.operators.images import phash_near_dup_pairs
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=500, seed=42)
+    return phash_near_dup_pairs(imgs, max_hamming=10)
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -690,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ring": q_knn_ring,
+        "image_validate": q_image_validate,
+        "image_tile_join": q_image_tile_join,
+        "image_phash_dedup": q_image_phash_dedup,
     }
 
 

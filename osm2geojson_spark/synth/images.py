@@ -1,0 +1,187 @@
+"""Deterministic image+caption table synthesizer (BASELINE.json input_hint).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long) — plus derived lon/lat so spatial joins are
+well-defined (clustered hot cells for skew, like the reference planet's
+dense urban extracts).
+
+Codecs are self-contained numpy (no Pillow in this container — SURVEY.md
+§7 env facts): ``ppm`` (P6 binary, lossless), ``bmp`` (24-bit bottom-up,
+lossless), ``qz6`` (our deterministic lossy stand-in: 6-bit uniform
+quantization + zlib — reconstruction error ≤ 2/channel, PSNR ≈ 47 dB, so
+the ≥40 dB invariant is meaningful without a jpeg library). Real
+JPEG/WebP decode is stubbed behind NotImplementedError in
+operators/images.py with the Spark plumbing fully real.
+
+Everything is keyed on the 64-bit row id: same rows at any parallelism.
+Generation runs distributed via mapInPandas over spark.range (numpy per
+Arrow batch; the per-image encode loop is numpy-per-image, standard for
+variable-size binary payloads).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+IMG_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, lon double, lat double")
+
+FMTS = ("ppm", "bmp", "qz6")
+
+_CAPTION_WORDS = [
+    "aerial", "view", "of", "the", "old", "harbor", "market", "square",
+    "bridge", "river", "park", "station", "cathedral", "at", "sunset",
+    "dawn", "night", "winter", "crowded", "empty",
+]
+
+
+# ------------------------------------------------------------------ codecs
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    parts = buf.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return px.reshape(h, w, 3)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP: BGR, rows bottom-up, 4-byte padded."""
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += px[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+    size = 54 + len(body)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\x00" * 24)
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little")
+    h = int.from_bytes(buf[22:26], "little")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    p = off
+    for y in range(h - 1, -1, -1):
+        px[y] = np.frombuffer(buf[p:p + row], dtype=np.uint8).reshape(w, 3)[:, ::-1]
+        p += row + pad
+    return px
+
+
+def encode_qz6(px: np.ndarray) -> bytes:
+    """Deterministic lossy: 6-bit quantization + zlib (level fixed)."""
+    h, w, _ = px.shape
+    q = ((px.astype(np.uint32) * 63 + 127) // 255).astype(np.uint8)  # round-to-nearest
+    return b"QZ6\n%d %d\n" % (w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qz6(buf: bytes) -> np.ndarray:
+    if not buf.startswith(b"QZ6"):
+        raise ValueError("not a QZ6")
+    parts = buf.split(b"\n", 2)
+    w, h = (int(x) for x in parts[1].split())
+    q = np.frombuffer(zlib.decompress(parts[2]), dtype=np.uint8, count=w * h * 3)
+    # dequant to bin centers: round(q * 255 / 63)
+    px = ((q.astype(np.uint16) * 255 + 31) // 63).clip(0, 255).astype(np.uint8)
+    return px.reshape(h, w, 3)
+
+
+ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6}
+DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6}
+
+
+# ------------------------------------------------------------------ pixels
+def gen_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Smooth deterministic test pattern (sinusoid mix keyed on seed) —
+    smooth content keeps quantization-noise PSNR meaningful."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    s = np.float64(seed % 997 + 1)
+    r = 127.5 + 127.5 * np.sin(xx / (3 + s % 7) + s)
+    g = 127.5 + 127.5 * np.sin(yy / (2 + s % 5) + 2 * s)
+    b = 127.5 + 127.5 * np.sin((xx + yy) / (4 + s % 11) + 3 * s)
+    return np.stack([r, g, b], axis=-1).round().clip(0, 255).astype(np.uint8)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → 8x8 mean-pool → above-median
+    bits. Same public construction as average-hash (aHash)."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    # crop to multiples of 8 then mean-pool
+    g = g[: h - h % 8 or h, : w - w % 8 or w]
+    bh, bw = g.shape[0] // 8, g.shape[1] // 8
+    pooled = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    med = np.median(pooled)
+    bits = (pooled > med).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def caption_for(seed: int) -> str:
+    n = 4 + seed % 5
+    idx = [(seed * (i + 3) * 2654435761 >> 7) % len(_CAPTION_WORDS) for i in range(n)]
+    return " ".join(_CAPTION_WORDS[i] for i in idx)
+
+
+def _coords_for(seed: int) -> tuple[float, float]:
+    """Hot-cell skew: 30% of images cluster into 3 'cities'."""
+    h1 = (seed * 2654435761) % 1_000_000
+    if h1 % 10 < 3:
+        city = h1 % 3
+        lon = city * 40.0 - 60.0 + (h1 % 10_000) / 10_000.0
+        lat = city * 20.0 - 10.0 + ((seed * 40503) % 10_000) / 10_000.0
+    else:
+        lon = (seed * 2654435761 % 360_000_000) / 1_000_000.0 - 180.0
+        lat = (seed * 2246822519 % 170_000_000) / 1_000_000.0 - 85.0
+    return lon, lat
+
+
+def make_image_row(seed: int) -> tuple:
+    w = 16 + 8 * (seed % 7)          # 16..64, multiple of 8
+    h = 16 + 8 * ((seed // 7) % 7)
+    fmt = FMTS[seed % len(FMTS)]
+    px = gen_pixels(seed, w, h)
+    buf = ENCODERS[fmt](px)
+    # phash is computed on the DECODED pixels (lossy fmt → lossy phash),
+    # so validate() can recompute it bit-identically from bytes alone
+    ph = phash64(DECODERS[fmt](buf))
+    lon, lat = _coords_for(seed)
+    return (f"img-{seed:012d}", buf, w, h, fmt, caption_for(seed), ph, lon, lat)
+
+
+def images_table(spark: SparkSession, n: int = 1000, seed: int = 42,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic generation: spark.range(n) → mapInPandas."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
+        for pdf in batches:
+            rows = [make_image_row(int(i) * 2 + seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, IMG_SCHEMA)

@@ -1,0 +1,137 @@
+"""M4 image-payload invariants (BASELINE.json input_hint):
+decoded-pixel fidelity (lossless exact; lossy PSNR ≥ 40 dB), phash
+stability, caption equality, quarantine on corrupt rows, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators.images import (
+    image_stats,
+    phash_near_dup_pairs,
+    psnr,
+    quarantine_split,
+    resize_images,
+    sample_video_frames,
+    validate_images,
+)
+from osm2geojson_spark.synth.images import (
+    DECODERS,
+    ENCODERS,
+    decode_bmp,
+    decode_ppm,
+    decode_qz6,
+    encode_bmp,
+    encode_ppm,
+    encode_qz6,
+    gen_pixels,
+    images_table,
+    phash64,
+)
+
+
+# ------------------------------------------------------------ codec units
+def test_ppm_roundtrip_exact():
+    px = gen_pixels(7, 24, 16)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_bmp_roundtrip_exact():
+    px = gen_pixels(11, 20, 12)  # w*3 not divisible by 4 → padding path
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_qz6_lossy_psnr():
+    px = gen_pixels(13, 64, 64)
+    rec = decode_qz6(encode_qz6(px))
+    assert rec.shape == px.shape
+    assert psnr(px, rec) >= 40.0
+    assert int(np.abs(rec.astype(int) - px.astype(int)).max()) <= 3
+
+
+def test_qz6_idempotent():
+    """Re-encoding already-quantized pixels is lossless (stable fixpoint),
+    so validate()'s decode→re-encode→decode PSNR is ∞ for qz6 rows."""
+    px = decode_qz6(encode_qz6(gen_pixels(17, 32, 32)))
+    assert np.array_equal(decode_qz6(encode_qz6(px)), px)
+
+
+def test_phash_deterministic_and_payload_sensitive():
+    px = gen_pixels(19, 32, 32)
+    assert phash64(px) == phash64(px.copy())
+    other = gen_pixels(20, 32, 32)
+    assert phash64(px) != phash64(other)
+
+
+# ------------------------------------------------------------ spark layer
+@pytest.fixture(scope="module")
+def images(spark):
+    df = images_table(spark, n=120, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_images_table_deterministic(spark, images):
+    a = {r["image_id"]: (bytes(r["bytes"]), r["phash"], r["caption"])
+         for r in images.collect()}
+    b = {r["image_id"]: (bytes(r["bytes"]), r["phash"], r["caption"])
+         for r in images_table(spark, n=120, seed=42).collect()}
+    assert a == b
+
+
+def test_validate_all_ok(images):
+    v = validate_images(images).cache()
+    good, bad = quarantine_split(v)
+    assert bad.count() == 0
+    rows = good.collect()
+    assert len(rows) == 120
+    assert all(r["phash_match"] and r["caption_ok"] for r in rows)
+    assert all(r["psnr_db"] >= 40.0 for r in rows)
+    lossless = [r for r in rows if r["fmt"] in ("ppm", "bmp")]
+    assert lossless and all(r["psnr_db"] == float("inf") for r in lossless)
+
+
+def test_validate_quarantines_corrupt_and_stub(spark, images):
+    corrupt = images.limit(4).withColumn(
+        "bytes", F.substring("bytes", 1, 10).cast("binary"))
+    jpegish = images.limit(3).withColumn("fmt", F.lit("jpg"))
+    v = validate_images(corrupt.unionByName(jpegish))
+    good, bad = quarantine_split(v)
+    assert good.count() == 0 and bad.count() == 7
+    errs = [r["error"] for r in bad.collect()]
+    assert all(e is not None for e in errs)
+    assert any("NotImplementedError" in e for e in errs)
+
+
+def test_image_stats_and_resize(images):
+    st = image_stats(images.limit(10)).collect()
+    assert all(0 < r["mean_lum"] < 255 and r["n_px"] > 0 for r in st)
+    th = resize_images(images.limit(10)).collect()
+    for r in th:
+        px = decode_ppm(bytes(r["thumb"]))
+        assert px.shape == (8, 8, 3)
+
+
+def test_video_stub_plumbing(images):
+    out = sample_video_frames(images.limit(5)).collect()
+    assert len(out) == 5
+    assert all("NotImplementedError" in r["error"] for r in out)
+
+
+def test_phash_near_dup_finds_planted_dup(spark, images):
+    """A re-encoded (lossy) copy of a lossless image must be within
+    hamming ≤ 6 of the original phash."""
+    from osm2geojson_spark.synth.images import decode_ppm as dp
+
+    src = [r for r in images.collect() if r["fmt"] == "ppm"][0]
+    px = dp(bytes(src["bytes"]))
+    lossy = ENCODERS["qz6"](px)
+    dup = spark.createDataFrame(
+        [("dup-0", lossy, src["w"], src["h"], "qz6", src["caption"],
+          phash64(DECODERS["qz6"](lossy)), 0.0, 0.0)],
+        images.schema)
+    pairs = phash_near_dup_pairs(images.unionByName(dup)).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert any(src["image_id"] in pair and "dup-0" in pair for pair in found)
