@@ -50,7 +50,7 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert set(df.columns) == {"poly_id", "tile_id", "n_points", "min_custkey"}
+    assert set(df.columns) == {"poly_id", "tile_id", "n_images", "first_image"}
 
 
 @pytest.mark.parametrize("name", FAST_QUERIES)
