@@ -1,0 +1,141 @@
+"""OSM XML ingestion (S1-S3, P1-P5) — the reference's splitAndEmit
+(OsmJoin.java:98-256) re-expressed as DataFrame operators.
+
+Semantics reproduced exactly:
+
+- P1 regex field extraction (OsmJoin.java:63-68 patterns): id/lat/lon
+  attributes, ``<tag k v>`` pairs, ``<nd ref>`` order, ``<member>``
+  triples.
+- P2 node projection drops non-semantic attrs (timestamp/version/user).
+- P3 XML unescape applies to NODE tag values only — the reference
+  unescapes at OsmJoin.java:170 but NOT for ways (:198); this asymmetry
+  is preserved behind ``unescape_ways=False`` (flip to fix it).
+- P4/P5 edge emission comes free downstream via posexplode
+  (operators/osm_join.py); relation members of type "relation" are
+  dropped there (OsmJoin.java:245-246).
+- P6/S7 quarantine: blobs with no id, and nodes without lat/lon, are
+  routed to a quarantine DataFrame (problemNodes.gz etc.,
+  OsmJoin.java:111-113,176-182).
+
+Scale note (S3 record chunking): the planet dump is one bz2 stream whose
+multi-line entity blobs straddle any line-based input split, so a fully
+distributed raw-XML chunker needs a record-aware input format. The
+reference itself streams it single-threaded (OsmBlobIterable). This
+module chunks per FILE (wholetext) — correct for fixture/extract files —
+and the engine's production input is the columnar image/feature table
+anyway (SURVEY.md §2.1 S3). For a real planet ingest, pre-split the dump
+into per-entity-type files (osmium) and point this reader at the shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# reference patterns (OsmJoin.java:63-68), anchored to attribute syntax
+_ID_RE = r'id="([0-9]+)"'
+_LAT_RE = r'lat="(-?[0-9]+(?:\.[0-9]+)?)"'
+_LON_RE = r'lon="(-?[0-9]+(?:\.[0-9]+)?)"'
+_KV_RE = r'<tag[^>]*\bk="([^"]*)"[^>]*\bv="([^"]*)"'
+_ND_RE = r'<nd[^>]*\bref="([0-9]+)"'
+_MEMBER_RE = r'<member[^>]*\btype="([a-z]+)"[^>]*\bref="([0-9]+)"[^>]*\brole="([^"]*)"'
+
+# self-closing entity, or open-tag..matching close-tag (children can be
+# self-closing, so the close alternative must anchor on </type>)
+_BLOB_RE = r"(?s)<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)"
+
+
+def xml_unescape(col):
+    """P3 — the five predefined XML entities (what unescapeXml handles for
+    OSM data in practice), as chained JVM-side replaces (no UDF)."""
+    out = col
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        out = F.regexp_replace(out, ent, ch)
+    return out
+
+
+def read_osm_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """S1-S3: file(s) → one row per entity blob (handles .bz2/.gz via
+    Spark codecs). Per-file chunking (see module docstring)."""
+    raw = spark.read.text(path, wholetext=True)
+    return raw.select(
+        F.explode(F.regexp_extract_all("value", F.lit(_BLOB_RE), 0)).alias("blob")
+    )
+
+
+def _tags_expr(unescape: bool):
+    ks = F.regexp_extract_all("blob", F.lit(_KV_RE), 1)
+    vs = F.regexp_extract_all("blob", F.lit(_KV_RE), 2)
+    if unescape:
+        ks = F.transform(ks, xml_unescape)
+        vs = F.transform(vs, xml_unescape)
+    return F.map_from_arrays(ks, vs)
+
+
+def parse_osm_blobs(
+    blobs: DataFrame, unescape_nodes: bool = True, unescape_ways: bool = False,
+) -> dict[str, DataFrame]:
+    """Blob rows → typed tables + quarantine (schemas = synth/osm.py).
+
+    Returns {"nodes", "ways", "relations", "quarantine"}; quarantine keeps
+    the raw blob + reason (S7)."""
+    typed = blobs.select(
+        "blob",
+        F.regexp_extract("blob", r"^<(node|way|relation)", 1).alias("etype"),
+        F.regexp_extract("blob", _ID_RE, 1).alias("id_s"),
+    )
+    bad_id = typed.filter(F.col("id_s") == "").select(
+        "blob", F.lit("unparseable: no id").alias("reason"))
+    ok = typed.filter(F.col("id_s") != "").withColumn("id", F.col("id_s").cast("long"))
+
+    nodes_raw = ok.filter(F.col("etype") == "node").select(
+        "blob", "id",
+        F.regexp_extract("blob", _LON_RE, 1).alias("lon_s"),
+        F.regexp_extract("blob", _LAT_RE, 1).alias("lat_s"),
+        _tags_expr(unescape_nodes).alias("tags"),
+    )
+    # P6: node must have BOTH coords, else quarantined (OsmJoin.java:176-179)
+    bad_nodes = nodes_raw.filter((F.col("lon_s") == "") | (F.col("lat_s") == "")) \
+        .select("blob", F.lit("node without lat/lon").alias("reason"))
+    nodes = nodes_raw.filter((F.col("lon_s") != "") & (F.col("lat_s") != "")).select(
+        "id",
+        F.col("lon_s").cast("double").alias("lon"),
+        F.col("lat_s").cast("double").alias("lat"),
+        "tags",
+    )
+
+    ways = ok.filter(F.col("etype") == "way").select(
+        "id",
+        _tags_expr(unescape_ways).alias("tags"),
+        F.transform(
+            F.regexp_extract_all("blob", F.lit(_ND_RE), 1), lambda r: r.cast("long")
+        ).alias("ns"),
+    )
+
+    mtypes = F.regexp_extract_all("blob", F.lit(_MEMBER_RE), 1)
+    mrefs = F.regexp_extract_all("blob", F.lit(_MEMBER_RE), 2)
+    mroles = F.regexp_extract_all("blob", F.lit(_MEMBER_RE), 3)
+    relations = ok.filter(F.col("etype") == "relation").select(
+        "id",
+        _tags_expr(unescape_nodes).alias("tags"),
+        F.zip_with(
+            F.zip_with(mrefs, mtypes, lambda r, t: F.struct(
+                r.cast("long").alias("id"), t.alias("type"))),
+            mroles,
+            lambda s, role: F.struct(
+                s["id"].alias("id"), s["type"].alias("type"), role.alias("role")),
+        ).alias("members"),
+    )
+
+    return {
+        "nodes": nodes,
+        "ways": ways,
+        "relations": relations,
+        "quarantine": bad_id.unionByName(bad_nodes),
+    }
+
+
+def read_osm_xml(spark: SparkSession, path: str, **kw) -> dict[str, DataFrame]:
+    """S1+S2+S3+parse in one call."""
+    return parse_osm_blobs(read_osm_blobs(spark, path), **kw)

@@ -1,0 +1,82 @@
+"""M5 checkpoint/resume/lineage/metrics invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.plans.checkpoint import (
+    completed_buckets,
+    lineage_table,
+    metrics_table,
+    run_bucketed_stage,
+    run_stage,
+    stage_is_complete,
+    write_metrics,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_run_stage_computes_once(spark, root):
+    calls = []
+
+    def make():
+        calls.append(1)
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+    a = run_stage(spark, root, "s1", make)
+    assert a.count() == 100 and stage_is_complete(root, "s1")
+    b = run_stage(spark, root, "s1", make)  # resume: no recompute
+    assert b.count() == 100
+    assert len(calls) == 1
+
+
+def test_bucketed_resume_computes_only_missing(spark, root):
+    src = spark.range(1000)
+    bucket = F.pmod(F.col("id"), F.lit(8))
+    calls: list[int] = []
+
+    def make_fn(crash_after_waves=None):
+        def fn(df):
+            calls.append(1)
+            if crash_after_waves is not None and len(calls) > crash_after_waves:
+                raise RuntimeError("injected crash")
+            return df.select("id", "_bucket", (F.col("id") * 10).alias("y"))
+        return fn
+
+    # crash after 2 waves of 2 buckets → 4 buckets durable
+    with pytest.raises(RuntimeError):
+        run_bucketed_stage(spark, root, "st", src, make_fn(2), bucket,
+                           n_buckets=8, buckets_per_wave=2)
+    assert completed_buckets(spark, root, "st") == {0, 1, 2, 3}
+    assert spark.read.parquet(f"{root}/st/data").count() == 500
+
+    # resume: only buckets 4..7 recomputed (2 more waves), appended
+    calls.clear()
+    out = run_bucketed_stage(spark, root, "st", src, make_fn(), bucket,
+                             n_buckets=8, buckets_per_wave=2)
+    assert out.count() == 1000
+    assert len(calls) == 2
+    assert completed_buckets(spark, root, "st") == set(range(8))
+    # all buckets done → full no-op
+    calls.clear()
+    out2 = run_bucketed_stage(spark, root, "st", src, make_fn(), bucket,
+                              n_buckets=8, buckets_per_wave=2)
+    assert out2.count() == 1000 and len(calls) == 0
+
+    lt = lineage_table(spark, root)
+    assert lt.filter(F.col("stage") == "st").count() == 8
+    assert {r["status"] for r in lt.collect()} == {"done"}
+    assert sum(r["n_rows"] for r in lt.collect()) == 1000
+
+
+def test_metrics_table(spark, root):
+    write_metrics(spark, root, "st", {"rows_in": 10, "rows_bad": 1})
+    write_metrics(spark, root, "st", {"rows_in": 20})
+    mt = metrics_table(spark, root)
+    assert mt.count() == 3
+    assert mt.filter(F.col("name") == "rows_in").count() == 2
