@@ -394,6 +394,61 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_dedup_kv(spark, sf_dir):
+    """O4 — (key, value)-pair dedup (SortingWriter.java:76-81 TreeMultimap
+    semantics) via the real dedup_kv operator on a multimap projection."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.col("l_returnflag").alias("value"))
+    return OJ.dedup_kv(li)
+
+
+_SQL_DEDUP_KV = """
+SELECT DISTINCT l_orderkey AS key, l_returnflag AS value FROM lineitem
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """Window frame (running cumulative sum per customer over order time,
+    decimal-exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_total"),
+    )
+
+
+_SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets over two dims."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 _dec_sum(F.col("o_totalprice"), 18, 2).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total"))
+
+
+_SQL_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # text / dedup family (documents table)
 
@@ -719,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "dedup_kv": q_dedup_kv,
+        "running_sum": q_running_sum,
         "string_scalar": q_string_scalar,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -752,6 +810,9 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti": _SQL_SEMI_ANTI,
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
+        "cube": _SQL_CUBE,
+        "dedup_kv": _SQL_DEDUP_KV,
+        "running_sum": _SQL_RUNNING_SUM,
         "string_scalar": _SQL_STRING_SCALAR,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "sessionize": _SQL_SESSIONIZE,

@@ -1,0 +1,146 @@
+"""Structured Streaming layer (engine addition — the reference is strictly
+batch, SURVEY.md §2.7: "no streaming, no watermarks, no windows").
+
+The streaming ops are the incremental twins of the batch catalog:
+
+- :func:`hourly_counts_stream`  ↔ queries.q_events_hourly — tumbling
+  window + watermark (late rows beyond the watermark are dropped, state
+  is bounded).
+- :func:`sessionize_stream` ↔ queries.q_sessionize — gap-based sessions
+  via ``applyInPandasWithState`` (GroupState timeout = the 30-min gap).
+- :func:`stream_events_from_parquet` — replays the events parquet as a
+  file-source stream for tests (Trigger.AvailableNow ⇒ bounded runs).
+
+At scale: the same code runs against Kafka by swapping the reader; state
+store size is bounded by (users × open sessions) for sessionize and
+(watermark horizon / window) for the windowed agg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver-generated events table. The
+    file source needs a DIRECTORY; the testdata table is a single file,
+    so it is staged into a temp dir once (content-addressed, idempotent)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    path = src
+    if os.path.isfile(src):
+        tag = hashlib.md5(src.encode()).hexdigest()[:10]
+        path = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
+        if not os.path.exists(os.path.join(path, "part-0.parquet")):
+            os.makedirs(path, exist_ok=True)
+            shutil.copy(src, os.path.join(path, "part-0.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session UTC
+    # → identical wall time)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts + exact decimal sums, late data
+    bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "start_sec long, last_sec long, n long, session_id long"
+_SESSION_OUT_SCHEMA = ("user_id long, session_id long, n_events long, "
+                       "start_sec long, end_sec long")
+
+
+def _make_session_fn(emit_on_timeout: bool):
+    """Gap-based sessionization kernel factory (30-min gap). State = the
+    open session; closed sessions are yielded immediately; open sessions
+    flush on processing-time timeout when enabled."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        gap = 1800
+        cols = ["user_id", "session_id", "n_events", "start_sec", "end_sec"]
+        if state.hasTimedOut:
+            start, last, n, sid = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], sid, n, start, last)], columns=cols)
+            return
+        secs: list[int] = []
+        for pdf in pdfs:
+            secs.extend(int(s) for s in pdf["sec"])
+        secs.sort()
+        if state.exists:
+            start, last, n, sid = state.get
+        else:
+            start, last, n, sid = None, None, 0, 0
+        closed = []
+        for s in secs:
+            if start is None:
+                start, last, n = s, s, 1
+            elif s - last > gap:
+                closed.append((key[0], sid, n, start, last))
+                sid, start, last, n = sid + 1, s, s, 1
+            else:
+                last, n = s, n + 1
+        state.update((start, last, n, sid))
+        if emit_on_timeout:
+            state.setTimeoutDuration(gap * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, emit_on_timeout: bool = True) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState over user_id.
+
+    ``emit_on_timeout=True`` (production): open sessions are flushed when
+    the 30-min gap elapses in processing time — but the query then never
+    self-terminates under Trigger.AvailableNow (state cleanup keeps the
+    trigger alive). Tests use ``False``: sessions close only when a later
+    event proves the gap, and bounded runs terminate."""
+    prepared = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(emit_on_timeout),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if emit_on_timeout
+                     else GroupStateTimeout.NoTimeout),
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "complete") -> None:
+    """Bounded test helper: availableNow trigger → memory sink → await."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()

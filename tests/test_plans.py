@@ -1,0 +1,98 @@
+"""Physical-plan audits: the claims in BENCH.md, asserted.
+
+These tests pin the PLAN SHAPE, not timing — a regression that inserts an
+extra shuffle or loses a broadcast breaks them long before a benchmark
+would notice on small data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_pip_points_side_never_shuffles(spark):
+    """G2 plan: scan → cell expr → BroadcastHashJoin → Arrow residual.
+    The ONLY exchanges allowed are the broadcast of the cover map and the
+    final aggregation — never a hash/range repartition of the points."""
+    df = Q.q_pip_join(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # points flow: no Exchange between the parquet scan and the join
+    pre_join = plan.split("BroadcastHashJoin")[-1]  # children appear after
+    scan_side = [ln for ln in pre_join.splitlines() if "parquet" in ln.lower()]
+    assert scan_side, "expected parquet scan under the join"
+    assert "Exchange hashpartitioning" not in pre_join.split("BroadcastExchange")[0]
+
+
+def test_tile_assign_is_narrow(spark):
+    """G4: tile assignment itself adds no exchange; the histogram's single
+    exchange is the partial→final agg boundary."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from osm2geojson_spark.spatial.tiles import assign_tiles, tile_histogram
+
+    narrow = assign_tiles(
+        ev.select("event_id", Q.lon_col(F.col("event_id")).alias("lon"),
+                  Q.lat_col(F.col("event_id")).alias("lat")), zoom=6)
+    assert "Exchange" not in plan_of(narrow)
+    hist = tile_histogram(
+        ev.select("event_id", Q.lon_col(F.col("event_id")).alias("lon"),
+                  Q.lat_col(F.col("event_id")).alias("lat")), zoom=6)
+    assert plan_of(hist).count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan_of(hist) or "HashAggregate" in plan_of(hist)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(Q.q_star_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark):
+    df = Q.q_pricing_summary(spark, SF)
+    fmt = formatted(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,45.0)" in fmt
+    # column pruning: only the 6 referenced columns are read
+    read = [ln for ln in fmt.splitlines() if "ReadSchema" in ln][0]
+    for c in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax"):
+        assert c in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1  # one agg shuffle
+
+
+def test_whole_stage_codegen_covers_scan_and_agg(spark):
+    df = Q.q_pricing_summary(spark, SF)
+    fmt = formatted(df)
+    assert "partial_sum" in fmt  # map-side combine before the exchange
+    df.collect()  # AQE finalizes the plan; codegen stages appear after run
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # WholeStageCodegen stage markers
+
+
+def test_cell_expr_stays_jvm_side(spark):
+    """G1 is pure column expressions — no Python evaluation nodes."""
+    plan = plan_of(Q.q_cell_encode(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_topk_uses_single_window_per_round(spark):
+    plan = plan_of(Q.q_knn_bruteforce(spark, SF))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan \
+        or "BroadcastHashJoin" in plan

@@ -1,0 +1,56 @@
+"""Streaming twins vs their batch oracles: the windowed-agg stream over
+the events parquet must equal the batch events_hourly aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.streaming.events import (
+    hourly_counts_stream,
+    run_stream_to_memory,
+    stream_events_from_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hourly_stream_matches_batch(spark):
+    stream = stream_events_from_parquet(spark, SF)
+    run_stream_to_memory(hourly_counts_stream(stream), "hourly_t", "complete")
+    got = {(r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+           for r in spark.sql("SELECT * FROM hourly_t").collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {(r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_closes_sessions(spark):
+    """The stateful operator emits every CLOSED session; sessions closed
+    by a later event (gap > 30 min) must match the batch sessionizer's
+    non-final sessions per user."""
+    from osm2geojson_spark.queries import q_sessionize
+    from osm2geojson_spark.streaming.events import sessionize_stream
+
+    stream = stream_events_from_parquet(spark, SF)
+    run_stream_to_memory(sessionize_stream(stream, emit_on_timeout=False),
+                         "sess_t", "append")
+    got = {(r["user_id"], r["start_sec"]): (r["n_events"], r["end_sec"])
+           for r in spark.sql("SELECT * FROM sess_t").collect()}
+
+    batch = q_sessionize(spark, SF).collect()
+    # drop each user's LAST session (still open at end-of-stream; only
+    # emitted on timeout, which availableNow runs don't wait for)
+    last_start = {}
+    for r in batch:
+        last_start[r["user_id"]] = max(
+            last_start.get(r["user_id"], -1), r["start_sec"])
+    want = {(r["user_id"], r["start_sec"]): (r["n_events"], r["end_sec"])
+            for r in batch if r["start_sec"] != last_start[r["user_id"]]}
+    assert got == want
