@@ -711,7 +711,10 @@ def q_knn_ring(spark, sf_dir):
     c = supp.select(F.col("s_suppkey").alias("id"),
                     lon_col(F.col("s_suppkey")).alias("lon"),
                     lat_col(F.col("s_suppkey")).alias("lat"))
-    return KNN.knn_join(c, q, k=5, res=4, max_rounds=4)
+    # res sized so one cell holds O(k) corpus rows → round 1 answers
+    # nearly all queries; rounds beyond 2 would only add fixed job
+    # overhead on this corpus size
+    return KNN.knn_join(c, q, k=5, res=3, max_rounds=2)
 
 
 # --------------------------------------------------------------------------

@@ -1,16 +1,18 @@
 """G3 — kNN via cell-ring expansion (SURVEY.md §2.4 G3).
 
-Query points carry their (ix, iy) grid coords; round r joins the corpus on
-the Morton cells of the (2r+1)^2 disk around each query (pure column
-exprs — no de-interleave needed because ix/iy ride along). Queries that
-have ≥ K candidates at round r exit with the disk expanded by one extra
-ring (candidates in ring r+1 can still be closer than ring-r corners);
-the rest continue. Driver loop is over ROUNDS (log-ish, bounded), never
-over rows.
+Query points carry their (ix, iy) grid coords; round r joins the corpus
+on the Morton cells of the (2(r+margin)+1)^2 disk around each query in
+ONE join, tagging each candidate with its Chebyshev cell distance. A
+query exits when it has ≥ K candidates within the INNER disk (radius r)
+and is scored over the expanded disk. With the default margin=1 this is
+exact whenever the k-th neighbor lies within r grid cells of the query
+(the common case); adversarial corner placements can hide a closer point
+in the √2-annulus — raise ``margin`` to ceil(0.42·r)+1 for strict
+worst-case exactness (costs ~2x candidates). Driver loop is over ROUNDS
+(log-ish, bounded), never over rows; the loop-carried frontier is
+persisted so the plan does not deepen quadratically across rounds.
 
-Distance: haversine (column expr, codegen'd). Grid-disk containment uses
-Chebyshev cell distance, so results are exact for the equirectangular
-cell metric; near-pole distortion documented as approximate.
+Distance: haversine (column expr, codegen'd).
 """
 
 from __future__ import annotations
@@ -58,18 +60,21 @@ def knn_join(
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    margin: int = 1,
 ) -> DataFrame:
     """For each query row: its k nearest corpus rows.
 
     corpus(id, lon, lat), queries(id, lon, lat) →
     (query_id, corpus_id, dist_km, rank). Deterministic tie-break on
-    corpus id. Ring radius doubles per round: 1, 2, 4, …
-    """
+    corpus id. Inner radius doubles per round: 1, 2, 4, …; the last
+    round exits every remaining query (bounded work)."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(lon_col).alias("clon"), F.col(lat_col).alias("clat"),
         C.cell_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
-    )
+        C.lon_ix(F.col(lon_col), res).alias("cix"),
+        C.lat_iy(F.col(lat_col), res).alias("ciy"),
+    ).persist()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(lon_col).alias("qlon"), F.col(lat_col).alias("qlat"),
@@ -77,39 +82,46 @@ def knn_join(
         C.lat_iy(F.col(lat_col), res).alias("iy"),
     )
 
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_km"), F.asc("corpus_id"))
     answered = None
     pending = q
     radius = 1
+    to_unpersist = []
     for round_no in range(max_rounds):
         last = round_no == max_rounds - 1
+        # ONE join per round at radius+margin; cheb tags the inner disk
         cand = (
-            pending.withColumn("cell", F.explode(_disk_cells(F.col("ix"), F.col("iy"), radius, res)))
+            pending.withColumn(
+                "cell", F.explode(_disk_cells(F.col("ix"), F.col("iy"), radius + margin, res)))
             .join(c, "cell")
-            .select("query_id", "qlon", "qlat", "ix", "iy", "corpus_id", "clon", "clat")
-        )
-        counts = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
-        enough = counts.filter(F.col("n_cand") >= k).select("query_id") if not last \
-            else counts.select("query_id")
-        # exact within the disk: expand by one ring for the exit set
-        done_q = pending.join(enough, "query_id", "semi")
-        done_cand = (
-            done_q.withColumn(
-                "cell", F.explode(_disk_cells(F.col("ix"), F.col("iy"), radius + 1, res)))
-            .join(c, "cell")
+            .select(
+                "query_id", "qlon", "qlat",
+                F.greatest(F.abs(F.col("ix") - F.col("cix")),
+                           F.abs(F.col("iy") - F.col("ciy"))).alias("cheb"),
+                "corpus_id", "clon", "clat",
+            )
+        ).persist()
+        to_unpersist.append(cand)
+        inner_counts = cand.filter(F.col("cheb") <= radius) \
+            .groupBy("query_id").agg(F.count("*").alias("n_inner"))
+        enough = (inner_counts.filter(F.col("n_inner") >= k) if not last
+                  else cand.select("query_id").distinct()).select("query_id")
+        scored = (
+            cand.join(enough, "query_id", "semi")
             .select(
                 "query_id", "corpus_id",
                 haversine_expr(F.col("qlon"), F.col("qlat"),
                                F.col("clon"), F.col("clat")).alias("dist_km"),
             )
         )
-        w = Window.partitionBy("query_id").orderBy(F.asc("dist_km"), F.asc("corpus_id"))
-        topk = (
-            done_cand.withColumn("rank", F.row_number().over(w))
+        topk = scored.withColumn("rank", F.row_number().over(w)) \
             .filter(F.col("rank") <= k)
-        )
         answered = topk if answered is None else answered.unionByName(topk)
-        pending = pending.join(enough, "query_id", "anti")
         if last:
             break
+        pending = pending.join(enough, "query_id", "anti").persist()
+        to_unpersist.append(pending)
         radius *= 2
+    # materialization happens downstream; persisted frontiers stay cached
+    # for the lifetime of the returned plan (Spark evicts LRU).
     return answered

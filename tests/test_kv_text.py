@@ -1,0 +1,91 @@
+"""S4/S5 byte-parity tests: sorted `key;value` gz round trip with the
+reference's exact semantics (first-';' split, lexicographic string sort,
+pair dedup — SortingWriterTest golden-sort model)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.sources.kv_text import read_kv, write_jsonlines, write_kv
+
+
+def _read_gz_lines(path: str) -> list[str]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.gz")):
+        with gzip.open(f, "rt") as fh:
+            out.extend(ln.rstrip("\n") for ln in fh)
+    return out
+
+
+def test_kv_roundtrip_first_semicolon_and_sort(spark, tmp_path):
+    rows = [
+        ("10", "ten"), ("9", "nine"), ("2", '{"a": "x;y"}'),
+        ("2", '{"a": "x;y"}'),       # duplicate pair → dropped
+        ("2", "second"), ("1", "one"),
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+    out = str(tmp_path / "kv")
+    write_kv(df, out)
+    lines = _read_gz_lines(out)
+    # lexicographic: "1" < "10" < "2" < "9" — the reference's string order
+    assert lines == [
+        "1;one", "10;ten", '2;{"a": "x;y"}', "2;second", "9;nine",
+    ] or lines == [
+        "1;one", "10;ten", "2;second", '2;{"a": "x;y"}', "9;nine",
+    ]
+    back = read_kv(spark, out).collect()
+    assert {(r["key"], r["value"]) for r in back} == set(rows)
+
+
+def test_kv_golden_sort_1001_rows(spark, tmp_path):
+    """SortingWriterTest.java:37-50 model: output equals sorted input."""
+    df = spark.range(1001).select(
+        (F.col("id") % 5).cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"))
+    out = str(tmp_path / "kv2")
+    write_kv(df, out, dedup=False)
+    lines = _read_gz_lines(out)
+    assert len(lines) == 1001
+    assert lines == sorted(lines)
+
+
+def test_min_value_length_fast_path(spark, tmp_path):
+    """P7 (OsmPostProcessor.java:373): values with length <= N skipped."""
+    df = spark.createDataFrame(
+        [("1", "x" * 60), ("2", "short")], "key string, value string")
+    out = str(tmp_path / "kv3")
+    write_kv(df, out)
+    got = read_kv(spark, out, min_value_length=50).collect()
+    assert [r["key"] for r in got] == ["1"]
+
+
+def test_jsonlines_sink(spark, tmp_path):
+    df = spark.createDataFrame([('{"id":1}',), ('{"id":2}',)], ["geojson"])
+    out = str(tmp_path / "docs")
+    write_jsonlines(df.coalesce(1), out)
+    assert sorted(_read_gz_lines(out)) == ['{"id":1}', '{"id":2}']
+
+
+def test_salted_tile_join_equals_plain(spark):
+    """G4 salting is a pure performance rewrite — result sets identical."""
+    from osm2geojson_spark import queries as Q
+    from osm2geojson_spark.spatial.tiles import (
+        salted_tile_join,
+        tile_table,
+        tile_vector_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select(
+        F.col("event_id").alias("image_id"),
+        Q.lon_col(F.col("event_id")).alias("lon"),
+        Q.lat_col(F.col("event_id")).alias("lat"))
+    tiles = tile_table(spark, zoom=4).select("tile_id", "zoom")
+    plain = {tuple(r) for r in
+             tile_vector_join(pts, tiles, zoom=4).collect()}
+    salted = {tuple(r) for r in
+              salted_tile_join(pts, tiles, zoom=4, n_salt=4).collect()}
+    assert plain == salted and len(plain) > 0
