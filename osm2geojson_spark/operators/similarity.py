@@ -16,8 +16,10 @@ explicitly-named bruteforce baseline).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -110,6 +112,78 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
+    iters: int = 8, sample: int = 4096, seed: int = 13,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side SAMPLE (the coarse
+    quantizer is tiny — centroids broadcast everywhere; only the sample
+    ever leaves the executors). Deterministic: fixed seed, fixed sample
+    (sorted limit), numpy float64."""
+    rows = (corpus.select(vec_col).limit(sample).collect())
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _cluster_assign_udf(cent: np.ndarray, nprobe: int):
+    """Vectorized batch matmul → top-nprobe cluster ids per vector."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-style ANN: corpus rows live in their nearest-centroid cluster
+    (1 int per row); queries probe their ``nprobe`` nearest clusters.
+    The join is an equi-join on cluster id — shuffle keyed on ≤
+    n_centroids values, never all-pairs; the centroid table travels in
+    the UDF closure (broadcast). Recall grows with nprobe/n_centroids
+    (pytest pins a floor vs brute force)."""
+    from pyspark.sql import Window
+
+    cent = centroids if centroids is not None else kmeans_centroids(
+        corpus, n_centroids, vec_col=vec_col)
+    c_assign = _cluster_assign_udf(cent, 1)
+    q_assign = _cluster_assign_udf(cent, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cluster", F.element_at(c_assign(F.col("cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cluster", F.explode(q_assign(F.col("qv"))))
+    cand = c.join(F.broadcast(q), "cluster").drop("cluster")
+    scored = cand.select(
+        "query_id", "corpus_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))
 
 
 def embedding_near_dup_pairs(

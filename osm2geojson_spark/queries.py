@@ -597,6 +597,14 @@ def q_embedding_ann(spark, sf_dir):
     return SIM.cosine_topk_lsh(emb, queries, k=5, dim=64)
 
 
+def q_embedding_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (scale path #2; recall pinned in pytest).
+    Rows-only: k-means assignment isn't SQL-expressible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (rows-only). The synthetic
     embeddings have no true near-dups (max pairwise cosine ≈0.51), so the
@@ -790,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_ann": q_embedding_ann,
+        "embedding_ivf": q_embedding_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "cell_encode": q_cell_encode,
         "tile_histogram": q_tile_histogram,
