@@ -66,8 +66,23 @@ def tile_assign_full(spark, sf_dir):
     return TI.tile_histogram(pts, zoom=7)
 
 
+def osm_assembly(spark, sf_dir):
+    """The reference's core workload at scale: synthesize 100k ways /
+    ~400k nodes distributed (hash arithmetic, no driver loop), run the
+    J1+J2 ordered geometry assembly and the GE2+tag pipeline to GeoJSON
+    features. Reference baseline: order 1e5 entities/sec single node
+    (README.md:60)."""
+    from osm2geojson_spark.operators.osm_join import assemble_ways
+    from osm2geojson_spark.operators.postprocess import way_features
+    from osm2geojson_spark.synth.osm import scale_tables
+
+    tabs = scale_tables(spark, n_ways=100_000, nodes_per_way=5)
+    return way_features(assemble_ways(tabs["nodes"], tabs["ways"]))
+
+
 BENCH_QUERIES = {
     "spatial_pipeline": spatial_pipeline,
+    "osm_assembly": osm_assembly,
     "tile_assign_full": tile_assign_full,
     "pricing_summary": Q.q_pricing_summary,
     "star_join": Q.q_star_join,

@@ -127,25 +127,34 @@ def stitch_rings(
 
 def build_multipolygon(
     ways: list[tuple[str, list[int], np.ndarray]],
-) -> list[list[list[list[float]]]] | None:
+) -> tuple[list[list[list[list[float]]]] | None, int, int]:
     """Full GE3: stitch → classify by role ('' defaults to outer) →
     normalize winding (outer CCW, inner CW per RFC 7946) → assign each
-    hole to the shell containing its first vertex. Returns MultiPolygon
-    coordinates, or None when no closed outer ring exists."""
-    rings, _ = stitch_rings(ways)
+    hole to the shell containing its first vertex.
+
+    Returns (multipolygon_coords | None, n_reversed, n_unclosed):
+    ``n_reversed`` records how many input rings arrived with the WRONG
+    winding (pre-normalization orientation — the lineage the reference
+    never kept because it never validated winding, SURVEY §2.8 gotcha);
+    ``n_unclosed`` counts fragments that failed to chain (→ diagnostics,
+    mirroring the problem* sinks)."""
+    rings, leftover = stitch_rings(ways)
     outers, inners = [], []
+    n_reversed = 0
     for role, ring in rings:
         area = _signed_area(ring)
         if role == "inner":
             if area > 0:  # inner must be CW
                 ring = ring[::-1]
+                n_reversed += 1
             inners.append(ring)
         else:
             if area < 0:  # outer must be CCW
                 ring = ring[::-1]
+                n_reversed += 1
             outers.append(ring)
     if not outers:
-        return None
+        return None, n_reversed, len(leftover)
     polys: list[list[np.ndarray]] = [[o] for o in outers]
     for hole in inners:
         px, py = float(hole[0, 0]), float(hole[0, 1])
@@ -153,7 +162,8 @@ def build_multipolygon(
             if _point_in_ring(px, py, poly[0]):
                 poly.append(hole)
                 break
-    return [[ring.tolist() for ring in poly] for poly in polys]
+    coords = [[ring.tolist() for ring in poly] for poly in polys]
+    return coords, n_reversed, len(leftover)
 
 
 # ------------------------------------------------------------- Spark wiring
@@ -169,7 +179,7 @@ def relation_multipolygons(assembled: DataFrame) -> DataFrame:
     """
     out_schema = (
         "id long, tags map<string,string>, "
-        f"multipolygon {_MULTI_T}, n_rings int"
+        f"multipolygon {_MULTI_T}, n_rings int, n_reversed int, n_unclosed int"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,11 +196,14 @@ def relation_multipolygons(assembled: DataFrame) -> DataFrame:
                     )
                     for w in row["ways"]
                 ]
-                mp = build_multipolygon(ways) if ways else None
+                mp, n_rev, n_unc = (
+                    build_multipolygon(ways) if ways else (None, 0, 0))
                 res.append(
                     (row["id"], row["tags"], mp,
-                     sum(len(p) for p in mp) if mp else 0)
+                     sum(len(p) for p in mp) if mp else 0, n_rev, n_unc)
                 )
-            yield pd.DataFrame(res, columns=["id", "tags", "multipolygon", "n_rings"])
+            yield pd.DataFrame(
+                res, columns=["id", "tags", "multipolygon", "n_rings",
+                              "n_reversed", "n_unclosed"])
 
     return assembled.select("id", "tags", "ways").mapInPandas(run, out_schema)

@@ -151,6 +151,31 @@ def assemble_relations(
     )
 
 
+def salted_ordered_collect(
+    df: DataFrame, key: str, payload, n_salt: int = 8,
+    out_col: str = "chain",
+) -> DataFrame:
+    """Two-phase ordered collect for HOT keys (SURVEY §7 risk 5: a
+    pathological key — a node in thousands of ways, a relation with 10^5
+    members — makes one reducer collect a giant array, the same pressure
+    that forced the reference's bucketSize=10k overrides,
+    OsmJoin.java:396-398).
+
+    Phase 1 groups by (key, salt(pos)) so each reducer builds a bounded
+    partial chain; phase 2 concatenates the partials in salt order and
+    re-sorts. Output equals groupBy(key).agg(array_sort(collect_list(…)))
+    exactly (pos carries the order), but the max per-task array is
+    |group|/n_salt. ``payload`` must be a struct Column whose FIRST field
+    is the ordering position."""
+    # salt must vary WITHIN a key group → hash the payload too
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key), payload), F.lit(n_salt)))
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.array_sort(F.collect_list(payload)).alias("part"))
+    phase2 = phase1.groupBy(key).agg(
+        F.array_sort(F.flatten(F.collect_list("part"))).alias(out_col))
+    return phase2
+
+
 def cogroup_join(left: DataFrame, right: DataFrame, key: str = "key") -> DataFrame:
     """J0 — the reference's inner cogrouped join (EntryJoiningIterable.java:
     17-101): keys present in BOTH sides yield one row with ALL left values

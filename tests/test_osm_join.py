@@ -111,3 +111,39 @@ def test_assemble_relations(fixtures):
     r201 = rels[201]
     assert [n["id"] for n in r201["nodes"]] == [10]
     assert [w["id"] for w in r201["ways"]] == [100]
+
+
+def test_salted_ordered_collect_equals_plain(spark):
+    """Two-phase hot-key collect is a pure physical rewrite: identical
+    chains, bounded per-task arrays (SURVEY §7 risk 5)."""
+    from osm2geojson_spark.operators.osm_join import salted_ordered_collect
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"),           # 7 keys, ~1400 rows each
+        F.struct(F.col("id").alias("pos"), (F.col("id") * 3).alias("v")).alias("p"),
+    )
+    plain = {r["k"]: r["chain"] for r in
+             df.groupBy("k").agg(
+                 F.array_sort(F.collect_list("p")).alias("chain")).collect()}
+    salted = {r["k"]: r["chain"] for r in
+              salted_ordered_collect(df, "k", F.col("p"), n_salt=8).collect()}
+    assert plain == salted
+
+
+def test_multipolygon_orientation_lineage(fixtures):
+    """GE3 lineage: way 113 (2nd outer) is listed CLOCKWISE and hole 112
+    is listed CCW (inner must be CW) → exactly two rings record winding
+    reversals; all member fragments chain (0 unclosed)."""
+    from osm2geojson_spark.functions.geometry import relation_multipolygons
+    from osm2geojson_spark.operators.osm_join import (
+        assemble_relations as _ar,
+        assemble_ways as _aw,
+    )
+
+    cw = _aw(fixtures["nodes"], fixtures["ways"])
+    mp = {r["id"]: r for r in relation_multipolygons(
+        _ar(fixtures["nodes"], fixtures["relations"], cw)).collect()}
+    park = mp[200]
+    assert park["n_rings"] == 3
+    assert park["n_reversed"] == 2     # outer 113 CW→CCW, inner 112 CCW→CW
+    assert park["n_unclosed"] == 0
