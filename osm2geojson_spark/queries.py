@@ -361,6 +361,22 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_json_props(spark, sf_dir):
+    """JSON scalar surface (§2.6 from_json/get_json_object twin): parse
+    the events props JSON and aggregate per extracted value bucket."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select((k % 10).alias("k_bucket"))
+            .groupBy("k_bucket").agg(F.count("*").alias("n")))
+
+
+_SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap): lag + cumulative flag-sum —
     the stateful-session shape as deterministic window algebra."""
@@ -790,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "string_scalar": q_string_scalar,
         "events_hourly": q_events_hourly,
+        "json_props": q_json_props,
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
@@ -827,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "running_sum": _SQL_RUNNING_SUM,
         "string_scalar": _SQL_STRING_SCALAR,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "json_props": _SQL_JSON_PROPS,
         "sessionize": _SQL_SESSIONIZE,
         "text_stats": _sql_text_stats(),
         "exact_dedup": _SQL_EXACT_DEDUP,
