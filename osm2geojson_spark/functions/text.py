@@ -71,6 +71,19 @@ def lang_id_expr(text: Column) -> Column:
     return out
 
 
+STOPWORDS = sorted({w for ms in LANG_MARKERS.values() for w in ms} |
+                   {"a", "an", "in", "on", "for", "with", "by", "at"})
+
+
+def stopword_ratio_expr(text: Column) -> Column:
+    """Fraction of tokens that are stopwords (quality signal from the
+    training-data brief); 0.0 for empty docs."""
+    toks = F.filter(F.split(F.lower(text), _WORD_RE), lambda t: t != "")
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Normalized document fingerprint: lowercase, collapse whitespace,
     md5 → first 16 hex chars as the dedup key (md5 exists in both Spark

@@ -481,6 +481,7 @@ def q_text_stats(spark, sf_dir):
         TX.fingerprint_expr(t).alias("fingerprint"),
         TX.lang_id_expr(t).alias("lang_pred"),
         TX.quality_score_expr(t, F.col("n_chars")).alias("quality"),
+        TX.stopword_ratio_expr(t).alias("stopword_ratio"),
     )
 
 
@@ -491,6 +492,7 @@ def _lang_score_sql(markers: list[str]) -> str:
 
 
 def _sql_text_stats() -> str:
+    sw = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
     scores = {lang: _lang_score_sql(m) for lang, m in sorted(TX.LANG_MARKERS.items())}
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
     # tie-break: first language in sorted order wins (matches lang_id_expr)
@@ -505,6 +507,10 @@ WITH toks AS (
     length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != ''))
       + length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g')) AS n_bpe,
     substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint,
+    length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t != '')) AS n_alnum,
+    length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t != '' AND list_contains({sw}, t))) AS n_stop,
     {score_cols}
   FROM documents),
 scored AS (SELECT *, {best} AS best FROM toks)
@@ -515,7 +521,9 @@ SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_bpe AS INT) AS n_bpe,
               AND CAST(n_chars AS DOUBLE)/n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
       + (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
               / greatest(CAST(n_chars AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
-       ) / 3.0 AS quality
+       ) / 3.0 AS quality,
+       CASE WHEN n_alnum > 0 THEN CAST(n_stop AS DOUBLE) / n_alnum
+            ELSE 0.0 END AS stopword_ratio
 FROM scored
 """
 

@@ -29,8 +29,10 @@ into per-entity-type files (osmium) and point this reader at the shards.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # reference patterns (OsmJoin.java:63-68), anchored to attribute syntax
 _ID_RE = r'id="([0-9]+)"'
@@ -46,13 +48,44 @@ _BLOB_RE = r"(?s)<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)"
 
 
 def xml_unescape(col):
-    """P3 — the five predefined XML entities (what unescapeXml handles for
-    OSM data in practice), as chained JVM-side replaces (no UDF)."""
+    """P3 — the five predefined XML entities (the overwhelming majority
+    of what unescapeXml hits in OSM data), as chained JVM-side replaces
+    (no UDF). Numeric character references (&#233; / &#xE9;) need
+    :func:`xml_unescape_full`."""
     out = col
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&apos;", "'"), ("&amp;", "&")):
         out = F.regexp_replace(out, ent, ch)
     return out
+
+
+def xml_unescape_full(col):
+    """P3 with FULL parity to StringEscapeUtils.unescapeXml: predefined
+    entities + decimal/hex numeric character references. Arrow-batched
+    pandas UDF (the decode table isn't expressible as builtin columns);
+    use only when inputs actually carry numeric refs — the expression
+    path above stays in codegen."""
+    import re
+
+    num_re = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+
+    def _dec(s: str) -> str:
+        # html.unescape also decodes HTML-only entities (&eacute;) that
+        # XML does NOT define — restrict to XML semantics: numeric refs
+        # plus the five predefined names.
+        s = num_re.sub(
+            lambda m: chr(int(m.group(1)[1:], 16)) if m.group(1)[0] in "xX"
+            else chr(int(m.group(1))), s)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            s = s.replace(ent, ch)
+        return s
+
+    @F.pandas_udf(T.StringType())
+    def unescape(v: pd.Series) -> pd.Series:
+        return v.map(lambda s: _dec(s) if s is not None else None)
+
+    return unescape(col)
 
 
 def read_osm_blobs(spark: SparkSession, path: str) -> DataFrame:

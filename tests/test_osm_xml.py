@@ -109,3 +109,15 @@ def test_pipeline_from_xml_to_geojson(spark, parsed):
     assert doc["geometry"]["type"] == "LineString"
     assert doc["geometry"]["coordinates"][0] == [-0.1130375, 51.5121071]
     assert doc["categories"]["osm"] == ["street", "highway:residential"]
+
+
+def test_xml_unescape_full_numeric_refs(spark):
+    """P3 full parity: decimal + hex numeric character references."""
+    from osm2geojson_spark.sources.osm_xml import xml_unescape_full
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Caf&#233; &amp; &#x42;ar &lt;3",), (None,)], ["v"])
+    got = [r["u"] for r in df.select(xml_unescape_full(F.col("v")).alias("u")).collect()]
+    assert got == ["Café & Bar <3", None]
