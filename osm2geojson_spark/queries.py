@@ -380,8 +380,12 @@ FROM events GROUP BY 1
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap): lag + cumulative flag-sum —
     the stateful-session shape as deterministic window algebra."""
+    # timestampdiff over TIMESTAMP_NTZ: explicitly timezone-free epoch
+    # seconds (unix_timestamp would consult the session zone for TZ types)
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+        "user_id", "event_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .alias("sec"))
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     flagged = ev.withColumn(
         "new_s", F.when(

@@ -121,3 +121,14 @@ def test_xml_unescape_full_numeric_refs(spark):
         [("Caf&#233; &amp; &#x42;ar &lt;3",), (None,)], ["v"])
     got = [r["u"] for r in df.select(xml_unescape_full(F.col("v")).alias("u")).collect()]
     assert got == ["Café & Bar <3", None]
+
+
+def test_bz2_stream_scan(spark, tmp_path):
+    """S1 parity: the planet dump stays compressed (`README.md:37`
+    'DONOT expand it') — Spark's codec reads .bz2 directly."""
+    import bz2
+
+    p = tmp_path / "mini.osm.bz2"
+    p.write_bytes(bz2.compress(SAMPLE_XML.encode()))
+    tabs = read_osm_xml(spark, str(p))
+    assert {r["id"] for r in tabs["nodes"].collect()} == {25737250, 25737251, 25737252}
