@@ -679,6 +679,59 @@ FROM events GROUP BY 1
 """
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """G4+ — quadtree pyramid rollup: zoom-6 histogram re-aggregated up
+    two levels via parent shifts (points scanned once)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", lon_col(F.col("event_id")).alias("lon"),
+                    lat_col(F.col("event_id")).alias("lat"))
+    return TI.tile_pyramid(pts, zoom=6, levels=2)
+
+
+def _sql_tile_pyramid() -> str:
+    tile = C.cell_sql(lon_sql("event_id"), lat_sql("event_id"), 6)
+    return f"""
+WITH base AS (
+  SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 1)
+SELECT tile_id, n_rows, 6 AS zoom FROM base
+UNION ALL
+SELECT tile_id >> 2 AS tile_id, CAST(SUM(n_rows) AS BIGINT) AS n_rows, 5 AS zoom
+FROM base GROUP BY 1
+UNION ALL
+SELECT tile_id >> 4 AS tile_id, CAST(SUM(n_rows) AS BIGINT) AS n_rows, 4 AS zoom
+FROM base GROUP BY 1
+"""
+
+
+def q_distance_join(spark, sf_dir):
+    """Range/theta join: (customer, supplier) pairs within 2 planar
+    degrees — cell equi-prefilter + exact residual (never a cross join
+    in the engine; the ORACLE uses the cross join)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    left = cust.select(F.col("c_custkey").alias("l_id"),
+                       lon_col(F.col("c_custkey")).alias("lon"),
+                       lat_col(F.col("c_custkey")).alias("lat"))
+    # offset the supplier derivation key so coords are NOT coincident
+    # with same-numbered customers — real near-pairs, not degenerate ones
+    rk = F.col("s_suppkey") + 7_777_777
+    right = supp.select(F.col("s_suppkey").alias("r_id"),
+                        lon_col(rk).alias("lon"), lat_col(rk).alias("lat"))
+    return TI.distance_join(left, right, radius_deg=6.0)
+
+
+_SQL_DISTANCE_JOIN = f"""
+SELECT l_id, r_id, dist2 FROM (
+  SELECT c_custkey AS l_id, s_suppkey AS r_id,
+         (({lon_sql('c_custkey')}) - ({lon_sql('s_suppkey + 7777777')}))
+       * (({lon_sql('c_custkey')}) - ({lon_sql('s_suppkey + 7777777')}))
+       + (({lat_sql('c_custkey')}) - ({lat_sql('s_suppkey + 7777777')}))
+       * (({lat_sql('c_custkey')}) - ({lat_sql('s_suppkey + 7777777')})) AS dist2
+  FROM customer CROSS JOIN supplier)
+WHERE dist2 <= 36.0
+"""
+
+
 def q_pip_join(spark, sf_dir):
     """G2 — broadcast point-in-polygon join: Morton-cell equi prefilter +
     generic ray-cast residual (axis-aligned fixture boxes make the oracle
@@ -831,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "cell_encode": q_cell_encode,
         "tile_histogram": q_tile_histogram,
+        "tile_pyramid": q_tile_pyramid,
+        "distance_join": q_distance_join,
         "pip_join": q_pip_join,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ring": q_knn_ring,
@@ -864,6 +919,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "cell_encode": _sql_cell_encode(),
         "tile_histogram": _sql_tile_histogram(),
+        "tile_pyramid": _sql_tile_pyramid(),
+        "distance_join": _SQL_DISTANCE_JOIN,
         "pip_join": _SQL_PIP,
         "knn_bruteforce": _SQL_KNN_BRUTE,
         # minhash_pairs / simhash_pairs / embedding_ann / embedding_near_dup /

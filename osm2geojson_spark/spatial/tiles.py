@@ -88,6 +88,68 @@ def salted_tile_join(points: DataFrame, tiles: DataFrame, zoom: int,
     return pts.join(tiles_rep, ["tile_id", "salt"]).drop("salt")
 
 
+def tile_pyramid(points: DataFrame, zoom: int, levels: int,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Hierarchical rollup: counts at ``zoom`` then re-aggregated up the
+    quadtree via parent arithmetic — each coarser level is an agg over
+    the FINER level's (already tiny) histogram, so the raw points are
+    scanned exactly once regardless of pyramid depth."""
+    base = tile_histogram(points, zoom, lon_col, lat_col) \
+        .withColumn("zoom", F.lit(zoom))
+    out = base
+    cur = base
+    for z in range(zoom - 1, zoom - 1 - levels, -1):
+        cur = (cur.select(F.shiftright("tile_id", 2).alias("tile_id"), "n_rows")
+               .groupBy("tile_id").agg(F.sum("n_rows").alias("n_rows"))
+               .withColumn("zoom", F.lit(z)))
+        out = out.unionByName(cur)
+    return out
+
+
+def distance_join(
+    left: DataFrame, right: DataFrame, radius_deg: float,
+    left_id: str = "l_id", right_id: str = "r_id",
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_deg`` planar degrees —
+    a range/theta join executed as cell equi-prefilter + exact residual.
+
+    Resolution is chosen so one cell is at least the radius on both
+    axes; then every qualifying pair lies within the 3x3 cell disk of
+    the right row, so the equi-join on exploded disk cells is a complete
+    candidate generator (never a cross join). Exact predicate is planar
+    squared distance (mul/add only — DuckDB-oracle bit-exact). Longitude
+    wrap at ±180 is not folded (documented; the oracle uses the same
+    plane)."""
+    import math
+
+    from osm2geojson_spark.functions import cells as C
+
+    res = max(1, min(C.MAX_RES, int(math.floor(math.log2(180.0 / radius_deg)))))
+    n = 1 << res
+    lcell = left.select(
+        F.col(left_id), F.col("lon").alias("llon"), F.col("lat").alias("llat"),
+        C.cell_expr(F.col("lon"), F.col("lat"), res).alias("cell"))
+    rix = C.lon_ix(F.col("lon"), res)
+    riy = C.lat_iy(F.col("lat"), res)
+    disk = F.array_distinct(F.flatten(F.transform(
+        F.sequence(F.lit(-1), F.lit(1)),
+        lambda dx: F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dy: C.cell_from_ixiy(
+                F.least(F.greatest(rix + dx, F.lit(0)), F.lit(n - 1)),
+                F.least(F.greatest(riy + dy, F.lit(0)), F.lit(n - 1)))))))
+    rcell = right.select(
+        F.col(right_id), F.col("lon").alias("rlon"), F.col("lat").alias("rlat"),
+        F.explode(disk).alias("cell"))
+    dx = F.col("llon") - F.col("rlon")
+    dy = F.col("llat") - F.col("rlat")
+    return (lcell.join(rcell, "cell")
+            .withColumn("dist2", dx * dx + dy * dy)
+            .filter(F.col("dist2") <= radius_deg * radius_deg)
+            .select(left_id, right_id, "dist2")
+            .dropDuplicates([left_id, right_id]))
+
+
 def tile_histogram(points: DataFrame, zoom: int,
                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Per-tile row counts — the skew-detection metric (feeds the metrics
