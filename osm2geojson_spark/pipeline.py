@@ -1,0 +1,100 @@
+"""End-to-end reference-equivalent pipeline: what `osmjoin.sh` +
+`OsmPostProcessor.main` do (OsmJoin.java:463-467 → processAll :423-461;
+OsmPostProcessor.java:356-362), as one composable call.
+
+A user of the reference runs:
+    java OsmJoin <planet.osm.bz2>   # 7-stage join → 13 gz datasets
+    java OsmPostProcessor           # → osm-pois.gz / osm-ways.gz / osm-relations.gz
+Here:
+    from osm2geojson_spark.pipeline import osm_to_geojson
+    osm_to_geojson(spark, "planet.osm.bz2", "/out")
+
+Differences, on purpose (SURVEY §1.4):
+- intermediates are DataFrames (optionally materialized via
+  ``intermediate_datasets`` + kv_text for byte-diff parity), not 105 GB
+  of gz multimap files;
+- relations DO produce output (stitched MultiPolygons) — the reference
+  returns null for every relation (OsmPostProcessor.java:216-227 FIXME)
+  and its main() never even calls processRelations (:356-362); pass
+  ``reference_strict=True`` to reproduce that observable behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osm2geojson_spark.operators.osm_join import (
+    assemble_relations,
+    assemble_ways,
+    rel_member_edges,
+    split_nodes,
+    way_edges,
+)
+from osm2geojson_spark.operators.postprocess import (
+    node_features,
+    relation_features,
+    way_features,
+)
+from osm2geojson_spark.sources.kv_text import write_jsonlines
+from osm2geojson_spark.sources.osm_xml import read_osm_xml
+
+
+def intermediate_datasets(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame,
+) -> dict[str, DataFrame]:
+    """The reference's 13 named datasets (OsmJoin.java:42-57) as
+    DataFrames — same logical content, typed columns instead of
+    ``key;json`` lines (serialize via kv_text.write_kv for byte diffs)."""
+    good_nodes, problem_nodes = split_nodes(nodes)
+    w_edges = way_edges(ways)
+    r_edges = rel_member_edges(relations)
+    complete_ways = assemble_ways(nodes, ways)
+    complete_rels = assemble_relations(nodes, relations, complete_ways)
+    node_members = r_edges.filter(r_edges["member_type"] == "node")
+    way_members = r_edges.filter(r_edges["member_type"] == "way")
+    return {
+        "nodeid2rawnodejson": good_nodes,
+        "problemNodes": problem_nodes,
+        "nodeid2wayid": w_edges.select("node_id", "way_id"),
+        "nodeid2relid": node_members.select(
+            node_members["member_id"].alias("node_id"), "rel_id"),
+        "wayid2rawwayjson": ways,
+        "wayid2relid": way_members.select(
+            way_members["member_id"].alias("way_id"), "rel_id"),
+        "relid2rawreljson": relations,
+        # join-stage products (the reference's wayid2nodejson etc. are
+        # re-keyings the DataFrame plan subsumes; the two user-visible
+        # "complete" datasets are the ones worth naming)
+        "wayid2completejson": complete_ways,
+        "relid2completejson": complete_rels,
+    }
+
+
+def osm_to_geojson(
+    spark: SparkSession,
+    xml_path: str,
+    out_dir: str | None = None,
+    reference_strict: bool = False,
+) -> dict[str, DataFrame]:
+    """XML dump → categorized GeoJSON feature streams.
+
+    Returns {"pois", "ways", "relations"(unless strict), "quarantine"};
+    when ``out_dir`` is given, each stream is also written as gzip
+    JSON-lines under the reference's file names (osm-pois.gz layout,
+    OsmPostProcessor.java:39-41)."""
+    tabs = read_osm_xml(spark, xml_path)
+    complete_ways = assemble_ways(tabs["nodes"], tabs["ways"])
+    out: dict[str, DataFrame] = {
+        "pois": node_features(tabs["nodes"]),
+        "ways": way_features(complete_ways),
+        "quarantine": tabs["quarantine"],
+    }
+    if not reference_strict:
+        assembled = assemble_relations(tabs["nodes"], tabs["relations"], complete_ways)
+        out["relations"] = relation_features(assembled)
+    if out_dir is not None:
+        write_jsonlines(out["pois"], f"{out_dir}/osm-pois.gz")
+        write_jsonlines(out["ways"], f"{out_dir}/osm-ways.gz")
+        if "relations" in out:
+            write_jsonlines(out["relations"], f"{out_dir}/osm-relations.gz")
+    return out
