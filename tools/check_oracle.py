@@ -41,8 +41,15 @@ def main():
     import __spark_entry__ as E
     from osm2geojson_spark.session import get_spark
 
+    import os
+
     only = set(sys.argv[1:])
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    # ORACLE_CORES / ORACLE_SHUFFLE prove parallelism-invariance: results
+    # must match DuckDB at ANY partitioning (decimal sums, pinned orders)
+    cores = int(os.environ.get("ORACLE_CORES", "8"))
+    shuffle = int(os.environ.get("ORACLE_SHUFFLE", str(cores)))
+    spark = get_spark("oracle-check", master=f"local[{cores}]",
+                      shuffle_partitions=shuffle)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
