@@ -303,6 +303,63 @@ SELECT c_custkey, 'except' AS op FROM (
 """
 
 
+def q_outer_join(spark, sf_dir):
+    """Full outer join with side indicators (the reference only ever does
+    inner cogroups — engine completeness). Nation ⋈ customers-per-nation:
+    nations with no customers AND a synthetic key with no nation both
+    survive."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    # shift half the keys so both dangling sides exist deterministically
+    shifted = per_nation.withColumn(
+        "c_nationkey",
+        F.when(F.col("c_nationkey") % 5 == 0, F.col("c_nationkey") + 100)
+        .otherwise(F.col("c_nationkey")))
+    out = nation.join(shifted, nation["n_nationkey"] == shifted["c_nationkey"], "full_outer")
+    return out.select(
+        F.coalesce("n_nationkey", F.lit(-1)).alias("nationkey"),
+        F.coalesce("n_name", F.lit("NONE")).alias("nname"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        (F.col("n_nationkey").isNotNull()).alias("has_nation"),
+        (F.col("n_cust").isNotNull()).alias("has_cust"),
+    )
+
+
+_SQL_OUTER_JOIN = """
+WITH per_nation AS (
+  SELECT CASE WHEN c_nationkey % 5 = 0 THEN c_nationkey + 100
+              ELSE c_nationkey END AS c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY c_nationkey)
+SELECT COALESCE(n_nationkey, -1) AS nationkey,
+       COALESCE(n_name, 'NONE') AS nname,
+       COALESCE(n_cust, 0) AS n_cust,
+       n_nationkey IS NOT NULL AS has_nation,
+       n_cust IS NOT NULL AS has_cust
+FROM nation FULL OUTER JOIN per_nation ON n_nationkey = c_nationkey
+"""
+
+
+def q_collect_agg(spark, sf_dir):
+    """Set-collect aggregation with canonical order (A1 family): distinct
+    order priorities per status, sorted then joined to one string."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|")
+        .alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_distinct"),
+    )
+
+
+_SQL_COLLECT_AGG = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_rollup(spark, sf_dir):
     """ROLLUP grouping sets (engine addition; reference has none)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -864,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "sort_limit": q_sort_limit,
         "semi_anti": q_semi_anti,
+        "outer_join": q_outer_join,
+        "collect_agg": q_collect_agg,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -904,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "window_topk": _SQL_WINDOW_TOPK,
         "sort_limit": _SQL_SORT_LIMIT,
         "semi_anti": _SQL_SEMI_ANTI,
+        "outer_join": _SQL_OUTER_JOIN,
+        "collect_agg": _SQL_COLLECT_AGG,
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,
