@@ -29,20 +29,31 @@ def get_spark(
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        if cpus:
+            master = f"local[{cpus}]"
+        elif "PYSPARK_GATEWAY_PORT" in os.environ:
+            # launched BY spark-submit: the submit conf owns the master —
+            # setting one here would override --master. Leave unset.
+            master = None
+        else:
+            master = "local[*]"
     if shuffle_partitions is None:
-        # match parallelism, not the 200 default; AQE coalesces further
-        try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
-        except ValueError:
-            n = 0
-        shuffle_partitions = n if n > 0 else (os.cpu_count() or 8)
+        # local mode: match parallelism, not the 200 default (AQE
+        # coalesces further). Cluster mode (yarn/k8s/standalone): leave
+        # None → keep Spark's default / spark-submit conf; AQE's
+        # coalescePartitions owns the effective number at runtime.
+        if master is not None and master.startswith("local"):
+            try:
+                n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
+            except ValueError:
+                n = 0
+            shuffle_partitions = n if n > 0 else (os.cpu_count() or 8)
 
+    b = SparkSession.builder.appName(app)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -52,6 +63,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -56,7 +56,7 @@ def job():
     out.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
-job()  # warm-up: codegen + UDF worker pool
+job(); job()  # warm-ups: codegen + the full Python-UDF worker pool
 times = [job() for _ in range(reps)]
 print(json.dumps({"cores": cores, "times": times, "best": min(times)}))
 """
