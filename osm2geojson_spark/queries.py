@@ -228,6 +228,54 @@ FROM lineitem
 """
 
 
+def q_way_geom_type(spark, sf_dir):
+    """GE2 closure rule (OsmPostProcessor.java:194-208) through the REAL
+    geometry expressions: assembled chain → first==last coords → Polygon
+    else LineString. Oracle compares the derived coords of the first/last
+    chain members (arg_min/arg_max by position)."""
+    from osm2geojson_spark.functions import geometry as G
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        lon_col(F.col("p_partkey")).alias("lon"),
+        lat_col(F.col("p_partkey")).alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"))
+    ways = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"]).alias("ns")
+    ).select(F.col("l_orderkey").alias("id"),
+             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    assembled = OJ.assemble_ways(nodes, ways)
+    coords = G.way_coords(F.col("nodes"))
+    return assembled.select(
+        F.col("id").alias("way_id"),
+        G.way_geom_type(coords).alias("geom_type"),
+        F.size("nodes").alias("n_points"),
+    )
+
+
+_SQL_WAY_GEOM_TYPE = f"""
+WITH ends AS (
+  SELECT l_orderkey AS way_id,
+         -- composite ordering value: (l_orderkey, l_linenumber) is NOT
+         -- unique in this data, so ties must break by partkey exactly
+         -- like the engine's struct sort
+         arg_min(l_partkey, l_linenumber * 100000000 + l_partkey) AS p_first,
+         arg_max(l_partkey, l_linenumber * 100000000 + l_partkey) AS p_last,
+         CAST(COUNT(*) AS INT) AS n_points
+  FROM lineitem GROUP BY l_orderkey)
+SELECT way_id,
+       CASE WHEN ({lon_sql('p_first')}) = ({lon_sql('p_last')})
+             AND ({lat_sql('p_first')}) = ({lat_sql('p_last')})
+            THEN 'Polygon' ELSE 'LineString' END AS geom_type,
+       n_points
+FROM ends
+"""
+
+
 def q_window_topk(spark, sf_dir):
     """Top-3 orders per customer — window + row_number (top-k pattern)."""
     orders = _t(spark, sf_dir, "orders")
@@ -918,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "cogroup_join": q_cogroup_join,
         "way_assembly": q_way_assembly,
+        "way_geom_type": q_way_geom_type,
         "window_topk": q_window_topk,
         "sort_limit": q_sort_limit,
         "semi_anti": q_semi_anti,
@@ -960,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "star_join": _SQL_STAR,
         "cogroup_join": _SQL_COGROUP,
         "way_assembly": _SQL_WAY_ASSEMBLY,
+        "way_geom_type": _SQL_WAY_GEOM_TYPE,
         "window_topk": _SQL_WINDOW_TOPK,
         "sort_limit": _SQL_SORT_LIMIT,
         "semi_anti": _SQL_SEMI_ANTI,
