@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
@@ -174,6 +175,15 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket"))
+    if max_bucket_size is not None:
+        # skew guard: a bucket shared by B docs emits B^2/2 pairs — cap
+        # pathological buckets (boilerplate-heavy corpora) on top of
+        # AQE's runtime skew split; dropped buckets are near-universal
+        # shingle patterns with no dedup signal
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        banded = banded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            ["band", "bucket"], "inner")
     left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(

@@ -22,6 +22,7 @@ Differences, on purpose (SURVEY §1.4):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osm2geojson_spark.operators.osm_join import (
     assemble_relations,
@@ -67,6 +68,11 @@ def intermediate_datasets(
         # "complete" datasets are the ones worth naming)
         "wayid2completejson": complete_ways,
         "relid2completejson": complete_rels,
+        # S7 parity: ways with unresolvable <nd> refs (problemWays.gz
+        # analogue — the reference logs these inline, OsmJoin.java:305-312)
+        "problemWays": complete_ways.filter(
+            complete_ways["missing_node_refs"].isNotNull()
+            & (F.size("missing_node_refs") > 0)),
     }
 
 

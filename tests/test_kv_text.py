@@ -89,3 +89,41 @@ def test_salted_tile_join_equals_plain(spark):
     salted = {tuple(r) for r in
               salted_tile_join(pts, tiles, zoom=4, n_salt=4).collect()}
     assert plain == salted and len(plain) > 0
+
+
+def test_pip_hole_exclusion(spark):
+    """G2 hole path: points inside an inner ring are excluded."""
+    from osm2geojson_spark.spatial.pip import point_in_polygon_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0),     # inside outer, inside hole → excluded
+         (2, 2.0, 2.0),     # inside outer, outside hole → hit
+         (3, 20.0, 20.0)],  # outside outer
+        "id long, lon double, lat double")
+    ring = [{"lon": 0.0, "lat": 0.0}, {"lon": 10.0, "lat": 0.0},
+            {"lon": 10.0, "lat": 10.0}, {"lon": 0.0, "lat": 10.0},
+            {"lon": 0.0, "lat": 0.0}]
+    hole = [{"lon": 4.0, "lat": 4.0}, {"lon": 6.0, "lat": 4.0},
+            {"lon": 6.0, "lat": 6.0}, {"lon": 4.0, "lat": 6.0},
+            {"lon": 4.0, "lat": 4.0}]
+    polys = spark.createDataFrame(
+        [(7, ring, [hole])],
+        "poly_id int, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>")
+    hits = {r["id"] for r in point_in_polygon_join(pts, polys, res=4).collect()}
+    assert hits == {2}
+
+
+def test_minhash_bucket_cap(spark):
+    """Skew guard: capping bucket size only removes pairs that came from
+    oversized buckets — remaining pairs are a subset with same scores."""
+    from osm2geojson_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in minhash_lsh_pairs(docs, max_bucket_size=2).collect()}
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
