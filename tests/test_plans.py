@@ -96,3 +96,28 @@ def test_knn_topk_uses_single_window_per_round(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables join WITHOUT a shuffle on either side
+    (the write-once-join-many layout for 100 TB fact tables)."""
+    from osm2geojson_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test tables are broadcast-small; disable broadcast to
+        # exercise the large-large path bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # co-located: zero shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
