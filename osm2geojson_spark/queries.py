@@ -408,6 +408,31 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): order counts by status × priority —
+    groupBy().pivot() in the engine, CASE-sum twin in the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = [r["o_orderpriority"] for r in
+             orders.select("o_orderpriority").distinct().collect()]
+    cols = {p: "p" + p.split("-")[0] for p in sorted(prios)}
+    out = (orders.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", sorted(prios))
+           .agg(F.count(F.lit(1))))
+    for p, alias in cols.items():
+        out = out.withColumnRenamed(p, alias)
+    return out.select("o_orderstatus",
+                      *[F.coalesce(a, F.lit(0)).alias(a) for a in cols.values()])
+
+
+def _sql_pivot() -> str:
+    # priorities are the TPC-H fixed five: 1-URGENT .. 5-LOW
+    cases = ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{n}-{w}' THEN 1 ELSE 0 END) AS BIGINT) AS p{n}"
+        for n, w in [("1", "URGENT"), ("2", "HIGH"), ("3", "MEDIUM"),
+                     ("4", "NOT SPECIFIED"), ("5", "LOW")])
+    return f"SELECT o_orderstatus, {cases} FROM orders GROUP BY o_orderstatus"
+
+
 def q_rollup(spark, sf_dir):
     """ROLLUP grouping sets (engine addition; reference has none)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -974,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_agg": q_collect_agg,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "pivot": q_pivot,
         "cube": q_cube,
         "dedup_kv": q_dedup_kv,
         "running_sum": q_running_sum,
@@ -1017,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "collect_agg": _SQL_COLLECT_AGG,
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
+        "pivot": _sql_pivot(),
         "cube": _SQL_CUBE,
         "dedup_kv": _SQL_DEDUP_KV,
         "running_sum": _SQL_RUNNING_SUM,
