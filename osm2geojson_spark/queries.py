@@ -408,6 +408,28 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) per group — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation formula, verified bit-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS med,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_pivot(spark, sf_dir):
     """Pivot (wide aggregation): order counts by status × priority —
     groupBy().pivot() in the engine, CASE-sum twin in the oracle."""
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "pivot": q_pivot,
+        "percentiles": q_percentiles,
         "cube": q_cube,
         "dedup_kv": q_dedup_kv,
         "running_sum": q_running_sum,
@@ -1044,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
         "pivot": _sql_pivot(),
+        "percentiles": _SQL_PERCENTILES,
         "cube": _SQL_CUBE,
         "dedup_kv": _SQL_DEDUP_KV,
         "running_sum": _SQL_RUNNING_SUM,
