@@ -124,20 +124,57 @@ def minhash_signatures(
 
 
 def pair_jaccard(postings: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact set Jaccard from posting rows, fully relational:
-    |A∩B| = pair count of the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.
-    If ``pairs`` (id_a, id_b) is given, only those pairs are scored (pairs
-    sharing no shingle get jaccard 0)."""
-    sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = postings.alias("a"), postings.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    """Exact set Jaccard from posting rows, fully relational.
+
+    Two scale regimes:
+
+    - ``pairs is None`` (discovery mode): |A∩B| via the inverted-index
+      self-join on shared shingles — quadratic in per-shingle document
+      frequency; callers at scale must df-cap first (see
+      ``ngram_jaccard_pairs``).
+    - ``pairs`` given (candidate mode, e.g. from LSH): the quadratic
+      self-join is NEVER built. Postings are first semi-joined down to
+      candidate ids, then intersections are computed by routing postings
+      THROUGH the pairs table: pairs ⋈ postings(id_a) on id, then ⋈
+      postings(id_b) on (id, g). Cost is linear in
+      Σ_pairs(|shingles(a)|) — the LSH stage's savings are preserved.
+      Pairs sharing no shingle still get jaccard 0 (left join back).
+    """
     if pairs is not None:
+        # pairs fans out to 4+ subtrees (cand_ids x2, the through-join,
+        # the left join back) — without persist, Spark re-executes the
+        # candidate-generation plan (e.g. the whole LSH banding join) once
+        # per reference
+        pairs = pairs.persist()
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        # shrink postings to candidate docs before any join — at 100 TB
+        # the candidate set is orders of magnitude smaller than the corpus
+        p = postings.join(cand_ids, "id", "left_semi").persist()
+        sizes = p.groupBy("id").agg(F.count("*").alias("sz"))
+        inter = (
+            pairs.join(p.alias("a"), F.col("id_a") == F.col("a.id"))
+            .select("id_a", "id_b", F.col("a.g").alias("_ga"))
+            .join(
+                p.alias("b"),
+                (F.col("id_b") == F.col("b.id")) & (F.col("_ga") == F.col("b.g")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
         inter = pairs.join(inter, ["id_a", "id_b"], "left") \
             .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    else:
+        sizes = postings.groupBy("id").agg(F.count("*").alias("sz"))
+        a, b = postings.alias("a"), postings.alias("b")
+        inter = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     scored = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
@@ -175,15 +212,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket"))
-    if max_bucket_size is not None:
-        # skew guard: a bucket shared by B docs emits B^2/2 pairs — cap
-        # pathological buckets (boilerplate-heavy corpora) on top of
-        # AQE's runtime skew split; dropped buckets are near-universal
-        # shingle patterns with no dedup signal
-        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-        banded = banded.join(
-            sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
-            ["band", "bucket"], "inner")
+    banded = cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
     left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(
@@ -201,11 +230,28 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5, max_ids: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs generated by shared-shingle
     co-occurrence (inverted-index join — never a cross join). For bounded
-    fan-out, one shingle posting list row per (shingle, id)."""
-    postings = shingle_postings(df, id_col, text_col, shingle_n).persist()
+    fan-out, one shingle posting list row per (shingle, id).
+
+    ``max_df`` is the 100-TB skew guard: a shingle shared by B docs emits
+    B²/2 candidate rows from the self-join, so boilerplate shingles
+    (headers, license blurbs) make the inverted index quadratic. With
+    ``max_df`` set, shingles with document frequency > max_df are dropped
+    from BOTH candidate generation and scoring (set sizes shrink
+    consistently, so jaccard stays a true Jaccard over the capped shingle
+    universe). High-df shingles carry no dedup signal — near-dup pairs
+    still share plenty of rare shingles. Default None = exact semantics
+    (the DuckDB oracle twin); set it for production corpora."""
+    postings = shingle_postings(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        dfreq = postings.groupBy("g").agg(F.count("*").alias("_df"))
+        postings = postings.join(
+            dfreq.filter(F.col("_df") <= max_df).drop("_df"), ["g"], "inner"
+        ).select("id", "g")
+    postings = postings.persist()
     return pair_jaccard(postings).filter(F.col("jaccard") >= threshold)
 
 
@@ -243,13 +289,31 @@ def simhash_expr(text: Column, bits: int = 64, seed: int = 11) -> Column:
     )
 
 
+def cap_bucket_size(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared skew guard for band-LSH self-joins: drop buckets with more
+    than ``max_bucket_size`` members before the self-join. A bucket of B
+    members emits B²/2 pairs, so one pathological bucket (all-identical
+    boilerplate, constant-color images, zero vectors) dominates the whole
+    job at scale; oversize buckets are near-universal patterns with no
+    dedup signal. No-op when max_bucket_size is None."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    return banded.join(
+        sizes.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"), keys, "inner"
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidates via
     4x16-bit band buckets (any exact band match → candidate; catches all
-    pairs with ≤3 differing bits by pigeonhole)."""
+    pairs with ≤3 differing bits by pigeonhole). ``max_bucket_size`` caps
+    pathological buckets (see cap_bucket_size)."""
     sh = df.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("h"))
     banded = sh.select(
         "id", "h",
@@ -259,6 +323,7 @@ def simhash_near_dup_pairs(
             ])
         ).alias("band", "chunk"),
     )
+    banded = cap_bucket_size(banded, ["band", "chunk"], max_bucket_size)
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"),

@@ -153,10 +153,17 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     return df.selectExpr("image_id as media_id", "bytes").mapInPandas(run, out_schema)
 
 
-def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 6, max_bucket_size: int | None = None,
+) -> DataFrame:
     """Near-duplicate IMAGE pairs via stored phash: 4x16-bit band buckets
     (same LSH trick as simhash) then exact hamming — all JVM-side; the
-    phash column rides the table, so no decode in this path at all."""
+    phash column rides the table, so no decode in this path at all.
+    ``max_bucket_size`` caps pathological buckets (e.g. millions of
+    constant-color thumbnails sharing one phash chunk emit B²/2 pairs) —
+    same skew guard as the text family (dedup.cap_bucket_size)."""
+    from .dedup import cap_bucket_size
+
     base = df.select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
     banded = base.select(
         "id", "h",
@@ -164,6 +171,7 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
             F.shiftright("h", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
         ])).alias("band", "chunk"),
     )
+    banded = cap_bucket_size(banded, ["band", "chunk"], max_bucket_size)
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"),

@@ -117,13 +117,22 @@ def cosine_topk_lsh(
 def kmeans_centroids(
     corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     iters: int = 8, sample: int = 4096, seed: int = 13,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> np.ndarray:
     """Seeded Lloyd's k-means on a driver-side SAMPLE (the coarse
     quantizer is tiny — centroids broadcast everywhere; only the sample
     ever leaves the executors). Deterministic: fixed seed, fixed sample
-    (sorted limit), numpy float64."""
-    rows = (corpus.select(vec_col).limit(sample).collect())
+    (sorted limit), numpy float64.
+
+    The sample is sorted by ``id_col`` BEFORE the limit: a bare
+    ``limit(n)`` is partition-layout dependent in Spark, so centroids
+    (and IVF recall) would otherwise vary with parallelism/input splits.
+    Sort+limit compiles to TakeOrderedAndProject (per-partition top-n +
+    driver merge), not a full sort — cheap even on a big corpus."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col)
+        .limit(sample).select(vec_col).collect()
+    )
     x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -168,7 +177,7 @@ def cosine_topk_ivf(
     from pyspark.sql import Window
 
     cent = centroids if centroids is not None else kmeans_centroids(
-        corpus, n_centroids, vec_col=vec_col)
+        corpus, n_centroids, vec_col=vec_col, id_col=id_col)
     c_assign = _cluster_assign_udf(cent, 1)
     q_assign = _cluster_assign_udf(cent, nprobe)
     c = corpus.select(
@@ -190,13 +199,21 @@ def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, n_tables: int = 3, seed: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
+
+    ``max_bucket_size`` caps pathological LSH buckets (e.g. a spike of
+    zero/constant vectors all hashing to one bucket emits B²/2 pairs) —
+    same skew guard as the text-dedup family (dedup.cap_bucket_size)."""
+    from .dedup import cap_bucket_size
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     legs = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
         b = base.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+        b = cap_bucket_size(b, ["bucket"], max_bucket_size)
         legs.append(
             b.alias("a").join(
                 b.alias("b"),

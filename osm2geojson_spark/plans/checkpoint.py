@@ -125,10 +125,23 @@ def run_bucketed_stage(
     thrown exception) between waves loses at most one wave; the next call
     reads lineage and recomputes ONLY the still-missing buckets. Set
     ``buckets_per_wave=1`` for strict per-partition granularity,
-    ``=n_buckets`` for a single job."""
+    ``=n_buckets`` for a single job.
+
+    Atomicity: the lineage table is the SINGLE source of bucket
+    visibility. A crash in the window between a wave's parquet append and
+    its lineage append leaves orphan ``_bucket=<b>`` dirs; resume deletes
+    every bucket dir NOT recorded done before recomputing, so the
+    recompute can never append a second copy. (Equivalent to dynamic
+    partition overwrite, but with an explicit invariant the crash test
+    can inject into.)"""
     data = _data_path(root, stage)
     done = completed_buckets(spark, root, stage)
     missing = sorted(set(range(n_buckets)) - done)
+    if os.path.exists(data):
+        for b in missing:
+            orphan = os.path.join(data, f"_bucket={b}")
+            if os.path.exists(orphan):
+                shutil.rmtree(orphan)
     for w in range(0, len(missing), buckets_per_wave):
         wave = [int(b) for b in missing[w:w + buckets_per_wave]]
         t0 = time.perf_counter()

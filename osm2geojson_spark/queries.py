@@ -432,10 +432,14 @@ FROM orders GROUP BY o_orderstatus
 
 def q_pivot(spark, sf_dir):
     """Pivot (wide aggregation): order counts by status × priority —
-    groupBy().pivot() in the engine, CASE-sum twin in the oracle."""
+    groupBy().pivot() in the engine, CASE-sum twin in the oracle.
+
+    Pivot values are HARDCODED (TPC-H's fixed five priorities) in both
+    twins: collecting them from data would add a driver round-trip AND
+    let the engine/oracle silently diverge if the data changed. Explicit
+    values also skip Spark's pivot-value discovery job."""
     orders = _t(spark, sf_dir, "orders")
-    prios = [r["o_orderpriority"] for r in
-             orders.select("o_orderpriority").distinct().collect()]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     cols = {p: "p" + p.split("-")[0] for p in sorted(prios)}
     out = (orders.groupBy("o_orderstatus")
            .pivot("o_orderpriority", sorted(prios))

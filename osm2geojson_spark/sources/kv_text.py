@@ -29,8 +29,14 @@ from pyspark.sql import functions as F
 def read_kv(spark: SparkSession, path: str,
             min_value_length: int | None = None) -> DataFrame:
     """gz `key;value` lines → (key string, value string). Spark handles
-    the gzip codec; split at the first ';' only."""
-    df = spark.read.text(path).select(
+    the gzip codec; split at the first ';' only.
+
+    Lines WITHOUT a ';' are dropped here (deliberate divergence,
+    documented: the reference crashes the whole job on such a line —
+    EntryParsingProcessor's indexOf(-1) → StringIndexOutOfBounds; a
+    distributed job must not die on one bad line). Route them to the
+    problem* sink via :func:`read_kv_malformed` instead."""
+    df = spark.read.text(path).filter(F.col("value").contains(";")).select(
         F.substring_index("value", ";", 1).alias("key"),
         # everything after the first ';' — length-based, so ';' in values
         # survives (substring_index from the right would not)
@@ -40,6 +46,15 @@ def read_kv(spark: SparkSession, path: str,
     if min_value_length is not None:
         df = df.filter(F.length("value") > min_value_length)
     return df
+
+
+def read_kv_malformed(spark: SparkSession, path: str) -> DataFrame:
+    """Quarantine stream for read_kv: the `;`-less lines the reference
+    would have crashed on, with a reason column (S7 problem* discipline)."""
+    return spark.read.text(path).filter(~F.col("value").contains(";")).select(
+        F.col("value").alias("line"),
+        F.lit("kv line without ';' separator").alias("reason"),
+    )
 
 
 def write_kv(df: DataFrame, path: str, key: str = "key", value: str = "value",

@@ -8,8 +8,9 @@ Semantics reproduced exactly:
   triples.
 - P2 node projection drops non-semantic attrs (timestamp/version/user).
 - P3 XML unescape applies to NODE tag values only — the reference
-  unescapes at OsmJoin.java:170 but NOT for ways (:198); this asymmetry
-  is preserved behind ``unescape_ways=False`` (flip to fix it).
+  unescapes at OsmJoin.java:170 but NOT for ways (:198) or relations;
+  both asymmetries are preserved behind ``unescape_ways=False`` /
+  ``unescape_relations=False`` (flip either to fix it).
 - P4/P5 edge emission comes free downstream via posexplode
   (operators/osm_join.py); relation members of type "relation" are
   dropped there (OsmJoin.java:245-246).
@@ -18,13 +19,20 @@ Semantics reproduced exactly:
   OsmJoin.java:111-113,176-182).
 
 Scale note (S3 record chunking): the planet dump is one bz2 stream whose
-multi-line entity blobs straddle any line-based input split, so a fully
-distributed raw-XML chunker needs a record-aware input format. The
-reference itself streams it single-threaded (OsmBlobIterable). This
-module chunks per FILE (wholetext) — correct for fixture/extract files —
-and the engine's production input is the columnar image/feature table
-anyway (SURVEY.md §2.1 S3). For a real planet ingest, pre-split the dump
-into per-entity-type files (osmium) and point this reader at the shards.
+multi-line entity blobs straddle any line-based input split. Two readers:
+
+- :func:`read_osm_blobs` — per-FILE chunking (wholetext); right for
+  fixture/extract files and sharded dumps.
+- :func:`read_osm_blobs_distributed` — ONE multi-GB file across many
+  input splits (the reference's headline "DONOT expand it" case,
+  README.md:37, streamed single-threaded by OsmBlobIterable.java:35-133).
+  bzip2 is a Hadoop-splittable codec, so TextInputFormat hands each task
+  an offset-ordered line range; every split regex-extracts the blobs
+  fully inside it (distributed, C-speed regex per split) and emits two
+  tiny boundary fragments (text before its first / after its last
+  complete blob). Fragments — O(2 × splits) rows, each usually one
+  partial entity — are stitched in byte-offset order and the straddling
+  blobs recovered, so output is byte-identical to a single-stream scan.
 """
 
 from __future__ import annotations
@@ -108,11 +116,18 @@ def _tags_expr(unescape: bool):
 
 def parse_osm_blobs(
     blobs: DataFrame, unescape_nodes: bool = True, unescape_ways: bool = False,
+    unescape_relations: bool = False,
 ) -> dict[str, DataFrame]:
     """Blob rows → typed tables + quarantine (schemas = synth/osm.py).
 
     Returns {"nodes", "ways", "relations", "quarantine"}; quarantine keeps
-    the raw blob + reason (S7)."""
+    the raw blob + reason (S7).
+
+    Unescape asymmetry (reference parity): parseNode unescapes tag values
+    (OsmJoin.java:170) but parseWay (:198) and parseRelation do NOT —
+    both asymmetries are preserved by the ``unescape_ways`` /
+    ``unescape_relations`` defaults; flip either flag to fix escaped
+    entities at the cost of byte divergence from the reference."""
     typed = blobs.select(
         "blob",
         F.regexp_extract("blob", r"^<(node|way|relation)", 1).alias("etype"),
@@ -151,7 +166,7 @@ def parse_osm_blobs(
     mroles = F.regexp_extract_all("blob", F.lit(_MEMBER_RE), 3)
     relations = ok.filter(F.col("etype") == "relation").select(
         "id",
-        _tags_expr(unescape_nodes).alias("tags"),
+        _tags_expr(unescape_relations).alias("tags"),
         F.zip_with(
             F.zip_with(mrefs, mtypes, lambda r, t: F.struct(
                 r.cast("long").alias("id"), t.alias("type"))),

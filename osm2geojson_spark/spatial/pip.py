@@ -77,31 +77,54 @@ def _compile_polygons(rows) -> dict:
     return compiled
 
 
+MAX_BROADCAST_POLYGONS = 200_000
+
+
+def _with_holes(polygons: DataFrame) -> DataFrame:
+    if "holes" not in polygons.columns:
+        polygons = polygons.withColumn(
+            "holes", F.lit(None).cast("array<array<struct<lon:double,lat:double>>>")
+        )
+    return polygons
+
+
 def point_in_polygon_join(
     points: DataFrame, polygons: DataFrame, res: int = 10,
     lon_col: str = "lon", lat_col: str = "lat",
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
 ) -> DataFrame:
     """points(… lon, lat) ⋈ polygons(poly_id, ring, holes?) → matched rows.
 
     ``polygons.ring``: array<struct<lon,lat>>; optional ``holes``:
     array<array<struct<lon,lat>>>. Points on an edge follow even-odd
     ray-cast semantics (strict interior for axis-aligned edges).
-    """
-    if "holes" not in polygons.columns:
-        polygons = polygons.withColumn(
-            "holes", F.lit(None).cast("array<array<struct<lon:double,lat:double>>>")
-        )
-    poly_rows = polygons.select("poly_id", "ring", "holes").collect()
-    compiled = _compile_polygons(poly_rows)
 
+    Broadcast contract: the polygon side is collected to the driver,
+    compiled to numpy edge arrays, and shipped via an EXPLICIT
+    ``sc.broadcast`` — one torrent transfer per executor, not a copy in
+    every task closure. The contract is guarded: more than
+    ``max_broadcast_polygons`` raises before any driver collect — use
+    :func:`point_in_polygon_join_partitioned` past that scale.
+    """
+    polygons = _with_holes(polygons)
+    n_poly = polygons.count()
+    if n_poly > max_broadcast_polygons:
+        raise ValueError(
+            f"{n_poly} polygons exceeds the broadcast contract "
+            f"({max_broadcast_polygons}); use point_in_polygon_join_partitioned "
+            "(rings shipped through the cover-map join) instead")
+    poly_rows = polygons.select("poly_id", "ring", "holes").collect()
     spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(_compile_polygons(poly_rows))
+
     cover = polygons.select(
         "poly_id", F.explode(polygon_cover_cells(F.col("ring"), res)).alias("cell"))
-    # slim covering map only — ring payloads travel in the UDF closure
+    # slim covering map only — ring payloads travel in the sc.broadcast
     cover = cover.select("poly_id", "cell")
 
     @F.pandas_udf(T.BooleanType())
     def residual(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        compiled = bc.value
         px = lon.to_numpy(dtype=np.float64)
         py = lat.to_numpy(dtype=np.float64)
         pid = poly_id.to_numpy()
@@ -123,4 +146,63 @@ def point_in_polygon_join(
         cand.withColumn("_hit", residual(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
         .filter(F.col("_hit"))
         .drop("_hit", "cell")
+    )
+
+
+def point_in_polygon_join_partitioned(
+    points: DataFrame, polygons: DataFrame, res: int = 10,
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """PIP for polygon sets too large to broadcast (millions of polygons /
+    big rings): no driver collect, no broadcast anywhere.
+
+    Plan: points get a cell key (narrow expr) → shuffle equi-join against
+    the exploded (cell, poly_id) cover map → second equi-join on poly_id
+    attaches the ring payload to CANDIDATE rows only → Arrow-batched
+    residual ray-cast compiles each polygon once per (batch, poly_id)
+    group. Two shuffles, both on keys Catalyst/AQE can re-plan (skewed
+    hot cells split at runtime); ring bytes travel once per candidate
+    pair — the standard partitioned-spatial-join cost model.
+
+    Results are identical to :func:`point_in_polygon_join` (pytest pins
+    equality on shared fixtures)."""
+    polygons = _with_holes(polygons)
+    cover = polygons.select(
+        "poly_id", F.explode(polygon_cover_cells(F.col("ring"), res)).alias("cell"))
+
+    @F.pandas_udf(T.BooleanType())
+    def residual(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
+                 ring: pd.Series, holes: pd.Series) -> pd.Series:
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        for p in pd.unique(pid):  # compile each polygon once per batch
+            m = pid == p
+            i = int(np.flatnonzero(m)[0])
+            outer = _close_ring(np.asarray(
+                [[q["lon"], q["lat"]] for q in ring.iloc[i]], dtype=np.float64))
+            hs = [
+                _close_ring(np.asarray([[q["lon"], q["lat"]] for q in h],
+                                       dtype=np.float64))
+                for h in (holes.iloc[i] if holes.iloc[i] is not None else [])
+            ]
+            inside = _pip_many(px[m], py[m], outer)
+            for h in hs:
+                if not inside.any():
+                    break
+                inside &= ~_pip_many(px[m], py[m], h)
+            out[m] = inside
+        return pd.Series(out)
+
+    pts = points.withColumn("cell", C.cell_expr(F.col(lon_col), F.col(lat_col), res))
+    cand = pts.join(cover, "cell").join(
+        polygons.select("poly_id", "ring", "holes"), "poly_id")
+    return (
+        cand.withColumn(
+            "_hit",
+            residual(F.col(lon_col), F.col(lat_col), F.col("poly_id"),
+                     F.col("ring"), F.col("holes")))
+        .filter(F.col("_hit"))
+        .drop("_hit", "cell", "ring", "holes")
     )

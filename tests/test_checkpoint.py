@@ -74,6 +74,40 @@ def test_bucketed_resume_computes_only_missing(spark, root):
     assert sum(r["n_rows"] for r in lt.collect()) == 1000
 
 
+def test_bucketed_crash_between_append_and_lineage_no_dupes(spark, root, monkeypatch):
+    """ADVICE r1 (medium): a crash AFTER the wave's parquet append but
+    BEFORE its lineage append must not duplicate rows on resume — orphan
+    _bucket dirs are swept before recompute."""
+    import osm2geojson_spark.plans.checkpoint as CK
+
+    src = spark.range(400)
+    bucket = F.pmod(F.col("id"), F.lit(4))
+    real_append = CK._append_lineage
+    state = {"crashed": False}
+
+    def crashing_append(spark_, root_, rows):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash in append→lineage window")
+        real_append(spark_, root_, rows)
+
+    monkeypatch.setattr(CK, "_append_lineage", crashing_append)
+    with pytest.raises(RuntimeError, match="append→lineage"):
+        run_bucketed_stage(spark, root, "st2", src, lambda df: df, bucket,
+                           n_buckets=4, buckets_per_wave=2)
+    # data for the first wave IS on disk, but lineage never saw it
+    assert completed_buckets(spark, root, "st2") == set()
+    assert spark.read.parquet(f"{root}/st2/data").count() == 200
+
+    out = run_bucketed_stage(spark, root, "st2", src, lambda df: df, bucket,
+                             n_buckets=4, buckets_per_wave=2)
+    assert out.count() == 400, "orphan wave data duplicated on resume"
+    assert out.select("id").distinct().count() == 400
+    lt = lineage_table(spark, root)
+    assert sum(r["n_rows"] for r in
+               lt.filter(F.col("stage") == "st2").collect()) == 400
+
+
 def test_metrics_table(spark, root):
     write_metrics(spark, root, "st", {"rows_in": 10, "rows_bad": 1})
     write_metrics(spark, root, "st", {"rows_in": 20})

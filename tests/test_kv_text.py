@@ -62,6 +62,24 @@ def test_min_value_length_fast_path(spark, tmp_path):
     assert [r["key"] for r in got] == ["1"]
 
 
+def test_kv_malformed_lines_quarantined(spark, tmp_path):
+    """Lines without ';' (reference: job-killing StringIndexOutOfBounds)
+    are dropped from read_kv and surfaced by read_kv_malformed."""
+    import gzip as _gz
+
+    from osm2geojson_spark.sources.kv_text import read_kv_malformed
+
+    d = tmp_path / "kvm"
+    d.mkdir()
+    with _gz.open(d / "part-000.gz", "wt") as fh:
+        fh.write("1;one\nnosemicolon\n2;two\n")
+    good = read_kv(spark, str(d)).collect()
+    assert {(r["key"], r["value"]) for r in good} == {("1", "one"), ("2", "two")}
+    bad = read_kv_malformed(spark, str(d)).collect()
+    assert [r["line"] for r in bad] == ["nosemicolon"]
+    assert "';'" in bad[0]["reason"]
+
+
 def test_jsonlines_sink(spark, tmp_path):
     df = spark.createDataFrame([('{"id":1}',), ('{"id":2}',)], ["geojson"])
     out = str(tmp_path / "docs")

@@ -70,6 +70,19 @@ def test_way_tags_not_unescaped(parsed):
     assert w["tags"]["name"] == "A &amp; B"
 
 
+def test_relation_tags_not_unescaped(spark):
+    """P3 asymmetry (ADVICE r1): relation tags are NOT unescaped by
+    default (parseRelation never calls unescapeXml), flippable via
+    unescape_relations."""
+    blob = ('<relation id="1"><member type="way" ref="2" role="outer"/>'
+            '<tag k="name" v="A &amp; B"/></relation>')
+    blobs = spark.createDataFrame([(blob,)], ["blob"])
+    rel = parse_osm_blobs(blobs)["relations"].collect()[0]
+    assert rel["tags"]["name"] == "A &amp; B"
+    rel2 = parse_osm_blobs(blobs, unescape_relations=True)["relations"].collect()[0]
+    assert rel2["tags"]["name"] == "A & B"
+
+
 def test_way_nd_order(parsed):
     w = {r["id"]: r for r in parsed["ways"]}[4817787]
     assert w["ns"] == [25737250, 25737252, 25737251]  # document order

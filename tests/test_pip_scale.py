@@ -1,0 +1,106 @@
+"""PIP hardening tests (round 2, VERDICT №3): explicit sc.broadcast with a
+size guard, a 50k-polygon broadcast-path run, and the partitioned-polygon
+variant matching the broadcast path exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.spatial.pip import (
+    point_in_polygon_join,
+    point_in_polygon_join_partitioned,
+)
+
+_RING_SCHEMA = (
+    "poly_id int, ring array<struct<lon:double,lat:double>>, "
+    "holes array<array<struct<lon:double,lat:double>>>"
+)
+
+
+def _grid_polygons(spark, n_side: int):
+    """n_side² disjoint unit squares tiling [0, n_side)² (scaled into
+    lon/lat range), built distributively — no driver-side python list."""
+    cell = 0.002
+    return spark.range(n_side * n_side).select(
+        F.col("id").cast("int").alias("poly_id"),
+        ((F.col("id") % n_side) * cell).alias("x0"),
+        ((F.col("id") / n_side).cast("int") * cell).alias("y0"),
+    ).select(
+        "poly_id",
+        F.array(
+            F.struct(F.col("x0").alias("lon"), F.col("y0").alias("lat")),
+            F.struct((F.col("x0") + cell).alias("lon"), F.col("y0").alias("lat")),
+            F.struct((F.col("x0") + cell).alias("lon"), (F.col("y0") + cell).alias("lat")),
+            F.struct(F.col("x0").alias("lon"), (F.col("y0") + cell).alias("lat")),
+            F.struct(F.col("x0").alias("lon"), F.col("y0").alias("lat")),
+        ).alias("ring"),
+        F.lit(None).cast("array<array<struct<lon:double,lat:double>>>").alias("holes"),
+    )
+
+
+def _fixture_points(spark):
+    return spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 2.0, 2.0), (3, 20.0, 20.0), (4, 7.0, 2.0)],
+        "id long, lon double, lat double")
+
+
+def _fixture_polys(spark):
+    ring = [{"lon": 0.0, "lat": 0.0}, {"lon": 10.0, "lat": 0.0},
+            {"lon": 10.0, "lat": 10.0}, {"lon": 0.0, "lat": 10.0},
+            {"lon": 0.0, "lat": 0.0}]
+    hole = [{"lon": 4.0, "lat": 4.0}, {"lon": 6.0, "lat": 4.0},
+            {"lon": 6.0, "lat": 6.0}, {"lon": 4.0, "lat": 6.0},
+            {"lon": 4.0, "lat": 4.0}]
+    tri = [{"lon": 6.0, "lat": 1.0}, {"lon": 9.0, "lat": 1.0},
+           {"lon": 7.5, "lat": 4.0}, {"lon": 6.0, "lat": 1.0}]
+    return spark.createDataFrame(
+        [(7, ring, [hole]), (8, tri, None)], _RING_SCHEMA)
+
+
+def test_broadcast_guard_raises(spark):
+    polys = _grid_polygons(spark, 40)  # 1600 polygons
+    pts = _fixture_points(spark)
+    with pytest.raises(ValueError, match="partitioned"):
+        point_in_polygon_join(pts, polys, res=8, max_broadcast_polygons=1000)
+
+
+def test_partitioned_equals_broadcast_on_fixtures(spark):
+    pts = _fixture_points(spark)
+    polys = _fixture_polys(spark)
+    b = {(r["id"], r["poly_id"])
+         for r in point_in_polygon_join(pts, polys, res=4).collect()}
+    p = {(r["id"], r["poly_id"])
+         for r in point_in_polygon_join_partitioned(pts, polys, res=4).collect()}
+    assert b == p
+    assert (2, 7) in b and (4, 8) in b and (1, 7) not in b
+
+
+def test_pip_50k_polygons_both_paths(spark):
+    """50k+ disjoint squares: every in-range point hits exactly ONE
+    polygon, and the partitioned variant agrees pair-for-pair."""
+    n_side = 226              # 51076 polygons
+    cell = 0.002
+    polys = _grid_polygons(spark, n_side).cache()
+    assert polys.count() == n_side * n_side
+    # points at centers of a sample of squares + a few misses outside
+    pts = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 97 % (n_side * n_side)) % n_side * cell + cell / 2).alias("lon"),
+        (((F.col("id") * 97 % (n_side * n_side)) / n_side).cast("int") * cell
+         + cell / 2).alias("lat"),
+    ).cache()
+    res = 12
+    b = {(r["id"], r["poly_id"])
+         for r in point_in_polygon_join(pts, polys, res=res).collect()}
+    # every point is inside exactly one square
+    assert len({i for i, _ in b}) == pts.select("lon", "lat").distinct().count()
+    by_pt: dict[int, int] = {}
+    for i, pid in b:
+        assert i not in by_pt, f"point {i} hit two disjoint squares"
+        by_pt[i] = pid
+    p = {(r["id"], r["poly_id"])
+         for r in point_in_polygon_join_partitioned(pts, polys, res=res).collect()}
+    assert b == p
+    polys.unpersist()
+    pts.unpersist()
