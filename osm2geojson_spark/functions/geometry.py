@@ -185,7 +185,11 @@ def relation_multipolygons(assembled: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             res = []
-            for _, row in pdf.iterrows():
+            # column extraction + zip, NOT iterrows (pandas' slowest API —
+            # it builds a Series per row; VERDICT r1 №5)
+            for rid, tags, rways in zip(
+                pdf["id"].to_numpy(), pdf["tags"], pdf["ways"]
+            ):
                 ways = [
                     (
                         w["role"] or "",
@@ -194,12 +198,12 @@ def relation_multipolygons(assembled: DataFrame) -> DataFrame:
                         if len(w["nodes"])
                         else np.empty((0, 2)),
                     )
-                    for w in row["ways"]
+                    for w in rways
                 ]
                 mp, n_rev, n_unc = (
                     build_multipolygon(ways) if ways else (None, 0, 0))
                 res.append(
-                    (row["id"], row["tags"], mp,
+                    (rid, tags, mp,
                      sum(len(p) for p in mp) if mp else 0, n_rev, n_unc)
                 )
             yield pd.DataFrame(

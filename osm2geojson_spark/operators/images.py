@@ -6,10 +6,12 @@ OsmJoin.java:111-113,176-179): undecodable rows are split out, never
 dropped silently. Every operator is mapInPandas/pandas_udf (Arrow batch
 transfer, numpy per image) — no row-at-a-time Python UDFs.
 
-Real JPEG/WebP/video/audio codecs are NOT in this container; those decode
-paths raise NotImplementedError behind a fmt dispatch whose Spark-side
-plumbing (schema, batching, quarantine) is real and tested — swap the
-stub for a Pillow/ffmpeg call on a cluster that has them.
+PNG decode/encode is REAL (pure-stdlib zlib codec, synth/images.py —
+all five scanline filters + CRC validation). JPEG/WebP/video/audio
+codecs are NOT in this container; those decode paths raise
+NotImplementedError behind a fmt dispatch whose Spark-side plumbing
+(schema, batching, quarantine) is real and tested — swap the stub for a
+Pillow/ffmpeg call on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.images import DECODERS, ENCODERS, phash64
 
-_STUB_FMTS = {"jpg", "jpeg", "png", "webp"}
+_STUB_FMTS = {"jpg", "jpeg", "webp"}
 
 
 def _decode(buf: bytes, fmt: str) -> np.ndarray:

@@ -195,6 +195,22 @@ def cosine_topk_ivf(
             .select("query_id", "corpus_id", "cosine", "rank"))
 
 
+def embedding_near_dup_exact(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT near-duplicate pairs (id_a < id_b, cosine ≥ τ) — the O(n²)
+    correctness baseline for :func:`embedding_near_dup_pairs`, same role
+    brute-force top-k plays for ANN. Bound the corpus before calling."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, n_tables: int = 3, seed: int = 5,

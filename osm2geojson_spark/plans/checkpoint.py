@@ -110,6 +110,7 @@ def run_bucketed_stage(
     bucket_expr,
     n_buckets: int = 16,
     buckets_per_wave: int = 4,
+    layout: str = "parquet",
 ) -> DataFrame:
     """Per-partition checkpoint + resume.
 
@@ -127,13 +128,26 @@ def run_bucketed_stage(
     ``buckets_per_wave=1`` for strict per-partition granularity,
     ``=n_buckets`` for a single job.
 
-    Atomicity: the lineage table is the SINGLE source of bucket
-    visibility. A crash in the window between a wave's parquet append and
-    its lineage append leaves orphan ``_bucket=<b>`` dirs; resume deletes
-    every bucket dir NOT recorded done before recomputing, so the
-    recompute can never append a second copy. (Equivalent to dynamic
-    partition overwrite, but with an explicit invariant the crash test
-    can inject into.)"""
+    Atomicity — two layouts behind the same interface:
+
+    - ``layout="parquet"`` (default): the lineage table is the SINGLE
+      source of bucket visibility. A crash in the window between a
+      wave's parquet append and its lineage append leaves orphan
+      ``_bucket=<b>`` dirs; resume deletes every bucket dir NOT recorded
+      done before recomputing, so the recompute can never append a
+      second copy.
+    - ``layout="iceberg"``: each wave is one snapshot commit of an
+      :class:`~osm2geojson_spark.plans.iceberg_layout.IcebergLikeTable`
+      (manifest + metadata + atomic version-hint swap). Bucket
+      visibility IS snapshot membership — a crash anywhere before the
+      hint swap leaves invisible orphan files, no sweep needed; resume
+      reads committed buckets from manifests (metadata-only). Lineage
+      rows are still appended for observability but are not the
+      authority."""
+    if layout == "iceberg":
+        return _run_bucketed_stage_iceberg(
+            spark, root, stage, input_df, fn, bucket_expr,
+            n_buckets, buckets_per_wave)
     data = _data_path(root, stage)
     done = completed_buckets(spark, root, stage)
     missing = sorted(set(range(n_buckets)) - done)
@@ -160,6 +174,50 @@ def run_bucketed_stage(
             (stage, b, int(counts.get(b, 0)), wall, now, "done") for b in wave
         ])
     return spark.read.parquet(data)
+
+
+def iceberg_completed_buckets(root: str, stage: str) -> set[int]:
+    """Committed buckets from snapshot summaries (metadata-only, no data
+    IO). Summaries — not manifest partitions — are the authority so that
+    a committed wave whose bucket produced ZERO rows (no data file) still
+    counts as done."""
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    tbl = IcebergLikeTable(os.path.join(root, stage))
+    out: set[int] = set()
+    for s in tbl.snapshots():
+        out.update(int(b) for b in s.get("summary", {}).get("buckets", []))
+    return out
+
+
+def _run_bucketed_stage_iceberg(
+    spark, root, stage, input_df, fn, bucket_expr,
+    n_buckets, buckets_per_wave,
+) -> DataFrame:
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    tbl = IcebergLikeTable(os.path.join(root, stage))
+    done = iceberg_completed_buckets(root, stage)
+    missing = sorted(set(range(n_buckets)) - done)
+    for w in range(0, len(missing), buckets_per_wave):
+        wave = [int(b) for b in missing[w:w + buckets_per_wave]]
+        t0 = time.perf_counter()
+        todo = input_df.withColumn("_bucket", bucket_expr.cast("int")) \
+            .filter(F.col("_bucket").isin(wave))
+        out = fn(todo)
+        if "_bucket" not in out.columns:
+            raise ValueError("fn must preserve the _bucket column")
+        tbl.append(out, partition_by="_bucket",
+                   summary={"stage": stage, "buckets": wave})
+        wall = int((time.perf_counter() - t0) * 1000)
+        written = tbl.read(spark).filter(F.col("_bucket").isin(wave))
+        counts = {r["_bucket"]: r["n"] for r in
+                  written.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        _append_lineage(spark, root, [
+            (stage, b, int(counts.get(b, 0)), wall, now, "done") for b in wave
+        ])
+    return tbl.read(spark)
 
 
 # ------------------------------------------------------------------ metrics

@@ -1,0 +1,187 @@
+"""Iceberg-style table layout (SURVEY §7 risk 7 / VERDICT r1 №10).
+
+The north rule names Iceberg as the checkpoint/lineage/metrics substrate;
+this sandbox cannot fetch the Iceberg runtime jar (no network), so this
+module implements the PROTOCOL Iceberg gets its guarantees from, over
+plain parquet files and stdlib JSON — mirroring the real v2 spec's moving
+parts so the swap to ``format("iceberg")`` is a writer change, not a
+redesign:
+
+- ``data/<commit-uuid>/…parquet``  — immutable data files, never listed;
+- ``metadata/manifest-<uuid>.json`` — one manifest per commit: the data
+  files it added, each with its partition values and row count;
+- ``metadata/v<N>.metadata.json``  — full table metadata: schema, the
+  snapshot log, and each snapshot's complete manifest list (previous
+  manifests + the new one — snapshots are self-contained);
+- ``metadata/version-hint.text``   — the single mutable pointer, swapped
+  with ``os.replace`` (atomic on POSIX). THE commit is the hint swap.
+
+Guarantees (same shape as real Iceberg):
+
+- readers resolve hint → metadata → manifests → file list and never
+  directory-list ``data/``, so a crash before the hint swap leaves any
+  half-written files INVISIBLE (GC-able orphans), not half-visible rows;
+- every commit is a snapshot: time-travel reads by snapshot id;
+- partition values live in manifests, so "which buckets are committed"
+  is a metadata-only read (no file listing, no lineage scan).
+
+checkpoint.run_bucketed_stage(layout="iceberg") rides on this for
+per-partition resume; tests inject crashes into the data-write→commit
+window and assert no duplicate rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergLikeTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # ------------------------------------------------------------- metadata
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _metadata(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v <= 0:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        md = self._metadata()
+        return md["snapshots"] if md else []
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    # --------------------------------------------------------------- commit
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        summary: dict | None = None,
+    ) -> dict:
+        """Write ``df`` as a new snapshot. With ``partition_by``, data
+        files land under ``<col>=<val>`` dirs and each manifest entry
+        records its partition value (metadata-only partition pruning).
+        Returns the new snapshot dict. The commit point is the atomic
+        version-hint swap at the very end — everything before it is
+        invisible to readers."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(data_dir)
+
+        entries = []
+        pattern = (os.path.join(data_dir, f"{partition_by}=*", "*.parquet")
+                   if partition_by else os.path.join(data_dir, "*.parquet"))
+        for p in sorted(glob.glob(pattern)):
+            part = {}
+            if partition_by:
+                kv = os.path.basename(os.path.dirname(p))
+                col, _, val = kv.partition("=")
+                part[col] = val
+            entries.append({"path": os.path.relpath(p, self.root),
+                            "partition": part})
+        manifest_name = f"manifest-{commit_id}.json"
+        with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
+            json.dump({"entries": entries}, f)
+
+        prev = self._metadata()
+        prev_manifests = (prev["snapshots"][-1]["manifests"] if prev and
+                          prev["snapshots"] else [])
+        snap = {
+            "snapshot_id": (prev["snapshots"][-1]["snapshot_id"] + 1
+                            if prev and prev["snapshots"] else 1),
+            "manifests": prev_manifests + [manifest_name],
+            "added_files": len(entries),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "summary": summary or {},
+        }
+        new_md = {
+            "format_version": 2,
+            "table_uuid": prev["table_uuid"] if prev else uuid.uuid4().hex,
+            "location": self.root,
+            "schema": json.loads(df.schema.json()),
+            "partition_by": partition_by,
+            "snapshots": (prev["snapshots"] if prev else []) + [snap],
+        }
+        v = self.current_version() + 1
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w") as f:
+            json.dump(new_md, f)
+        tmp = self._hint_path() + f".tmp-{commit_id}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint_path())  # ← THE commit
+        return snap
+
+    # ---------------------------------------------------------------- reads
+    def _files(self, snapshot_id: int | None = None) -> list[str]:
+        md = self._metadata()
+        if not md or not md["snapshots"]:
+            return []
+        snaps = md["snapshots"]
+        snap = (snaps[-1] if snapshot_id is None else
+                next(s for s in snaps if s["snapshot_id"] == snapshot_id))
+        files = []
+        for mf in snap["manifests"]:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                files.extend(os.path.join(self.root, e["path"])
+                             for e in json.load(f)["entries"])
+        return files
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Current (or time-travel) snapshot as a DataFrame. Partition
+        columns are reconstructed per commit directory via basePath
+        (files are grouped by their commit dir — a commit is one write,
+        so each group has a consistent <col>=<val> layout)."""
+        files = self._files(snapshot_id)
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        by_commit: dict[str, list[str]] = {}
+        for p in files:
+            rel = os.path.relpath(p, self.root).split(os.sep)
+            base = os.path.join(self.root, rel[0], rel[1])
+            by_commit.setdefault(base, []).append(p)
+        out = None
+        for base, fs in sorted(by_commit.items()):
+            d = spark.read.option("basePath", base).parquet(*fs)
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def partitions(self, snapshot_id: int | None = None) -> set[tuple]:
+        """Committed partition values — metadata-only (no data IO)."""
+        md = self._metadata()
+        if not md or not md["snapshots"]:
+            return set()
+        snaps = md["snapshots"]
+        snap = (snaps[-1] if snapshot_id is None else
+                next(s for s in snaps if s["snapshot_id"] == snapshot_id))
+        out: set[tuple] = set()
+        for mf in snap["manifests"]:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                for e in json.load(f)["entries"]:
+                    if e["partition"]:
+                        out.add(tuple(sorted(e["partition"].items())))
+        return out

@@ -789,6 +789,28 @@ def q_embedding_ivf(spark, sf_dir):
     return SIM.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
 
 
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """EXACT cosine near-dup pairs over a bounded corpus — value-exact
+    DuckDB twin (the correctness baseline the LSH path is recalled
+    against). Filter applies to the ROUNDED cosine in both engines so
+    boundary rows cannot flip on last-bit drift."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    out = SIM.embedding_near_dup_exact(emb, threshold=-1.0)
+    return (out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+            .filter(F.col("cosine_r") >= 0.3))
+
+
+_SQL_EMBEDDING_NEAR_DUP_EXACT = """
+SELECT id_a, id_b, cosine_r FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+) WHERE cosine_r >= 0.3
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (rows-only). The synthetic
     embeddings have no true near-dups (max pairwise cosine ≈0.51), so the
@@ -946,8 +968,16 @@ SELECT query_id, corpus_id, dist2, CAST(rank AS INT) AS rank FROM (
 
 
 def q_knn_ring(spark, sf_dir):
-    """G3 — kNN via cell-ring expansion (rows-only; equality with the
-    brute-force baseline pinned in pytest on covering-disk configs)."""
+    """G3 — kNN via cell-ring expansion, VALUE-EXACT vs the brute-force
+    SQL oracle (round-2 upgrade from rows-only):
+
+    - planar metric (mul/add only — no trig, per the oracle determinism
+      rules at the top of this module);
+    - margin=5 at res=3 guarantees exactness: round-1 early exits score
+      a cheb≤6 disk (bound needs ≥3: k candidates at cheb≤1 are within
+      2√2 cells ⇒ true kNN within cheb ≤ 2√2+1); the final round's disk
+      radius 2+5=7 covers the whole 8×8 grid, so stragglers degenerate
+      to exact brute force."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
     supp = _t(spark, sf_dir, "supplier")
     q = cust.select(F.col("c_custkey").alias("id"),
@@ -956,10 +986,23 @@ def q_knn_ring(spark, sf_dir):
     c = supp.select(F.col("s_suppkey").alias("id"),
                     lon_col(F.col("s_suppkey")).alias("lon"),
                     lat_col(F.col("s_suppkey")).alias("lat"))
-    # res sized so one cell holds O(k) corpus rows → round 1 answers
-    # nearly all queries; rounds beyond 2 would only add fixed job
-    # overhead on this corpus size
-    return KNN.knn_join(c, q, k=5, res=3, max_rounds=2)
+    return KNN.knn_join(c, q, k=5, res=3, max_rounds=2, margin=5,
+                        metric="planar")
+
+
+_SQL_KNN_RING = f"""
+SELECT query_id, corpus_id, dist2, CAST(rank AS INT) AS rank FROM (
+  SELECT q.query_id, c.corpus_id,
+         (q.qx - c.cx) * (q.qx - c.cx) + (q.qy - c.cy) * (q.qy - c.cy) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           (q.qx - c.cx) * (q.qx - c.cx) + (q.qy - c.cy) * (q.qy - c.cy) ASC,
+           c.corpus_id ASC) AS rank
+  FROM (SELECT c_custkey AS query_id, {lon_sql('c_custkey')} AS qx,
+               {lat_sql('c_custkey')} AS qy FROM customer WHERE c_custkey <= 50) q
+  CROSS JOIN (SELECT s_suppkey AS corpus_id, {lon_sql('s_suppkey')} AS cx,
+              {lat_sql('s_suppkey')} AS cy FROM supplier) c
+) WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1043,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann": q_embedding_ann,
         "embedding_ivf": q_embedding_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "cell_encode": q_cell_encode,
         "tile_histogram": q_tile_histogram,
         "tile_pyramid": q_tile_pyramid,
@@ -1089,7 +1133,11 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": _SQL_DISTANCE_JOIN,
         "pip_join": _SQL_PIP,
         "knn_bruteforce": _SQL_KNN_BRUTE,
-        # minhash_pairs / simhash_pairs / embedding_ann / embedding_near_dup /
-        # knn_ring: seeded-hash or approximate ops → rows-only checks;
-        # exactness properties pinned in tests/ instead.
+        "knn_ring": _SQL_KNN_RING,
+        "embedding_near_dup_exact": _SQL_EMBEDDING_NEAR_DUP_EXACT,
+        # minhash_pairs / simhash_pairs / embedding_ann / embedding_near_dup:
+        # seeded-hash or approximate ops → rows-only checks; exactness
+        # properties pinned in tests/ instead (knn_ring was upgraded to a
+        # value-exact oracle in round 2 via the planar metric + exactness
+        # margin).
     }

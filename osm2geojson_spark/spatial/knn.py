@@ -61,13 +61,21 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     margin: int = 1,
+    metric: str = "haversine",
 ) -> DataFrame:
     """For each query row: its k nearest corpus rows.
 
     corpus(id, lon, lat), queries(id, lon, lat) →
     (query_id, corpus_id, dist_km, rank). Deterministic tie-break on
     corpus id. Inner radius doubles per round: 1, 2, 4, …; the last
-    round exits every remaining query (bounded work)."""
+    round exits every remaining query (bounded work).
+
+    ``metric``: "haversine" (km, default) or "planar" (squared degree
+    distance, column aliased ``dist2`` — mul/add only, so results are
+    bit-exact against a SQL oracle; the cell grid is equal-degree, which
+    makes the planar metric the one with a clean grid-margin exactness
+    bound: a point at squared distance d has Chebyshev cell distance
+    ≤ sqrt(d)/cellsize + 1)."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(lon_col).alias("clon"), F.col(lat_col).alias("clat"),
@@ -82,7 +90,8 @@ def knn_join(
         C.lat_iy(F.col(lat_col), res).alias("iy"),
     )
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist_km"), F.asc("corpus_id"))
+    dist_name = "dist_km" if metric == "haversine" else "dist2"
+    w = Window.partitionBy("query_id").orderBy(F.asc(dist_name), F.asc("corpus_id"))
     answered = None
     pending = q
     radius = 1
@@ -106,13 +115,15 @@ def knn_join(
             .groupBy("query_id").agg(F.count("*").alias("n_inner"))
         enough = (inner_counts.filter(F.col("n_inner") >= k) if not last
                   else cand.select("query_id").distinct()).select("query_id")
+        if metric == "haversine":
+            dist = haversine_expr(F.col("qlon"), F.col("qlat"),
+                                  F.col("clon"), F.col("clat"))
+        else:  # planar: EXACT operand order mirrors the SQL oracle
+            dist = ((F.col("qlon") - F.col("clon")) * (F.col("qlon") - F.col("clon"))
+                    + (F.col("qlat") - F.col("clat")) * (F.col("qlat") - F.col("clat")))
         scored = (
             cand.join(enough, "query_id", "semi")
-            .select(
-                "query_id", "corpus_id",
-                haversine_expr(F.col("qlon"), F.col("qlat"),
-                               F.col("clon"), F.col("clat")).alias("dist_km"),
-            )
+            .select("query_id", "corpus_id", dist.alias(dist_name))
         )
         topk = scored.withColumn("rank", F.row_number().over(w)) \
             .filter(F.col("rank") <= k)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 IMG_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
               "caption string, phash long, lon double, lat double")
 
-FMTS = ("ppm", "bmp", "qz6")
+FMTS = ("ppm", "bmp", "qz6", "png")
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -107,8 +107,97 @@ def decode_qz6(buf: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
-ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6}
-DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Pure-stdlib PNG (8-bit RGB, color type 2, no interlace): zlib IDAT
+    of filter-0 scanlines + per-chunk CRC32. Lossless — replaces the
+    round-1 NotImplementedError stub for fmt=png."""
+    h, w, _ = px.shape
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    lines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    lines[:, 1:] = px.astype(np.uint8).reshape(h, w * 3)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder for 8-bit RGB non-interlaced images.
+    Validates chunk CRCs; undoes ALL five scanline filters (0 None,
+    1 Sub via per-channel cumsum, 2 Up vectorized, 3 Average / 4 Paeth
+    sequential) so externally-produced baseline PNGs decode too."""
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 12 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(buf[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            if tuple(data[8:13]) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG (need 8-bit RGB, deflate, no interlace)")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int64)
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon = per-channel cumsum mod 256
+            rec = (line.reshape(w, 3).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prior) % 256
+        elif f in (3, 4):  # Average / Paeth: inherently sequential in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                ul = prior[x - 3] if x >= 3 else 0
+                pred = ((left + prior[x]) >> 1) if f == 3 else \
+                    _paeth(int(left), int(prior[x]), int(ul))
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
+            "png": encode_png}
+DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
+            "png": decode_png}
 
 
 # ------------------------------------------------------------------ pixels
@@ -163,7 +252,9 @@ def _coords_for(seed: int) -> tuple[float, float]:
 def make_image_row(seed: int) -> tuple:
     w = 16 + 8 * (seed % 7)          # 16..64, multiple of 8
     h = 16 + 8 * ((seed // 7) % 7)
-    fmt = FMTS[seed % len(FMTS)]
+    # seeds from images_table are always even (i*2 + even base): a plain
+    # seed % 4 over even seeds would only ever hit 2 of the 4 fmts
+    fmt = FMTS[(seed >> 1) % len(FMTS)]
     px = gen_pixels(seed, w, h)
     buf = ENCODERS[fmt](px)
     # phash is computed on the DECODED pixels (lossy fmt → lossy phash),

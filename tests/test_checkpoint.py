@@ -108,6 +108,94 @@ def test_bucketed_crash_between_append_and_lineage_no_dupes(spark, root, monkeyp
                lt.filter(F.col("stage") == "st2").collect()) == 400
 
 
+def test_iceberg_bucketed_resume(spark, root):
+    """run_bucketed_stage(layout='iceberg'): crash after 1 wave → resume
+    recomputes only missing buckets, visibility via snapshot commits."""
+    from osm2geojson_spark.plans.checkpoint import iceberg_completed_buckets
+
+    src = spark.range(800)
+    bucket = F.pmod(F.col("id"), F.lit(8))
+    calls: list[int] = []
+
+    def make_fn(crash_after=None):
+        def fn(df):
+            calls.append(1)
+            if crash_after is not None and len(calls) > crash_after:
+                raise RuntimeError("injected crash")
+            return df.select("id", "_bucket", (F.col("id") * 3).alias("z"))
+        return fn
+
+    with pytest.raises(RuntimeError):
+        run_bucketed_stage(spark, root, "ist", src, make_fn(1), bucket,
+                           n_buckets=8, buckets_per_wave=4, layout="iceberg")
+    assert iceberg_completed_buckets(root, "ist") == {0, 1, 2, 3}
+    calls.clear()
+    out = run_bucketed_stage(spark, root, "ist", src, make_fn(), bucket,
+                             n_buckets=8, buckets_per_wave=4, layout="iceberg")
+    assert out.count() == 800 and len(calls) == 1
+    assert out.select("id").distinct().count() == 800
+    assert {r["_bucket"] for r in out.select("_bucket").distinct().collect()} \
+        == set(range(8))
+    # fully done → no-op
+    calls.clear()
+    out2 = run_bucketed_stage(spark, root, "ist", src, make_fn(), bucket,
+                              n_buckets=8, buckets_per_wave=4, layout="iceberg")
+    assert out2.count() == 800 and len(calls) == 0
+
+
+def test_iceberg_crash_before_hint_swap_invisible(spark, root, monkeypatch):
+    """The Iceberg guarantee: kill the writer AFTER data files + manifest
+    land but BEFORE the version-hint swap — the snapshot must be
+    invisible (old state intact), and resume must not duplicate rows."""
+    import os as _os
+
+    import osm2geojson_spark.plans.iceberg_layout as IL
+
+    src = spark.range(400)
+    bucket = F.pmod(F.col("id"), F.lit(4))
+    real_replace = _os.replace
+    state = {"crashed": False}
+
+    def crashing_replace(a, b):
+        if "version-hint" in str(b) and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before hint swap")
+        return real_replace(a, b)
+
+    monkeypatch.setattr(IL.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="hint swap"):
+        run_bucketed_stage(spark, root, "ist2", src, lambda df: df, bucket,
+                           n_buckets=4, buckets_per_wave=2, layout="iceberg")
+    from osm2geojson_spark.plans.checkpoint import iceberg_completed_buckets
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    # data + manifest are on disk, but the table shows NO committed state
+    assert iceberg_completed_buckets(root, "ist2") == set()
+    assert not IcebergLikeTable(f"{root}/ist2").exists()
+    out = run_bucketed_stage(spark, root, "ist2", src, lambda df: df, bucket,
+                             n_buckets=4, buckets_per_wave=2, layout="iceberg")
+    assert out.count() == 400
+    assert out.select("id").distinct().count() == 400, "orphan wave leaked in"
+
+
+def test_iceberg_time_travel_and_partition_pruning(spark, root):
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    tbl = IcebergLikeTable(f"{root}/tt")
+    df1 = spark.range(10).select("id", F.pmod("id", F.lit(2)).cast("int").alias("p"))
+    s1 = tbl.append(df1, partition_by="p")
+    df2 = spark.range(10, 25).select("id", F.pmod("id", F.lit(2)).cast("int").alias("p"))
+    s2 = tbl.append(df2, partition_by="p")
+    assert tbl.read(spark).count() == 25
+    assert tbl.read(spark, snapshot_id=s1["snapshot_id"]).count() == 10
+    assert s2["snapshot_id"] == s1["snapshot_id"] + 1
+    assert {dict(p)["p"] for p in tbl.partitions()} == {"0", "1"}
+    # partition filter prunes at the file level: only p=1 files scanned
+    plan = tbl.read(spark).filter(F.col("p") == 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "p=0" not in plan
+
+
 def test_metrics_table(spark, root):
     write_metrics(spark, root, "st", {"rows_in": 10, "rows_bad": 1})
     write_metrics(spark, root, "st", {"rows_in": 20})

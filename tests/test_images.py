@@ -58,6 +58,71 @@ def test_qz6_idempotent():
     assert np.array_equal(decode_qz6(encode_qz6(px)), px)
 
 
+def test_png_roundtrip_exact():
+    from osm2geojson_spark.synth.images import decode_png, encode_png
+
+    px = gen_pixels(23, 20, 12)
+    buf = encode_png(px)
+    assert buf.startswith(b"\x89PNG\r\n\x1a\n")
+    assert np.array_equal(decode_png(buf), px)
+
+
+def test_png_decoder_all_filter_types():
+    """The decoder must undo filters 1-4 too (external PNGs use them):
+    hand-build an IDAT with one scanline per filter type and compare with
+    a straight reference reconstruction."""
+    import zlib
+
+    from osm2geojson_spark.synth.images import _png_chunk, decode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        prior = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        line = bytearray([f])
+        for x in range(stride):
+            left = flat[y][x - 3] if x >= 3 else 0
+            ul = prior[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: left, 2: prior[x],
+                    3: (left + prior[x]) >> 1,
+                    4: paeth(int(left), int(prior[x]), int(ul))}[f]
+            line.append(int((flat[y][x] - pred) % 256))
+        raw += line
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    buf = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), px)
+
+
+def test_png_crc_corruption_detected():
+    from osm2geojson_spark.synth.images import decode_png, encode_png
+
+    buf = bytearray(encode_png(gen_pixels(29, 16, 16)))
+    buf[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC|size|filter|zlib|PNG"):
+        decode_png(bytes(buf))
+
+
+def test_validate_covers_png(spark, images):
+    """fmt=png rows exist in the synth table and pass the full validate
+    invariants with REAL decode (lossless → PSNR ∞)."""
+    png_rows = validate_images(images.filter(F.col("fmt") == "png")).collect()
+    assert png_rows, "synth table has no png rows"
+    assert all(r["ok"] and r["phash_match"] for r in png_rows)
+    assert all(r["psnr_db"] == float("inf") for r in png_rows)
+
+
 def test_phash_deterministic_and_payload_sensitive():
     px = gen_pixels(19, 32, 32)
     assert phash64(px) == phash64(px.copy())

@@ -53,3 +53,69 @@ def test_polygon_doc_bytes(fixtures):
         '[[[5.0,52.01],[5.01,52.01],[5.01,52.02],[5.0,52.02],[5.0,52.01]]]},'
         '"categories":{"osm":["building:yes","building"]}}'
     )
+
+
+# ---------------------------------------------------------- float parity
+def test_java_double_str_vs_real_jvm_grid(spark):
+    """VERDICT r1 №8: parity with the ACTUAL JVM's Double.toString across
+    the coordinate grid, pinning the exponent boundaries (1e-4/1e-3 and
+    1e7) where Python repr and Java notation diverge."""
+    from osm2geojson_spark.functions.json_canon import java_double_str
+
+    jdouble = spark._jvm.java.lang.Double
+    cases = [
+        0.0, -0.0, 1.0, -1.0, 5.0, 180.0, -180.0, 85.0511,
+        5.005, -0.1130375, 51.5121071,
+        # plain/scientific boundaries
+        0.001, 0.0009999999, 0.0005, 0.0001, 9.999e-4, 1e-3, 1e-4, 1e-5,
+        -0.0005, -1e-4,
+        1e6, 9999999.0, 9999999.5, 1e7, 1.0000001e7, 12345678.9, 1e8,
+        -1e7, -9999999.875,
+        # OSM precision extremes
+        1e-7, 179.9999999, -179.9999999, 1.5e-7,
+    ]
+    for d in cases:
+        want = jdouble.toString(float(d))
+        got = java_double_str(d)
+        assert got == want, f"{d!r}: python {got!r} != jvm {want!r}"
+
+
+def test_java_double_str_hypothesis_grid(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm2geojson_spark.functions.json_canon import java_double_str
+
+    jdouble = spark._jvm.java.lang.Double
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(
+        st.one_of(
+            # OSM coordinate grid: 1e-7-quantized lon/lat
+            st.integers(min_value=-1_800_000_000, max_value=1_800_000_000)
+            .map(lambda i: i / 1e7),
+            # decimal magnitudes straddling both notation boundaries
+            st.integers(min_value=1, max_value=99_999).flatmap(
+                lambda m: st.integers(min_value=-9, max_value=9).map(
+                    lambda e: m * (10.0 ** e))),
+        )
+    )
+    def check(d):
+        assert java_double_str(d) == jdouble.toString(float(d))
+
+    check()
+
+
+def test_java_double_str_pre_jdk19_divergence_documented(spark):
+    """Known, deliberate divergence: for doubles whose binary value has a
+    short EXACT decimal expansion (e.g. 2^-24), pre-JDK-19 FloatingDecimal
+    prints the full expansion while JDK 19+ (Ryu) and this serializer
+    print the shortest round-trip form. We pin MODERN Java semantics; the
+    host JVM here is JDK 17, so it shows the old behavior."""
+    from osm2geojson_spark.functions.json_canon import java_double_str
+
+    d = 2.0 ** -24
+    assert java_double_str(d) == "5.960464477539063E-8"  # shortest (JDK 19+)
+    jvm_s = spark._jvm.java.lang.Double.toString(d)
+    assert jvm_s in ("5.9604644775390625E-8", "5.960464477539063E-8")
+    assert float(java_double_str(d)) == d  # still round-trips exactly
