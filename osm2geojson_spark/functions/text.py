@@ -90,3 +90,83 @@ def fingerprint_expr(text: Column) -> Column:
     and DuckDB, so the oracle is value-exact)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.substring(F.md5(norm), 1, 16)
+
+
+# ---------------------------------------------------------- corpus analytics
+def token_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, tok) posting rows — the substrate for repetition stats, vocab
+    building, and salience. One explode, whole-stage codegen'd; every
+    downstream agg gets map-side partial aggregation."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
+    )
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document repetition metrics: token count, distinct
+    count, type-token ratio, and the dominant token with its mass share
+    (top_ratio near 1 ⇒ degenerate/repetitive doc — a standard
+    training-data quality filter). Ratios are int/int double divisions —
+    bit-exact against the SQL twin. Ties on the top token break
+    lexicographically."""
+    from pyspark.sql import Window
+
+    toks = token_table(df, id_col, text_col)
+    counts = toks.groupBy("id", "tok").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("id").agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("n_distinct"))
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("tok"))
+    top = (counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+           .select("id", F.col("tok").alias("top_tok"), F.col("n").alias("top_n")))
+    return (
+        tot.join(top, "id")
+        .select(
+            F.col("id").alias("doc_id"), "n_tokens", "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("distinct_ratio"),
+            "top_tok", "top_n",
+            (F.col("top_n").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("top_ratio"),
+        )
+    )
+
+
+def vocab_topk(df, k: int = 50, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus vocabulary build: top-k tokens by term frequency (ties
+    lexicographic) with document frequency. The orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then driver merge, no
+    full sort at 100 TB."""
+    toks = token_table(df, id_col, text_col)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"), F.countDistinct("id").alias("doc_freq"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def doc_term_salience(df, top_n: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-document most-salient terms: rank tokens by tf/df (the TF-IDF
+    shape with an exact rational score instead of a log — transcendental
+    functions are banned from oracle-compared values). The corpus df table
+    is tiny (vocab-sized) → broadcast to the per-doc counts."""
+    from pyspark.sql import Window
+
+    toks = token_table(df, id_col, text_col)
+    counts = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("id").alias("doc_freq"))
+    scored = counts.join(F.broadcast(dfreq), "tok").select(
+        "id", "tok", "tf", "doc_freq",
+        (F.col("tf").cast("double") / F.col("doc_freq").cast("double"))
+        .alias("salience"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("salience"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("id").alias("doc_id"), "tok", "tf", "doc_freq",
+                "salience", F.col("rn").alias("rank"))
+    )

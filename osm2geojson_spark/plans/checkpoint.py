@@ -187,6 +187,10 @@ def iceberg_completed_buckets(root: str, stage: str) -> set[int]:
     out: set[int] = set()
     for s in tbl.snapshots():
         out.update(int(b) for b in s.get("summary", {}).get("buckets", []))
+    # after expire_snapshots, old summaries are gone but the data files
+    # survive in the current snapshot's manifests — recover non-empty
+    # buckets from partition values so resume never re-appends them
+    out.update(int(dict(p)["_bucket"]) for p in tbl.partitions())
     return out
 
 

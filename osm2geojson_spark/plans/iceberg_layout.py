@@ -170,6 +170,52 @@ class IcebergLikeTable:
             out = d if out is None else out.unionByName(d)
         return out
 
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style table maintenance: drop all but the newest
+        ``keep_last`` snapshots from metadata, then garbage-collect every
+        data file and manifest no surviving snapshot references —
+        including ORPHANS from crashed commits (written but never made
+        visible by a hint swap). The metadata rewrite commits through the
+        same atomic hint-swap path as append, so a reader never observes
+        a half-expired table. Returns {files_removed, manifests_removed,
+        snapshots_removed}."""
+        md = self._metadata()
+        if not md or not md["snapshots"]:
+            return {"files_removed": 0, "manifests_removed": 0,
+                    "snapshots_removed": 0}
+        kept = md["snapshots"][-max(1, keep_last):]
+        removed_snaps = len(md["snapshots"]) - len(kept)
+        live_manifests = {m for s in kept for m in s["manifests"]}
+        live_files = set()
+        for mf in live_manifests:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                live_files.update(e["path"] for e in json.load(f)["entries"])
+        # GC: anything under data/ not referenced by a live manifest
+        files_removed = 0
+        for p in glob.glob(os.path.join(self.root, "data", "*", "**", "*"),
+                           recursive=True):
+            if os.path.isfile(p) and \
+                    os.path.relpath(p, self.root) not in live_files:
+                os.remove(p)
+                files_removed += 1
+        manifests_removed = 0
+        for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
+            if os.path.basename(p) not in live_manifests:
+                os.remove(p)
+                manifests_removed += 1
+        new_md = dict(md, snapshots=kept)
+        v = self.current_version() + 1
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w") as f:
+            json.dump(new_md, f)
+        tmp = self._hint_path() + ".tmp-expire"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint_path())
+        return {"files_removed": files_removed,
+                "manifests_removed": manifests_removed,
+                "snapshots_removed": removed_snaps}
+
     def partitions(self, snapshot_id: int | None = None) -> set[tuple]:
         """Committed partition values — metadata-only (no data IO)."""
         md = self._metadata()

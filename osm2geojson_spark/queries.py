@@ -228,6 +228,50 @@ FROM lineitem
 """
 
 
+def q_way_bbox(spark, sf_dir):
+    """Feature enrichment: per-way bounding box + vertex count over the
+    REAL assembled geometry (array exprs on the collected chain — no
+    extra shuffle past assembly). min/max are order-independent →
+    bit-exact oracle; sums/centroids deliberately excluded (double sum
+    order is engine-dependent)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        lon_col(F.col("p_partkey")).alias("lon"),
+        lat_col(F.col("p_partkey")).alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    ways = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("ns")
+    ).select(F.col("l_orderkey").alias("id"),
+             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    assembled = OJ.assemble_ways(nodes, ways)
+    lons = F.transform("nodes", lambda n: n["lon"])
+    lats = F.transform("nodes", lambda n: n["lat"])
+    return assembled.select(
+        F.col("id").alias("way_id"),
+        F.size("nodes").alias("n_pts"),
+        F.array_min(lons).alias("min_lon"),
+        F.array_max(lons).alias("max_lon"),
+        F.array_min(lats).alias("min_lat"),
+        F.array_max(lats).alias("max_lat"),
+    )
+
+
+_SQL_WAY_BBOX = f"""
+SELECT l_orderkey AS way_id, CAST(COUNT(*) AS INT) AS n_pts,
+       MIN({lon_sql('l_partkey')}) AS min_lon,
+       MAX({lon_sql('l_partkey')}) AS max_lon,
+       MIN({lat_sql('l_partkey')}) AS min_lat,
+       MAX({lat_sql('l_partkey')}) AS max_lat
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 def q_way_geom_type(spark, sf_dir):
     """GE2 closure rule (OsmPostProcessor.java:194-208) through the REAL
     geometry expressions: assembled chain → first==last coords → Polygon
@@ -478,6 +522,30 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): the two marginal
+    distributions of (returnflag, linestatus) in ONE pass — spark.sql
+    grouping-sets syntax, expand-once plan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+_SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def q_string_scalar(spark, sf_dir):
     """P10/P11 scalar surface: concat-prefix ids, lower, substring,
     regexp_extract, length."""
@@ -698,6 +766,82 @@ _SQL_EXACT_DEDUP = """
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_size
 FROM documents
 GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+"""
+
+# shared tokenizer CTE — twin of text.tokens_expr (trim → split \s+ → drop '')
+_SQL_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, t AS tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x != '')) AS t
+    FROM documents)
+)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-doc repetition metrics (training-data quality
+    filter): token/distinct counts, type-token ratio, dominant token and
+    its mass share. int/int double divisions → bit-exact twin."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION_STATS = f"""
+WITH {_SQL_TOKS_CTE},
+counts AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY doc_id),
+top AS (SELECT doc_id, tok AS top_tok, CAST(n AS BIGINT) AS top_n FROM (
+          SELECT doc_id, tok, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, tok ASC) AS rn
+          FROM counts) WHERE rn = 1)
+SELECT t.doc_id, t.n_tokens, t.n_distinct,
+       (CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) AS distinct_ratio,
+       p.top_tok, p.top_n,
+       (CAST(p.top_n AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) AS top_ratio
+FROM tot t JOIN top p ON (t.doc_id = p.doc_id)
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build: top-50 tokens by tf (lexicographic ties)
+    with document frequency — TakeOrdered plan, no full sort."""
+    return TX.vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+_SQL_VOCAB_TOPK = f"""
+WITH {_SQL_TOKS_CTE}
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM toks GROUP BY tok
+ORDER BY tf DESC, tok ASC LIMIT 50
+"""
+
+
+def q_term_salience(spark, sf_dir):
+    """Per-doc top-3 salient terms by tf/df — the TF-IDF shape with an
+    exact rational score (no log: transcendental funcs are banned from
+    oracle-compared values). df table broadcast to per-doc counts."""
+    return TX.doc_term_salience(_docs(spark, sf_dir), top_n=3)
+
+
+_SQL_TERM_SALIENCE = f"""
+WITH {_SQL_TOKS_CTE},
+counts AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM toks GROUP BY tok)
+SELECT doc_id, tok, tf, doc_freq, salience, CAST(rn AS INT) AS rank FROM (
+  SELECT c.doc_id, c.tok, c.tf, d.doc_freq,
+         (CAST(c.tf AS DOUBLE) / CAST(d.doc_freq AS DOUBLE)) AS salience,
+         ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY
+           (CAST(c.tf AS DOUBLE) / CAST(d.doc_freq AS DOUBLE)) DESC,
+           c.tok ASC) AS rn
+  FROM counts c JOIN dfreq d ON (c.tok = d.tok)
+) WHERE rn <= 3
 """
 
 
@@ -1026,6 +1170,23 @@ def q_image_validate(spark, sf_dir):
     )
 
 
+def q_audio_validate(spark, sf_dir):
+    """Audio twin of image_validate: real stdlib WAV decode, header-vs-
+    declared metadata check, transcript non-null, quarantine split.
+    Input synthesized (not in sf_dir) → rows-only."""
+    from osm2geojson_spark.operators.audio import validate_audio
+    from osm2geojson_spark.synth.audio import audio_table
+
+    aud = audio_table(spark, n=300, seed=24)
+    v = validate_audio(aud)
+    return v.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+        F.min("duration_sec").alias("min_dur"),
+        F.max("duration_sec").alias("max_dur"),
+    )
+
+
 def q_image_tile_join(spark, sf_dir):
     """North-star shape: image rows → shuffle-free tile assignment →
     broadcast join against the GeoJSON tile table → per-tile rollup."""
@@ -1060,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "cogroup_join": q_cogroup_join,
         "way_assembly": q_way_assembly,
+        "way_bbox": q_way_bbox,
         "way_geom_type": q_way_geom_type,
         "window_topk": q_window_topk,
         "sort_limit": q_sort_limit,
@@ -1068,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_agg": q_collect_agg,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "grouping_sets": q_grouping_sets,
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "cube": q_cube,
@@ -1079,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
+        "repetition_stats": q_repetition_stats,
+        "vocab_topk": q_vocab_topk,
+        "term_salience": q_term_salience,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1096,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": q_knn_ring,
         "image_validate": q_image_validate,
         "image_tile_join": q_image_tile_join,
+        "audio_validate": q_audio_validate,
         "image_phash_dedup": q_image_phash_dedup,
     }
 
@@ -1106,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "star_join": _SQL_STAR,
         "cogroup_join": _SQL_COGROUP,
         "way_assembly": _SQL_WAY_ASSEMBLY,
+        "way_bbox": _SQL_WAY_BBOX,
         "way_geom_type": _SQL_WAY_GEOM_TYPE,
         "window_topk": _SQL_WINDOW_TOPK,
         "sort_limit": _SQL_SORT_LIMIT,
@@ -1114,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "collect_agg": _SQL_COLLECT_AGG,
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
+        "grouping_sets": _SQL_GROUPING_SETS,
         "pivot": _sql_pivot(),
         "percentiles": _SQL_PERCENTILES,
         "cube": _SQL_CUBE,
@@ -1125,6 +1294,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "text_stats": _sql_text_stats(),
         "exact_dedup": _SQL_EXACT_DEDUP,
+        "repetition_stats": _SQL_REPETITION_STATS,
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "term_salience": _SQL_TERM_SALIENCE,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "cell_encode": _sql_cell_encode(),

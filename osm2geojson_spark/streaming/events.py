@@ -138,6 +138,18 @@ def sessionize_stream(events: DataFrame, emit_on_timeout: bool = True) -> DataFr
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the incremental twin of the batch
+    distinct/dedup_kv family: dropDuplicatesWithinWatermark keeps one row
+    per key with state BOUNDED by the watermark horizon (a plain
+    dropDuplicates on a stream would grow state forever). At 100 TB/day
+    this is the dedup-at-ingest shape: state size = keys seen within the
+    horizon, not keys ever seen."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          output_mode: str = "complete") -> None:
     """Bounded test helper: availableNow trigger → memory sink → await."""

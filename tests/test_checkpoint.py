@@ -178,6 +178,46 @@ def test_iceberg_crash_before_hint_swap_invisible(spark, root, monkeypatch):
     assert out.select("id").distinct().count() == 400, "orphan wave leaked in"
 
 
+def test_iceberg_expire_snapshots_gc(spark, root):
+    """Table maintenance: expiry keeps the newest snapshot's full state,
+    GCs unreferenced data files + manifests (incl. crashed-commit
+    orphans), and bucket-resume still sees committed buckets."""
+    import glob as _glob
+    import os as _os
+
+    from osm2geojson_spark.plans.checkpoint import iceberg_completed_buckets
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    src = spark.range(400)
+    bucket = F.pmod(F.col("id"), F.lit(4))
+    run_bucketed_stage(spark, root, "exp", src, lambda df: df, bucket,
+                       n_buckets=4, buckets_per_wave=1, layout="iceberg")
+    tbl = IcebergLikeTable(f"{root}/exp")
+    assert len(tbl.snapshots()) == 4
+    # plant an orphan (crashed commit: data file, no snapshot reference)
+    orphan_dir = _os.path.join(tbl.root, "data", "deadbeef0000")
+    _os.makedirs(orphan_dir)
+    with open(_os.path.join(orphan_dir, "part-orphan.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == 3
+    assert stats["files_removed"] >= 1           # at least the orphan
+    assert len(tbl.snapshots()) == 1
+    assert tbl.read(spark).count() == 400        # full data intact
+    assert not _glob.glob(_os.path.join(orphan_dir, "*"))
+    # resume still knows every committed bucket (via manifest partitions)
+    assert iceberg_completed_buckets(root, "exp") == {0, 1, 2, 3}
+    calls = []
+
+    def fn(df):
+        calls.append(1)
+        return df
+
+    out = run_bucketed_stage(spark, root, "exp", src, fn, bucket,
+                             n_buckets=4, buckets_per_wave=1, layout="iceberg")
+    assert out.count() == 400 and not calls
+
+
 def test_iceberg_time_travel_and_partition_pruning(spark, root):
     from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
 

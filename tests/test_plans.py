@@ -121,3 +121,68 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Vocab build: the final top-k must be TakeOrderedAndProject
+    (per-partition top-k + driver merge), NOT a global Sort+Limit."""
+    plan = plan_of(Q.q_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # tok agg (+distinct)
+
+
+def test_term_salience_broadcasts_df_table(spark):
+    """tf/df salience: the corpus document-frequency table is vocab-sized
+    → must broadcast to the per-doc counts, never a shuffled join."""
+    plan = plan_of(Q.q_term_salience(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_partial_aggs(spark):
+    """Per-doc aggs keep map-side partial aggregation (two-phase
+    HashAggregate) so the shuffle carries (doc,tok) partials only."""
+    plan = plan_of(Q.q_repetition_stats(spark, SF))
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the north rule's 'AQE skew handling for hot
+    cells': a join keyed 90% on one value must get its skewed partition
+    SPLIT at runtime (skew=true in the final adaptive plan), with
+    thresholds lowered so small test data exhibits it."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 64).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"))
+        small = spark.range(64).select(F.col("id").alias("k"),
+                                       F.lit("dim").alias("d"))
+        # downstream agg on a NON-join key: a groupBy on k would reuse the
+        # join's hash distribution, and AQE (correctly) refuses to split
+        # skew when the split would force an extra exchange
+        agg = big.join(small, "k").groupBy(
+            F.length("pay").alias("L")).agg(F.count("*").alias("n"))
+        # collect() finalizes THIS DataFrame's own query execution (a
+        # noop write would execute a separate QE, leaving this plan
+        # isFinalPlan=false)
+        assert agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark/split the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

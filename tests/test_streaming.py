@@ -54,3 +54,21 @@ def test_sessionize_stream_closes_sessions(spark):
     want = {(r["user_id"], r["start_sec"]): (r["n_events"], r["end_sec"])
             for r in batch if r["start_sec"] != last_start[r["user_id"]]}
     assert got == want
+
+
+def test_dedup_stream_matches_batch_distinct(spark):
+    """Streaming dedup (dropDuplicatesWithinWatermark) over the events
+    stream equals batch dropDuplicates on the same keys (single
+    availableNow batch ⇒ all duplicates inside the horizon)."""
+    from osm2geojson_spark.streaming.events import dedup_stream
+
+    stream = stream_events_from_parquet(spark, SF)
+    out = dedup_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type")
+    run_stream_to_memory(out, "dedup_t", "append")
+    got = {(r["user_id"], r["event_type"])
+           for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {(r["user_id"], r["event_type"])
+            for r in ev.select("user_id", "event_type").distinct().collect()}
+    assert got == want and len(got) > 0
