@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--zoom", type=int, default=7)
     ap.add_argument("--res", type=int, default=7)
     ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--layout", choices=("parquet", "iceberg"),
+                    default="parquet",
+                    help="bucketed-checkpoint layout: plain parquet dirs "
+                         "or the Iceberg-style snapshot/manifest table")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,7 +62,7 @@ def main() -> int:
         spark, args.out, "validate", imgs,
         lambda df: validate_images(df.drop("_bucket")).withColumn(
             "_bucket", F.pmod(F.xxhash64("image_id"), F.lit(args.n_buckets)).cast("int")),
-        bucket, n_buckets=args.n_buckets)
+        bucket, n_buckets=args.n_buckets, layout=args.layout)
     good, bad = quarantine_split(validated)
     n_good, n_bad = good.count(), bad.count()
     write_metrics(spark, args.out, "validate",

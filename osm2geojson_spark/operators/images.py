@@ -140,9 +140,11 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling needs ffmpeg (not in container). The
-    plumbing (schema, mapInPandas shape) is the real contract; the decode
-    raises per-row and rows land in quarantine."""
+    """DEPRECATED shim — real video frame sampling now lives in
+    operators/video.py (sample_frames over the fpack container; mp4/webm
+    stay stubbed there). This wrapper keeps the round-1 contract for
+    IMAGE-schema inputs: every row lands in quarantine with the
+    NotImplementedError reason, schema unchanged."""
     out_schema = "media_id string, frame_idx int, frame binary, error string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,90 @@
+"""Video payload operators — frame sampling + per-frame features over
+the (media_id, bytes, …, fmt) video table, with the same quarantine
+discipline as images/audio (problem* sinks, OsmJoin.java:111-113).
+
+``fpack`` decode is REAL (seekable container, synth/video.py); mp4/webm/
+mkv raise NotImplementedError behind the dispatch — the sampling logic,
+batch shape, and quarantine routing are fully exercised either way.
+Replaces round-1's pure ``sample_video_frames`` stub (operators/
+images.py), which survives only as a thin deprecated wrapper.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from osm2geojson_spark.synth.images import encode_ppm
+from osm2geojson_spark.synth.video import fpack_frame, fpack_header
+
+_STUB_FMTS = {"mp4", "webm", "mkv", "avi"}
+
+
+def _check_fmt(fmt: str) -> None:
+    if fmt in _STUB_FMTS:
+        raise NotImplementedError(
+            f"codec '{fmt}' requires ffmpeg (not in this container); "
+            "plug it into the dispatch to enable")
+    if fmt != "fpack":
+        raise ValueError(f"unknown fmt '{fmt}'")
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every n-th frame (always including frame 0) re-encoded as lossless
+    ppm — the frame-sampling shape for vision-training pipelines. One
+    output row per sampled frame; undecodable rows yield a single
+    quarantine row (frame_idx -1, error set)."""
+    out_schema = "media_id string, frame_idx int, frame binary, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    _check_fmt(t.fmt)
+                    buf = bytes(t.bytes)
+                    n, _, _, _, _ = fpack_header(buf)
+                    for k in range(0, n, every_n):
+                        rows.append((t.media_id, k,
+                                     encode_ppm(fpack_frame(buf, k)), None))
+                except Exception as ex:  # noqa: BLE001 — quarantine row
+                    rows.append((t.media_id, -1, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def video_stats(df: DataFrame) -> DataFrame:
+    """Per-clip features from sampled frames: frame count, duration, mean
+    luminance, and inter-frame luminance delta (scene-change proxy)."""
+    out_schema = ("media_id string, n_frames int, duration_sec double, "
+                  "mean_lum double, mean_frame_delta double, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    _check_fmt(t.fmt)
+                    buf = bytes(t.bytes)
+                    n, _, _, fps, _ = fpack_header(buf)
+                    lums = [float(fpack_frame(buf, k).astype(np.float64).mean())
+                            for k in range(n)]
+                    deltas = [abs(b - a) for a, b in zip(lums, lums[1:])]
+                    rows.append((t.media_id, n, n / float(fps),
+                                 float(np.mean(lums)),
+                                 float(np.mean(deltas)) if deltas else 0.0,
+                                 None))
+                except Exception as ex:  # noqa: BLE001
+                    rows.append((t.media_id, None, None, None, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames",
+                                              "duration_sec", "mean_lum",
+                                              "mean_frame_delta", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)

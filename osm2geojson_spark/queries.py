@@ -918,11 +918,66 @@ SELECT query_id, corpus_id, round(cosine, 6) AS cosine_r, CAST(rank AS INT) AS r
 
 
 def q_embedding_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; rows-only — recall vs
-    brute force asserted in pytest)."""
+    """LSH-bucketed approximate top-k — VALUE-EXACT (round-2 upgrade):
+    the hyperplanes are deterministic numpy literals, so the oracle
+    reproduces the EXACT candidate set in SQL — each table's bucket is a
+    sum of sign-bit CASEs over an UNROLLED left-associated dot product
+    (same fold order as the Spark aggregate, so signs match bit-for-bit)
+    and scoring reuses list_cosine_similarity (already proven bit-exact
+    by embedding_topk). Recall vs brute force separately pinned in
+    pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.cosine_topk_lsh(emb, queries, k=5, dim=64)
+    out = SIM.cosine_topk_lsh(emb, queries, k=5, dim=64)
+    return out.select("query_id", "corpus_id",
+                      F.round("cosine", 6).alias("cosine_r"), "rank")
+
+
+def _sql_lsh_bucket(alias: str, planes) -> str:
+    """Hyperplane-LSH bucket as SQL: per plane an UNROLLED left-associated
+    dot product (same fold order as the Spark aggregate → signs match
+    bit-for-bit), sign bit summed into the bucket integer."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = "0.0"
+        for j, x in enumerate(p):
+            dot = f"({dot} + ({alias}.embedding[{j + 1}] * {x!r}))"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_embedding_ann(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                       seed: int = 3) -> str:
+    """Oracle twin of cosine_topk_lsh with the planes inlined as literals."""
+    from osm2geojson_spark.operators.similarity import _hyperplanes
+
+    legs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        legs.append(f"""
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM emb_q q JOIN emb_c c
+    ON {_sql_lsh_bucket('q', planes)} = {_sql_lsh_bucket('c', planes)}""")
+    union = "\n  UNION\n".join(legs)  # UNION dedups pairs across tables
+    return f"""
+WITH emb_q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id < 10),
+     emb_c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+cand AS ({union}),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+           list_cosine_similarity(q.embedding, c.embedding) DESC,
+           cand.corpus_id ASC) AS rank
+  FROM cand
+  JOIN emb_q q ON (q.vec_id = cand.query_id)
+  JOIN emb_c c ON (c.vec_id = cand.corpus_id))
+SELECT query_id, corpus_id, round(cosine, 6) AS cosine_r,
+       CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5
+"""
 
 
 def q_embedding_ivf(spark, sf_dir):
@@ -956,12 +1011,45 @@ SELECT id_a, id_b, cosine_r FROM (
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (rows-only). The synthetic
-    embeddings have no true near-dups (max pairwise cosine ≈0.51), so the
-    demo threshold/bucketing is loosened to exercise the operator; recall
-    against brute force is pinned in pytest."""
+    """Embedding-cosine near-duplicate pairs — VALUE-EXACT (round-2
+    upgrade, same literal-planes trick as embedding_ann). The operator
+    runs unthresholded (threshold=-1 keeps every LSH candidate) and both
+    twins filter on the ROUNDED cosine so boundary pairs cannot flip.
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ≈0.51), so the demo threshold/bucketing is loosened to exercise the
+    operator; recall vs brute force is separately pinned in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=4, n_tables=6)
+    out = SIM.embedding_near_dup_pairs(emb, threshold=-1.0, dim=64,
+                                       n_planes=4, n_tables=6)
+    return (out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+            .filter(F.col("cosine_r") >= 0.3))
+
+
+def _sql_embedding_near_dup(dim: int = 64, n_planes: int = 4,
+                            n_tables: int = 6, seed: int = 5) -> str:
+    from osm2geojson_spark.operators.similarity import _hyperplanes
+
+    legs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        legs.append(f"""
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b
+    ON a.vec_id < b.vec_id
+   AND {_sql_lsh_bucket('a', planes)} = {_sql_lsh_bucket('b', planes)}""")
+    union = "\n  UNION\n".join(legs)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+             FROM embeddings),
+cand AS ({union})
+SELECT id_a, id_b, cosine_r FROM (
+  SELECT cand.id_a, cand.id_b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_r
+  FROM cand
+  JOIN emb a ON (a.vec_id = cand.id_a)
+  JOIN emb b ON (b.vec_id = cand.id_b)
+) WHERE cosine_r >= 0.3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1189,7 +1277,12 @@ def q_audio_validate(spark, sf_dir):
 
 def q_image_tile_join(spark, sf_dir):
     """North-star shape: image rows → shuffle-free tile assignment →
-    broadcast join against the GeoJSON tile table → per-tile rollup."""
+    broadcast join against the GeoJSON tile table → per-tile rollup.
+
+    VALUE-EXACT (round-2 upgrade): the synth image coords are pure
+    integer arithmetic keyed on the row seed, so the oracle regenerates
+    them with generate_series and replays the same Morton tile id —
+    no binary payloads needed on the DuckDB side."""
     from osm2geojson_spark.synth.images import images_table
 
     imgs = images_table(spark, n=2000, seed=42)
@@ -1199,6 +1292,33 @@ def q_image_tile_join(spark, sf_dir):
         F.count("*").alias("n_images"),
         F.min("image_id").alias("first_image"),
     )
+
+
+def _sql_image_tile_join(n: int = 2000, base_seed: int = 42, zoom: int = 4) -> str:
+    """Twin of q_image_tile_join: synth/images._coords_for re-derived in
+    SQL (int mods + power-of-ten divisions → bit-exact doubles), then the
+    shared Morton tile id. Every tile exists at this zoom, so the
+    broadcast join is a no-op for the aggregate."""
+    h1 = "((seed * 2654435761) % 1000000)"
+    lon_city = (f"((CAST(({h1} % 3) AS DOUBLE) * 40.0 - 60.0)"
+                f" + (CAST(({h1} % 10000) AS DOUBLE) / 10000.0))")
+    lat_city = (f"((CAST(({h1} % 3) AS DOUBLE) * 20.0 - 10.0)"
+                f" + (CAST(((seed * 40503) % 10000) AS DOUBLE) / 10000.0))")
+    lon_rand = ("((CAST(((seed * 2654435761) % 360000000) AS DOUBLE)"
+                " / 1000000.0) - 180.0)")
+    lat_rand = ("((CAST(((seed * 2246822519) % 170000000) AS DOUBLE)"
+                " / 1000000.0) - 85.0)")
+    lon = f"(CASE WHEN ({h1} % 10) < 3 THEN {lon_city} ELSE {lon_rand} END)"
+    lat = f"(CASE WHEN ({h1} % 10) < 3 THEN {lat_city} ELSE {lat_rand} END)"
+    tile = C.cell_sql(lon, lat, zoom)
+    return f"""
+WITH seeds AS (
+  SELECT (i * 2 + {base_seed}) AS seed
+  FROM generate_series(0, {n - 1}) AS t(i))
+SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN('img-' || lpad(CAST(seed AS VARCHAR), 12, '0')) AS first_image
+FROM seeds GROUP BY 1
+"""
 
 
 def q_image_phash_dedup(spark, sf_dir):
@@ -1299,6 +1419,9 @@ def oracle_sql() -> dict[str, str]:
         "term_salience": _SQL_TERM_SALIENCE,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "embedding_ann": _sql_embedding_ann(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "image_tile_join": _sql_image_tile_join(),
         "cell_encode": _sql_cell_encode(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),
@@ -1307,9 +1430,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _SQL_KNN_BRUTE,
         "knn_ring": _SQL_KNN_RING,
         "embedding_near_dup_exact": _SQL_EMBEDDING_NEAR_DUP_EXACT,
-        # minhash_pairs / simhash_pairs / embedding_ann / embedding_near_dup:
-        # seeded-hash or approximate ops → rows-only checks; exactness
-        # properties pinned in tests/ instead (knn_ring was upgraded to a
-        # value-exact oracle in round 2 via the planar metric + exactness
-        # margin).
+        # minhash_pairs / simhash_pairs / embedding_ivf: seeded xxhash64
+        # or k-means ops DuckDB cannot reproduce → rows-only; exactness
+        # properties pinned in tests/ instead (knn_ring, embedding_ann and
+        # embedding_near_dup were upgraded to value-exact in round 2; the
+        # image_*/audio_* queries run on synthesized binary payloads that
+        # have no DuckDB-side representation).
     }

@@ -169,6 +169,21 @@ def decode_png(buf: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    # fast path — the overwhelmingly common encoders (incl. ours) emit
+    # filter 0 (or 0/2) only; both undo as pure numpy (no per-row loop)
+    if (filters == 0).all():
+        return arr[:, 1:].copy().reshape(h, w, 3)
+    if np.isin(filters, (0, 2)).all():
+        # Up-filter runs add the prior reconstructed row: within a run of
+        # 2s this is a vertical cumsum; filter-0 rows reset the base
+        data = arr[:, 1:].astype(np.int64)
+        grp = np.cumsum(filters == 0)  # row-group id per filter-0 reset
+        out2 = np.zeros_like(data)
+        for g in np.unique(grp):
+            m = grp == g
+            out2[m] = np.cumsum(data[m], axis=0) % 256
+        return out2.astype(np.uint8).reshape(h, w, 3)
     out = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):
         f = int(arr[y, 0])

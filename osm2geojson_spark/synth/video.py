@@ -1,0 +1,81 @@
+"""Deterministic video table synthesizer + 'fpack' frame container.
+
+fpack is the video analogue of the qz6 image codec: a real, seekable,
+pure-stdlib container so the frame-sampling OPERATOR logic (header
+parse, O(1) frame seek, every-n selection, per-frame feature extraction)
+is genuinely exercised — real-world codecs (mp4/webm/mkv) stay behind
+NotImplementedError stubs in operators/video.py, same policy as
+jpeg/webp for images and mp3/flac for audio.
+
+Layout: ``FPK1\\n<n_frames> <w> <h> <fps>\\n`` + n_frames raw RGB24
+frames (fixed size ⇒ random access by index without decoding the rest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from osm2geojson_spark.synth.images import gen_pixels
+
+VIDEO_SCHEMA = ("media_id string, bytes binary, w int, h int, "
+                "n_frames int, fps int, fmt string")
+
+_MAGIC = b"FPK1\n"
+
+
+def encode_fpack(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    if not frames:
+        raise ValueError("fpack needs >= 1 frame")
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+    head = _MAGIC + b"%d %d %d %d\n" % (len(frames), w, h, fps)
+    return head + b"".join(f.astype(np.uint8).tobytes() for f in frames)
+
+
+def fpack_header(buf: bytes) -> tuple[int, int, int, int, int]:
+    """→ (n_frames, w, h, fps, data_offset)."""
+    if not buf.startswith(_MAGIC):
+        raise ValueError("not an fpack container")
+    end = buf.index(b"\n", len(_MAGIC))
+    n, w, h, fps = (int(x) for x in buf[len(_MAGIC):end].split())
+    return n, w, h, fps, end + 1
+
+def fpack_frame(buf: bytes, idx: int) -> np.ndarray:
+    """O(1) seek: fixed frame size ⇒ slice without touching other frames."""
+    n, w, h, fps, off = fpack_header(buf)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    sz = w * h * 3
+    start = off + idx * sz
+    frame = buf[start:start + sz]
+    if len(frame) != sz:
+        raise ValueError("truncated fpack frame data")
+    return np.frombuffer(frame, dtype=np.uint8).reshape(h, w, 3)
+
+
+def make_video_row(seed: int) -> tuple:
+    w = 16 + 8 * (seed % 3)
+    h = 16 + 8 * ((seed // 3) % 3)
+    n_frames = 4 + seed % 9
+    frames = [gen_pixels(seed + 31 * k, w, h) for k in range(n_frames)]
+    return (f"vid-{seed:012d}", encode_fpack(frames, fps=10), w, h,
+            n_frames, 10, "fpack")
+
+
+def video_table(spark: SparkSession, n: int = 200, seed: int = 66,
+                partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
+        for pdf in batches:
+            rows = [make_video_row(int(i) * 2 + seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
