@@ -69,3 +69,43 @@ def test_lsh_recall_floor(emb, exact, spark):
     rows = cosine_topk_lsh(emb, q, k=K, dim=64, n_planes=4, n_tables=12).collect()
     r = _recall(rows, exact)
     assert r >= 0.7, f"LSH recall@{K} = {r}"
+
+
+def test_ivf_matches_pure_numpy_recompute(emb, spark):
+    """Beyond the recall floor: the Spark IVF pipeline (UDF assignment →
+    cluster equi-join → window top-k) must EXACTLY equal a driver-side
+    numpy recompute with the same centroids — pins the distributed
+    plumbing, not just the quality."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import kmeans_centroids
+
+    k, n_centroids, nprobe = 5, 8, 3
+    cent = kmeans_centroids(emb, n_centroids=n_centroids, sample=1000)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    got = {(r["query_id"], r["rank"]): (r["corpus_id"], r["cosine"])
+           for r in cosine_topk_ivf(emb, q, k=k, n_centroids=n_centroids,
+                                    nprobe=nprobe, centroids=cent).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    corpus_cluster = np.argmax(Xn @ cent.T, axis=1)
+    want = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= N_QUERIES:
+            continue
+        probes = np.argsort(-(Xn[qi] @ cent.T))[:nprobe]
+        cand = np.flatnonzero(np.isin(corpus_cluster, probes))
+        # same double arithmetic as cosine_expr: dot / (|a| * |b|)
+        dots = X[cand] @ X[qi]
+        cos = dots / (np.linalg.norm(X[cand], axis=1) * np.linalg.norm(X[qi]))
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
+        for rank, j in enumerate(order[:k], start=1):
+            want[(int(ids[qi]), rank)] = (int(ids[cand[j]]), cos[j])
+    assert set(got) == set(want)
+    for key, (cid, cos) in want.items():
+        gcid, gcos = got[key]
+        assert gcid == cid, key
+        assert abs(gcos - cos) < 1e-12, key
