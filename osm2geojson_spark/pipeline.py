@@ -81,14 +81,30 @@ def osm_to_geojson(
     xml_path: str,
     out_dir: str | None = None,
     reference_strict: bool = False,
+    distributed: bool = False,
 ) -> dict[str, DataFrame]:
     """XML dump → categorized GeoJSON feature streams.
 
     Returns {"pois", "ways", "relations"(unless strict), "quarantine"};
     when ``out_dir`` is given, each stream is also written as gzip
     JSON-lines under the reference's file names (osm-pois.gz layout,
-    OsmPostProcessor.java:39-41)."""
-    tabs = read_osm_xml(spark, xml_path)
+    OsmPostProcessor.java:39-41).
+
+    ``distributed=True`` routes ingest through
+    :func:`~osm2geojson_spark.sources.osm_xml.read_osm_blobs_distributed`
+    — the reference's headline planet case ("30 GB .osm.bz2, DONOT
+    expand it", README.md:37) as ONE call: the single compressed file is
+    split across tasks with exact boundary stitching, instead of the
+    per-file wholetext scan."""
+    if distributed:
+        from osm2geojson_spark.sources.osm_xml import (
+            parse_osm_blobs,
+            read_osm_blobs_distributed,
+        )
+
+        tabs = parse_osm_blobs(read_osm_blobs_distributed(spark, xml_path))
+    else:
+        tabs = read_osm_xml(spark, xml_path)
     complete_ways = assemble_ways(tabs["nodes"], tabs["ways"])
     out: dict[str, DataFrame] = {
         "pois": node_features(tabs["nodes"]),

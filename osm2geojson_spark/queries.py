@@ -673,6 +673,34 @@ FROM orders
 """
 
 
+def q_lead_lag(spark, sf_dir):
+    """Offset window functions: per customer, each order's gap to the
+    previous/next order (lead/lag with defaults) + quartile bucket
+    (ntile). Deterministic order: (o_orderdate, o_orderkey)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_SQL_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey, 1, -1) OVER w AS prev_key,
+       LEAD(o_orderkey, 1, -1) OVER w AS next_key,
+       CAST(date_diff('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM orders WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_cube(spark, sf_dir):
     """CUBE grouping sets over two dims."""
     orders = _t(spark, sf_dir, "orders")
@@ -1356,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "dedup_kv": q_dedup_kv,
         "running_sum": q_running_sum,
+        "lead_lag": q_lead_lag,
         "string_scalar": q_string_scalar,
         "events_hourly": q_events_hourly,
         "json_props": q_json_props,
@@ -1408,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "cube": _SQL_CUBE,
         "dedup_kv": _SQL_DEDUP_KV,
         "running_sum": _SQL_RUNNING_SUM,
+        "lead_lag": _SQL_LEAD_LAG,
         "string_scalar": _SQL_STRING_SCALAR,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "json_props": _SQL_JSON_PROPS,

@@ -186,3 +186,11 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_way_bbox_adds_no_exchange_beyond_assembly(spark):
+    """Feature enrichment must stay narrow: the bbox array-exprs run on
+    the already-collected chain, so the plan has exactly the two
+    exchanges way assembly itself pays (edge join + groupBy collect)."""
+    plan = plan_of(Q.q_way_bbox(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
