@@ -77,13 +77,19 @@ class IcebergLikeTable:
         df: DataFrame,
         partition_by: str | None = None,
         summary: dict | None = None,
+        overwrite: bool = False,
     ) -> dict:
         """Write ``df`` as a new snapshot. With ``partition_by``, data
         files land under ``<col>=<val>`` dirs and each manifest entry
         records its partition value (metadata-only partition pruning).
         Returns the new snapshot dict. The commit point is the atomic
         version-hint swap at the very end — everything before it is
-        invisible to readers."""
+        invisible to readers.
+
+        ``overwrite=True`` makes this a REPLACE commit: the new
+        snapshot's manifest list contains only this write (previous
+        snapshots stay readable via time travel until expired) — the
+        building block for compaction."""
         os.makedirs(self.meta_dir, exist_ok=True)
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.root, "data", commit_id)
@@ -108,8 +114,9 @@ class IcebergLikeTable:
             json.dump({"entries": entries}, f)
 
         prev = self._metadata()
-        prev_manifests = (prev["snapshots"][-1]["manifests"] if prev and
-                          prev["snapshots"] else [])
+        prev_manifests = [] if overwrite else (
+            prev["snapshots"][-1]["manifests"] if prev and
+            prev["snapshots"] else [])
         snap = {
             "snapshot_id": (prev["snapshots"][-1]["snapshot_id"] + 1
                             if prev and prev["snapshots"] else 1),
@@ -171,6 +178,27 @@ class IcebergLikeTable:
         return out
 
     # ------------------------------------------------------------ maintenance
+    def compact(self, spark: SparkSession,
+                files_per_partition: int = 1) -> dict:
+        """Small-file compaction — at 100 TB, per-wave appends accumulate
+        thousands of files per partition and scan planning degrades.
+        Rewrites the CURRENT snapshot into ``files_per_partition`` files
+        per partition value as a single REPLACE commit (atomic hint
+        swap; readers see old-or-new, never a mix; prior snapshots stay
+        time-travelable until expire_snapshots GCs them).
+        Returns {files_before, files_after}."""
+        before = len(self._files())
+        md = self._metadata()
+        part = md.get("partition_by") if md else None
+        df = self.read(spark)
+        if part:
+            df = df.repartition(files_per_partition, part)
+        else:
+            df = df.coalesce(files_per_partition)
+        self.append(df, partition_by=part,
+                    summary={"operation": "compact"}, overwrite=True)
+        return {"files_before": before, "files_after": len(self._files())}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg-style table maintenance: drop all but the newest
         ``keep_last`` snapshots from metadata, then garbage-collect every

@@ -218,6 +218,40 @@ def test_iceberg_expire_snapshots_gc(spark, root):
     assert out.count() == 400 and not calls
 
 
+def test_iceberg_compact_small_files(spark, root):
+    """Compaction: many per-wave files → one file per partition value in
+    a single REPLACE commit; rows identical, bucket-resume intact,
+    pre-compaction snapshot still time-travelable until expiry."""
+    from osm2geojson_spark.plans.checkpoint import iceberg_completed_buckets
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    src = spark.range(600)
+    bucket = F.pmod(F.col("id"), F.lit(6))
+    run_bucketed_stage(spark, root, "cmp", src,
+                       lambda df: df.repartition(3), bucket,
+                       n_buckets=6, buckets_per_wave=1, layout="iceberg")
+    tbl = IcebergLikeTable(f"{root}/cmp")
+    pre_snap = tbl.snapshots()[-1]["snapshot_id"]
+    stats = tbl.compact(spark)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 6               # one per bucket value
+    assert tbl.read(spark).count() == 600
+    assert tbl.read(spark).select("id").distinct().count() == 600
+    # prior snapshot still readable (time travel) until expiry
+    assert tbl.read(spark, snapshot_id=pre_snap).count() == 600
+    # resume still sees all buckets committed
+    assert iceberg_completed_buckets(root, "cmp") == set(range(6))
+    calls = []
+    out = run_bucketed_stage(spark, root, "cmp", src,
+                             lambda df: (calls.append(1), df)[1], bucket,
+                             n_buckets=6, buckets_per_wave=1, layout="iceberg")
+    assert out.count() == 600 and not calls
+    # expiry GCs the old small files
+    tbl.expire_snapshots(keep_last=1)
+    assert len(tbl._files()) == 6
+    assert tbl.read(spark).count() == 600
+
+
 def test_iceberg_time_travel_and_partition_pruning(spark, root):
     from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
 
