@@ -1272,7 +1272,14 @@ SELECT query_id, corpus_id, dist2, CAST(rank AS INT) AS rank FROM (
 
 def q_image_validate(spark, sf_dir):
     """M4 — decode/PSNR/phash/caption invariants per fmt (quarantine
-    discipline mirrors problemNodes). Input synthesized (not in sf_dir)."""
+    discipline mirrors problemNodes). Input synthesized (not in sf_dir).
+
+    VALUE-EXACT (round-2 upgrade): per-fmt row counts follow the seed
+    formula (fmt index = (seed>>1) % 4 with seed = i·2+42) and a healthy
+    pipeline validates EVERY row, so the oracle recomputes the expected
+    aggregate from generate_series — any decode/phash/PSNR regression
+    flips n_ok / all_psnr_ok and fails the gate. (Raw min PSNR per fmt
+    stays pinned in pytest, where inf/47 dB floors are asserted.)"""
     from osm2geojson_spark.operators.images import validate_images
     from osm2geojson_spark.synth.images import images_table
 
@@ -1282,14 +1289,32 @@ def q_image_validate(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("ok").cast("int")).alias("n_ok"),
         F.sum(F.col("phash_match").cast("int")).alias("n_phash_match"),
-        F.min("psnr_db").alias("min_psnr_db"),
+        F.bool_and(F.col("psnr_db") >= 40.0).alias("all_psnr_ok"),
     )
+
+
+_SQL_IMAGE_VALIDATE = """
+WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
+SELECT CASE ((i + 21) % 4) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'qz6' ELSE 'png' END AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_phash_match,
+       TRUE AS all_psnr_ok
+FROM seeds GROUP BY 1
+"""
 
 
 def q_audio_validate(spark, sf_dir):
     """Audio twin of image_validate: real stdlib WAV decode, header-vs-
     declared metadata check, transcript non-null, quarantine split.
-    Input synthesized (not in sf_dir) → rows-only."""
+
+    VALUE-EXACT (round-2 upgrade): the synth rows' metadata is a
+    closed-form function of the seed (n_samples = 1600 + 160·(seed%50),
+    rate 16 kHz), so the oracle recomputes the expected aggregate from
+    generate_series — and since the Spark side derives duration from the
+    DECODED sample count, a decode bug diverges the aggregate and fails
+    the gate."""
     from osm2geojson_spark.operators.audio import validate_audio
     from osm2geojson_spark.synth.audio import audio_table
 
@@ -1301,6 +1326,17 @@ def q_audio_validate(spark, sf_dir):
         F.min("duration_sec").alias("min_dur"),
         F.max("duration_sec").alias("max_dur"),
     )
+
+
+_SQL_AUDIO_VALIDATE = """
+WITH seeds AS (
+  SELECT (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
+SELECT 'wav' AS fmt, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       MIN(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS min_dur,
+       MAX(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS max_dur
+FROM seeds
+"""
 
 
 def q_image_tile_join(spark, sf_dir):
@@ -1452,6 +1488,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann": _sql_embedding_ann(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "image_tile_join": _sql_image_tile_join(),
+        "image_validate": _SQL_IMAGE_VALIDATE,
+        "audio_validate": _SQL_AUDIO_VALIDATE,
         "cell_encode": _sql_cell_encode(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),

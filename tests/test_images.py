@@ -200,3 +200,31 @@ def test_phash_near_dup_finds_planted_dup(spark, images):
     pairs = phash_near_dup_pairs(images.unionByName(dup)).collect()
     found = {(p["id_a"], p["id_b"]) for p in pairs}
     assert any(src["image_id"] in pair and "dup-0" in pair for pair in found)
+
+
+def test_phash_near_dup_matches_pure_python(spark, images):
+    """Value-exact twin for the rows-only image_phash_dedup query: the
+    banded-LSH candidate generation + hamming filter recomputed in pure
+    Python over the same stored phashes must match pair-for-pair."""
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dup_pairs(images, max_hamming=6).collect()}
+
+    rows = [(r["image_id"], r["phash"] & ((1 << 64) - 1))
+            for r in images.collect()]
+    cand = set()
+    for b in range(4):
+        buckets: dict[int, list[str]] = {}
+        for iid, h in rows:
+            buckets.setdefault((h >> (16 * b)) & 0xFFFF, []).append(iid)
+        for members in buckets.values():
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+    hs = dict(rows)
+    want = {}
+    for a, b in cand:
+        ham = bin(hs[a] ^ hs[b]).count("1")
+        if ham <= 6:
+            want[(a, b)] = ham
+    assert got == want
