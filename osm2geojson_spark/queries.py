@@ -522,6 +522,48 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every purchase event matched to
+    the user's most recent PRECEDING click (right side pre-aggregated to
+    unique (user, ts) so DuckDB's native ASOF JOIN is an exact twin).
+    Timestamps emitted as epoch seconds (cross-engine-stable ints)."""
+    from osm2geojson_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = (ev.filter(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("click_value")))
+    out = asof_join(left, right, by="user_id", value_cols=["click_value"])
+    # truncating epoch (determinism rules): unix_timestamp floors but
+    # DuckDB's date_part('epoch') rounds sub-second parts — timestampdiff
+    # truncates in both engines
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    rsec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_asof)")
+    return out.select(
+        "event_id", "user_id", sec.alias("l_sec"), rsec.alias("r_sec"),
+        "click_value_asof",
+    ).withColumnRenamed("click_value_asof", "click_value")
+
+
+_SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, MAX(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id,
+       CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                     CAST(l.ts AS TIMESTAMP)) AS BIGINT) AS l_sec,
+       CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                     CAST(r.ts AS TIMESTAMP)) AS BIGINT) AS r_sec,
+       r.click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond rollup/cube): the two marginal
     distributions of (returnflag, linestatus) in ONE pass — spark.sql
@@ -1415,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "grouping_sets": q_grouping_sets,
+        "asof_join": q_asof_join,
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "cube": q_cube,
@@ -1468,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
         "grouping_sets": _SQL_GROUPING_SETS,
+        "asof_join": _SQL_ASOF_JOIN,
         "pivot": _sql_pivot(),
         "percentiles": _SQL_PERCENTILES,
         "cube": _SQL_CUBE,

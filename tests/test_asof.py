@@ -1,0 +1,66 @@
+"""As-of join correctness (vs brute-force python) + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators.asof import asof_join
+
+
+def _brute(left, right):
+    out = {}
+    for lid, k, lts in left:
+        best = None
+        for rk, rts, v in right:
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        out[lid] = best
+    return out
+
+
+def test_asof_matches_bruteforce(spark):
+    left_rows = [(i, i % 3, 10 * i + 5) for i in range(30)]
+    right_rows = [(k, t, float(100 * k + t))
+                  for k in range(3) for t in range(0, 300, 7)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double")
+    got = {r["lid"]: (r["ts_asof"], r["v_asof"])
+           for r in asof_join(left, right, by="k").collect()}
+    want = _brute(left_rows, right_rows)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == best, lid
+
+
+def test_asof_tie_at_equal_ts_matches(spark):
+    """right.ts == left.ts counts as preceding (≤ semantics)."""
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, k long, ts long")
+    right = spark.createDataFrame([(0, 100, 7.0), (0, 99, 5.0)],
+                                  "k long, ts long, v double")
+    r = asof_join(left, right, by="k").collect()[0]
+    assert (r["ts_asof"], r["v_asof"]) == (100, 7.0)
+
+
+def test_asof_no_preceding_row_is_null(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, k long, ts long")
+    right = spark.createDataFrame([(0, 50, 1.0)], "k long, ts long, v double")
+    r = asof_join(left, right, by="k").collect()[0]
+    assert r["ts_asof"] is None and r["v_asof"] is None
+
+
+def test_asof_single_shuffle(spark):
+    """Plan shape: union + ONE window exchange on the key — no
+    range-join explosion, no extra shuffles."""
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") % 5).alias("k"),
+        (F.col("id") * 3).alias("ts"))
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 7).alias("ts"),
+        F.col("id").cast("double").alias("v"))
+    plan = asof_join(left, right, by="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
