@@ -1,0 +1,44 @@
+"""Temporal range (interval) join — the time-axis analog of the spatial
+distance join (spatial/tiles.distance_join): match every point event to
+every interval containing it WITHOUT a theta join.
+
+Naive `ev.join(iv, (start <= t) & (t <= end))` is a broadcast-nested-
+loop / cartesian plan — quadratic at scale. Here the time axis is
+bucketed: intervals explode into the O(len/bucket) buckets they cover,
+events map to ONE bucket (narrow expr), and the join is an equi-join on
+(key, bucket) + a residual containment filter. Each event-bucket matches
+an overlapping interval exactly once (the event has a single bucket), so
+no dedup pass is needed. Shuffle is keyed on (key, bucket) — AQE-
+splittable when one bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "t",
+    start: str = "start",
+    end: str = "end",
+    bucket: int = 32,
+) -> DataFrame:
+    """events(…, on, ts) ⋈ intervals(…, on, start, end) where
+    start ≤ ts ≤ end (inclusive ends; integer time axis — days, seconds,
+    whatever the caller normalized to). ``bucket`` is the time-bucket
+    width: candidate fan-out per interval is len/bucket + 1 rows."""
+    ev = events.withColumn("_b", F.floor(F.col(ts) / bucket))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(F.floor(F.col(start) / bucket),
+                       F.floor(F.col(end) / bucket))),
+    )
+    joined = ev.join(iv, [on, "_b"])
+    return joined.filter(
+        (F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end))
+    ).drop("_b")

@@ -564,6 +564,42 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Temporal range join (operators/ranges.py): orders as point events
+    vs synthetic per-order validity windows of the same customers —
+    bucketed prefilter + residual containment, never a theta join.
+    Day-integer time axis (exact ints both engines)."""
+    from osm2geojson_spark.operators.ranges import interval_join
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    ev = orders.select(F.col("o_orderkey").alias("event_key"),
+                       F.col("o_custkey").alias("ck"), day.alias("t"))
+    iv = orders.select(F.col("o_orderkey").alias("interval_key"),
+                       F.col("o_custkey").alias("ck"),
+                       day.alias("start"),
+                       (day + F.col("o_orderkey") % 45).alias("end"))
+    out = interval_join(ev, iv, on="ck", ts="t", start="start", end="end",
+                        bucket=16)
+    return out.select("ck", "event_key", "interval_key", "t", "start", "end")
+
+
+_SQL_INTERVAL_JOIN = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS INT) AS day
+  FROM orders WHERE o_custkey <= 30)
+SELECT e.o_custkey AS ck, e.o_orderkey AS event_key,
+       i.o_orderkey AS interval_key, e.day AS t,
+       i.day AS start, (i.day + (i.o_orderkey % 45)) AS "end"
+FROM o e JOIN o i
+  ON e.o_custkey = i.o_custkey
+ AND i.day <= e.day AND e.day <= (i.day + (i.o_orderkey % 45))
+"""
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond rollup/cube): the two marginal
     distributions of (returnflag, linestatus) in ONE pass — spark.sql
@@ -1458,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "grouping_sets": q_grouping_sets,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "cube": q_cube,
@@ -1512,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup": _SQL_ROLLUP,
         "grouping_sets": _SQL_GROUPING_SETS,
         "asof_join": _SQL_ASOF_JOIN,
+        "interval_join": _SQL_INTERVAL_JOIN,
         "pivot": _sql_pivot(),
         "percentiles": _SQL_PERCENTILES,
         "cube": _SQL_CUBE,

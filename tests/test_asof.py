@@ -64,3 +64,37 @@ def test_asof_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from osm2geojson_spark.operators.ranges import interval_join
+
+    ev_rows = [(i, i % 4, 13 * i % 500) for i in range(60)]
+    iv_rows = [(100 + j, j % 4, 20 * j % 450, 20 * j % 450 + (j * 7) % 90)
+               for j in range(40)]
+    ev = spark.createDataFrame(ev_rows, "eid long, k long, t long")
+    iv = spark.createDataFrame(iv_rows, "iid long, k long, start long, end long")
+    got = {(r["eid"], r["iid"]) for r in
+           interval_join(ev, iv, on="k", ts="t", bucket=32).collect()}
+    want = {(e, i) for e, ek, t in ev_rows for i, ik, s, en in iv_rows
+            if ek == ik and s <= t <= en}
+    assert got == want and want
+
+
+def test_interval_join_no_theta_plan(spark):
+    """The whole point: NO cartesian/nested-loop node; an equi-join on
+    (key, bucket) carries the work."""
+    from osm2geojson_spark.operators.ranges import interval_join
+
+    ev = spark.range(1000).select(F.col("id").alias("eid"),
+                                  (F.col("id") % 8).alias("k"),
+                                  (F.col("id") * 3 % 999).alias("t"))
+    iv = spark.range(300).select(F.col("id").alias("iid"),
+                                 (F.col("id") % 8).alias("k"),
+                                 (F.col("id") * 5 % 900).alias("start"),
+                                 (F.col("id") * 5 % 900 + 50).alias("end"))
+    plan = interval_join(ev, iv, on="k", ts="t") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
