@@ -138,6 +138,8 @@ BENCH_QUERIES = {
     "minhash_pairs": Q.q_minhash_pairs,
     "embedding_topk": Q.q_embedding_topk,
     "knn_ring": Q.q_knn_ring,
+    "vocab_topk": Q.q_vocab_topk,
+    "asof_join": Q.q_asof_join,
 }
 
 
