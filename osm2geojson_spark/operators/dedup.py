@@ -337,3 +337,65 @@ def simhash_near_dup_pairs(
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → (id, cluster_id) with
+    cluster_id = the smallest id reachable through the dup graph — the
+    step that turns pairwise dedup output into droppable groups.
+
+    Distributed min-label propagation (the standard large-graph CC
+    recipe): labels start as own id; each round every node takes the min
+    of its label and its neighbors' labels — one equi-join + groupBy per
+    round, frontier persisted, loop exits when a round changes nothing
+    (driver checks ONE count per round, never row data). Rounds needed =
+    graph diameter ≤ O(log n) on typical dup clusters; ``max_iters``
+    bounds adversarial chains.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist) on the loop-carried frontier: it
+    # TRUNCATES the logical plan, so round N's analysis cost stays O(1)
+    # instead of O(N) — without it, Catalyst re-analyzes an ever-deeper
+    # lineage every round and iteration time explodes past ~15 rounds
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+                .alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select("id", "label")
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
+
+
+def dedup_keep_list(pairs: DataFrame) -> DataFrame:
+    """(id, cluster_id, keep) — keep=true for the cluster representative
+    (min id). Drop rows with keep=false to dedup the corpus."""
+    cl = dup_clusters(pairs)
+    return cl.withColumn("keep", F.col("id") == F.col("cluster_id"))

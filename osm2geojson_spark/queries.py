@@ -984,6 +984,40 @@ WHERE CAST(length(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: n-gram Jaccard pairs → transitive closure via
+    distributed min-label propagation (operators/dedup.dup_clusters) —
+    the step that turns pairwise dedup output into droppable groups.
+    Oracle: the same pair SQL + a recursive-CTE connected components."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return DD.dup_clusters(pairs.select("id_a", "id_b"))
+
+
+def _sql_dup_clusters() -> str:
+    # reuse the ngram pair CTEs, then min-label closure as a recursive CTE
+    body = _SQL_NGRAM_JACCARD.strip()
+    assert body.startswith("WITH ")
+    pair_ctes = body[len("WITH "):body.index("SELECT id_a")]
+    pair_select = body[body.index("SELECT id_a"):]
+    return f"""
+WITH RECURSIVE {pair_ctes.rstrip()},
+dup_pairs AS ({pair_select}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup_pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r AS r
+  FROM reach JOIN edges e ON (e.src = reach.id)
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (xxhash64 seeds — no DuckDB twin;
     rows-only check; exactness pinned by pytest property tests)."""
@@ -1511,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "term_salience": q_term_salience,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
@@ -1566,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "term_salience": _SQL_TERM_SALIENCE,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dup_clusters": _sql_dup_clusters(),
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_ann": _sql_embedding_ann(),
         "embedding_near_dup": _sql_embedding_near_dup(),

@@ -197,3 +197,33 @@ def test_ivf_centroids_deterministic_across_layout(spark):
     c1 = kmeans_centroids(emb.repartition(1), n_centroids=8, sample=200)
     c2 = kmeans_centroids(emb.repartition(7, "vec_id"), n_centroids=8, sample=200)
     assert np.array_equal(c1, c2)
+
+
+def test_dup_clusters_components(spark):
+    """Min-label propagation: chain, clique, and pair converge to their
+    min-id roots; keep-list marks exactly one representative each."""
+    from osm2geojson_spark.operators.dedup import dedup_keep_list, dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (11, 12),    # clique {10,11,12}
+         (20, 21)],                       # pair
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keep = {r["id"]: r["keep"] for r in dedup_keep_list(pairs).collect()}
+    assert {k for k, v in keep.items() if v} == {1, 10, 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path needs diameter rounds of min-label propagation;
+    the loop (localCheckpoint-truncated lineage) must converge within
+    max_iters and label everything with the chain head."""
+    from osm2geojson_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, max_iters=20).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
