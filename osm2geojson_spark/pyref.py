@@ -1,0 +1,349 @@
+"""Pure-Python/numpy reference implementations — NO Spark imports.
+
+Two consumers:
+
+- ``tests/test_hash_parity.py`` / ``tests/test_similarity.py`` pin the
+  Spark operators bit-for-bit against these functions on tiny inputs.
+- ``queries.py`` uses them to generate **literal-table DuckDB oracles**
+  (``VALUES`` lists) for the operators DuckDB cannot express natively
+  (seeded xxhash64 minhash/simhash banding, numpy k-means IVF): the
+  expected output is recomputed here from the parquet bytes alone and
+  inlined into the oracle SQL, so the driver's gate gets a value-exact
+  row for them instead of ``no_oracle``.
+
+The XXH64 core is the public algorithm (Collet 2012, BSD spec); Spark's
+``F.xxhash64`` chains multi-column input by re-seeding with the running
+hash (seed 42 start), with IntegerType contributing 4 LE bytes and
+LongType 8 LE bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import lru_cache
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+MINHASH_P = 2_147_483_647  # mirrors operators.dedup._P
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 over bytes (unsigned 64-bit result)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            v1 = _round(v1, struct.unpack_from("<Q", data, i)[0])
+            v2 = _round(v2, struct.unpack_from("<Q", data, i + 8)[0])
+            v3 = _round(v3, struct.unpack_from("<Q", data, i + 16)[0])
+            v4 = _round(v4, struct.unpack_from("<Q", data, i + 24)[0])
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round(0, struct.unpack_from("<Q", data, i)[0])
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (struct.unpack_from("<I", data, i)[0] * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+@lru_cache(maxsize=1 << 20)
+def spark_xxhash64_str(s: str, seed: int = 42) -> int:
+    """Spark ``F.xxhash64(string_col)`` == XXH64(utf8, seed 42), signed."""
+    return signed64(xxh64(s.encode("utf-8"), seed))
+
+
+def spark_xxhash64_str_long(s: str, i: int) -> int:
+    """``F.xxhash64(string_col, long_col)``: LongType → 8 LE bytes."""
+    h1 = xxh64(s.encode("utf-8"), 42)
+    return signed64(xxh64(struct.pack("<q", i), h1))
+
+
+@lru_cache(maxsize=1 << 20)
+def spark_xxhash64_str_lit(s: str, i: int) -> int:
+    """``F.xxhash64(string_col, F.lit(i))``: small-int lit is IntegerType
+    → 4 LE bytes (unlike a DataFrame int column, which is LongType)."""
+    h1 = xxh64(s.encode("utf-8"), 42)
+    return signed64(xxh64(struct.pack("<i", i), h1))
+
+
+# ----------------------------------------------------------------- text ops
+
+
+def normalize_text(s: str) -> str:
+    """Twin of ``operators.dedup.normalize_text``: Java ``trim`` (strips
+    code points ≤ U+0020), lower, collapse Java ``\\s`` runs to one
+    space. Java \\s is ASCII-only ([ \\t\\n\\x0B\\f\\r]) — Python's re
+    \\s is unicode-aware, so spell the class out."""
+    import re
+
+    start, end = 0, len(s)
+    while start < end and s[start] <= " ":
+        start += 1
+    while end > start and s[end - 1] <= " ":
+        end -= 1
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s[start:end].lower())
+
+
+def shingle_set(text: str, n: int = 3) -> set[str]:
+    """Twin of ``operators.dedup.shingle_postings`` per-doc shingle set:
+    distinct word n-grams; docs with < n tokens contribute the whole
+    normalized token string."""
+    norm = normalize_text(text)
+    toks = norm.split(" ")
+    if len(toks) >= n:
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    return {norm}
+
+
+def minhash_signature(shingles: set[str], num_hashes: int = 32,
+                      seed: int = 7) -> list[int]:
+    """Twin of ``operators.dedup.minhash_signatures``."""
+    base = [abs(spark_xxhash64_str_lit(g, seed)) % MINHASH_P for g in shingles]
+    return [
+        min((h * (2 * i + 1) + 7919 * (i + 1)) % MINHASH_P for h in base)
+        for i in range(num_hashes)
+    ]
+
+
+def _band_pairs(buckets: dict) -> set[tuple]:
+    """Pairs (a<b) sharing ANY bucket."""
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def ref_minhash_pairs(docs: list[tuple], num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3) -> list[tuple]:
+    """Twin of ``operators.dedup.minhash_lsh_pairs`` (defaults): banded
+    minhash LSH candidates + exact shingle-Jaccard. ``docs`` is
+    [(doc_id, text)]; returns [(id_a, id_b, jaccard)] with the SAME
+    IEEE-double jaccard Spark computes (int/int division)."""
+    rows_per_band = num_hashes // bands
+    shingles = {i: shingle_set(t, shingle_n) for i, t in docs}
+    buckets: dict = {}
+    for i, _ in docs:
+        sig = minhash_signature(shingles[i], num_hashes)
+        for b in range(bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            # Spark: xxhash64(concat_ws(",", slice(sig, ...))) seed 42
+            bucket = spark_xxhash64_str(",".join(str(v) for v in chunk))
+            buckets.setdefault((b, bucket), []).append(i)
+    out = []
+    for a, b in _band_pairs(buckets):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        out.append((a, b, float(inter) / float(union)))
+    return out
+
+
+def simhash64(text: str, seed: int = 11) -> int:
+    """Twin of ``operators.dedup.simhash_expr`` (signed 64-bit)."""
+    counts = [0] * 64
+    for t in normalize_text(text).split(" "):
+        if t == "":
+            continue
+        h = spark_xxhash64_str_lit(t, seed) & _M
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if counts[b] > 0:
+            v |= 1 << b
+    return signed64(v)
+
+
+def _chunk16_pairs_hamming(items: list[tuple], max_hamming: int) -> list[tuple]:
+    """Shared 4x16-bit band LSH + exact hamming over [(id, signed_h)] —
+    twin of both simhash_near_dup_pairs and phash_near_dup_pairs."""
+    buckets: dict = {}
+    hmap = dict(items)
+    for i, h in items:
+        for b in range(4):
+            # python >> on negative ints is arithmetic, same as Java
+            chunk = (h >> (16 * b)) & 0xFFFF
+            buckets.setdefault((b, chunk), []).append(i)
+    out = []
+    for a, b in _band_pairs(buckets):
+        ham = bin((hmap[a] ^ hmap[b]) & _M).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
+def ref_simhash_pairs(docs: list[tuple], max_hamming: int = 3) -> list[tuple]:
+    """Twin of ``operators.dedup.simhash_near_dup_pairs`` (defaults)."""
+    return _chunk16_pairs_hamming(
+        [(i, simhash64(t)) for i, t in docs], max_hamming)
+
+
+# ------------------------------------------------------------- embeddings
+
+
+def dot_fold(a: list[float], b: list[float]) -> float:
+    """Twin of ``operators.similarity.dot_expr``: left-associated
+    IEEE-double accumulation in index order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def cosine_fold(a: list[float], b: list[float]) -> float:
+    """Twin of ``operators.similarity.cosine_expr`` (same op order)."""
+    import math
+
+    return dot_fold(a, b) / (math.sqrt(dot_fold(a, a)) * math.sqrt(dot_fold(b, b)))
+
+
+def kmeans_core(x, n_centroids: int, iters: int = 8, seed: int = 13):
+    """The numpy Lloyd's loop shared (verbatim math) with
+    ``operators.similarity.kmeans_centroids`` — rows of ``x`` must
+    already be the orderBy(id).limit(sample) sample, float64."""
+    import numpy as np
+
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ref_ivf_topk(ids: list[int], vecs: list[list[float]],
+                 query_max_id: int = 10, k: int = 5, n_centroids: int = 16,
+                 nprobe: int = 6, sample: int = 4096, seed: int = 13,
+                 iters: int = 8) -> list[tuple]:
+    """Twin of ``operators.similarity.cosine_topk_ivf`` with the catalog's
+    parameters: numpy k-means coarse quantizer (sorted-limit sample),
+    argsort cluster assignment, candidate equi-join on cluster id, exact
+    fold-order cosines, rank by (cosine desc, corpus_id asc)."""
+    import numpy as np
+
+    order = np.argsort(np.asarray(ids), kind="stable")
+    xs = np.asarray([vecs[i] for i in order[:sample]], dtype=np.float64)
+    cent = kmeans_core(xs, n_centroids, iters, seed)
+
+    def assign(rows: list[list[float]], nprobe_: int):
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        return np.argsort(-sims, axis=1)[:, :nprobe_].astype(np.int32)
+
+    corpus_cluster = assign(vecs, 1)[:, 0]
+    cluster_members: dict = {}
+    for idx, cid in enumerate(corpus_cluster):
+        cluster_members.setdefault(int(cid), []).append(idx)
+
+    q_idx = [i for i, vid in enumerate(ids) if vid < query_max_id]
+    q_probes = assign([vecs[i] for i in q_idx], nprobe)
+    out = []
+    for qi, probes in zip(q_idx, q_probes):
+        qv = [float(v) for v in vecs[qi]]
+        cand = []
+        for cid in probes:
+            for ci in cluster_members.get(int(cid), []):
+                cv = [float(v) for v in vecs[ci]]
+                cand.append((ids[ci], cosine_fold(qv, cv)))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid_, cos) in enumerate(cand[:k], start=1):
+            out.append((ids[qi], cid_, cos, rank))
+    return out
+
+
+# ---------------------------------------------------------------- images
+
+
+def ref_phash_pairs(n: int = 500, seed: int = 42,
+                    max_hamming: int = 10) -> list[tuple]:
+    """Twin of the ``image_phash_dedup`` catalog query: re-synthesize the
+    deterministic image table's phash column (pure numpy encode→decode→
+    aHash, no Spark) and band-join it exactly like simhash."""
+    from osm2geojson_spark.synth.images import make_image_row
+
+    items = []
+    for i in range(n):
+        row = make_image_row(i * 2 + seed)
+        items.append((row[0], row[6]))  # (image_id, phash)
+    return _chunk16_pairs_hamming(items, max_hamming)
+
+
+# -------------------------------------------------------------- SQL emit
+
+
+def _sql_literal(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "DOUBLE":
+        # VARCHAR→DOUBLE goes through strtod (correctly rounded), so the
+        # exact IEEE double survives. A bare decimal literal would NOT:
+        # DuckDB types it DECIMAL and the decimal→double cast is lossy
+        # once the scaled mantissa exceeds 2^53.
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    return f"CAST({int(v)} AS {typ})"
+
+
+def values_sql(rows: list[tuple], colspec: list[tuple]) -> str:
+    """Literal-table SELECT: ``rows`` inlined as VALUES with per-column
+    DuckDB casts. ``colspec`` = [(name, ducktype)]. Zero rows → typed
+    empty relation (WHERE FALSE)."""
+    names = ", ".join(n for n, _ in colspec)
+    if not rows:
+        cols = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in colspec)
+        return f"SELECT {cols} WHERE FALSE"
+    vals = ",\n".join(
+        "(" + ", ".join(_sql_literal(v, t) for v, (_, t) in zip(r, colspec)) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n{vals}\n) AS t({names})"

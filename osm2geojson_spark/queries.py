@@ -1032,6 +1032,69 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# literal-table oracles (pure-Python/numpy reference → DuckDB VALUES)
+#
+# DuckDB cannot reproduce Spark's seeded xxhash64 or run numpy k-means, so
+# the minhash/simhash/IVF/phash oracles are generated instead: the expected
+# output is recomputed from the parquet (or deterministic synth seed) by the
+# Spark-free reference implementations in ``pyref`` and inlined as a VALUES
+# table. The driver compares at sf0.01, so the generators read that dir
+# (overridable via SPARK_GRAFT_ORACLE_SF_DIR for local experiments).
+
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR_DEFAULT)
+
+
+def _oracle_parquet(table: str, columns: list[str]) -> list[tuple]:
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(f"{_oracle_sf_dir()}/{table}.parquet", columns=columns)
+    return list(zip(*(tb.column(c).to_pylist() for c in columns)))
+
+
+def _sql_minhash_pairs() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_minhash_pairs(_oracle_parquet("documents", ["doc_id", "text"]))
+    return pyref.values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard", "DOUBLE")])
+
+
+def _sql_simhash_pairs() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_simhash_pairs(_oracle_parquet("documents", ["doc_id", "text"]))
+    return pyref.values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INT")])
+
+
+def _sql_embedding_ivf() -> str:
+    from osm2geojson_spark import pyref
+
+    data = _oracle_parquet("embeddings", ["vec_id", "embedding"])
+    ids = [r[0] for r in data]
+    vecs = [list(r[1]) for r in data]
+    rows = pyref.ref_ivf_topk(ids, vecs, query_max_id=10, k=5,
+                              n_centroids=16, nprobe=6)
+    return pyref.values_sql(
+        rows, [("query_id", "BIGINT"), ("corpus_id", "BIGINT"),
+               ("cosine", "DOUBLE"), ("rank", "INT")])
+
+
+def _sql_image_phash_dedup() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_phash_pairs(n=500, seed=42, max_hamming=10)
+    return pyref.values_sql(
+        rows, [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("hamming", "INT")])
+
+
+# --------------------------------------------------------------------------
 # embeddings / similarity search
 
 
@@ -1616,10 +1679,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _SQL_KNN_BRUTE,
         "knn_ring": _SQL_KNN_RING,
         "embedding_near_dup_exact": _SQL_EMBEDDING_NEAR_DUP_EXACT,
-        # minhash_pairs / simhash_pairs / embedding_ivf: seeded xxhash64
-        # or k-means ops DuckDB cannot reproduce → rows-only; exactness
-        # properties pinned in tests/ instead (knn_ring, embedding_ann and
-        # embedding_near_dup were upgraded to value-exact in round 2; the
-        # image_*/audio_* queries run on synthesized binary payloads that
-        # have no DuckDB-side representation).
+        # round-3 upgrade: the seeded-xxhash64 / k-means operators DuckDB
+        # cannot express natively get LITERAL-TABLE oracles — the expected
+        # output recomputed by the Spark-free pure-Python/numpy references
+        # in pyref.py (the same ones the hash-parity/similarity pytest
+        # twins pin) and inlined as VALUES. Driver gate: value-exact.
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "embedding_ivf": _sql_embedding_ivf(),
+        "image_phash_dedup": _sql_image_phash_dedup(),
     }

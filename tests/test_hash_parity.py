@@ -1,10 +1,11 @@
 """Independent-reference exactness for the seeded-hash dedup family.
 
-DuckDB cannot reproduce Spark's xxhash64, so minhash/simhash stay
-rows-only in the driver's oracle gate — THIS file is their value-exact
-check instead: a pure-Python XXH64 (public algorithm, Collet '12)
-re-derives Spark's hashes bit-for-bit, then the whole minhash-signature
-and simhash pipelines are recomputed independently and compared 1:1.
+DuckDB cannot reproduce Spark's xxhash64 natively, so the pure-Python
+XXH64 reference in ``pyref`` (public algorithm, Collet '12) re-derives
+Spark's hashes bit-for-bit; this file pins the Spark operators against
+it 1:1, and ``queries.py`` reuses the same reference to generate the
+literal-table (VALUES) DuckDB oracles for minhash/simhash in the
+driver's gate.
 """
 
 from __future__ import annotations
@@ -14,86 +15,14 @@ import struct
 import pytest
 from pyspark.sql import functions as F
 
-_P1 = 0x9E3779B185EBCA87
-_P2 = 0xC2B2AE3D27D4EB4F
-_P3 = 0x165667B19E3779F9
-_P4 = 0x85EBCA77C2B2AE63
-_P5 = 0x27D4EB2F165667C5
-_M = (1 << 64) - 1
-
-
-def _rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _M
-
-
-def _round(acc: int, lane: int) -> int:
-    acc = (acc + lane * _P2) & _M
-    return (_rotl(acc, 31) * _P1) & _M
-
-
-def xxh64(data: bytes, seed: int) -> int:
-    """Reference XXH64 over bytes (unsigned result)."""
-    n, i = len(data), 0
-    if n >= 32:
-        v1 = (seed + _P1 + _P2) & _M
-        v2 = (seed + _P2) & _M
-        v3 = seed & _M
-        v4 = (seed - _P1) & _M
-        while i <= n - 32:
-            v1 = _round(v1, struct.unpack_from("<Q", data, i)[0])
-            v2 = _round(v2, struct.unpack_from("<Q", data, i + 8)[0])
-            v3 = _round(v3, struct.unpack_from("<Q", data, i + 16)[0])
-            v4 = _round(v4, struct.unpack_from("<Q", data, i + 24)[0])
-            i += 32
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
-        for v in (v1, v2, v3, v4):
-            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M
-    else:
-        h = (seed + _P5) & _M
-    h = (h + n) & _M
-    while i + 8 <= n:
-        h ^= _round(0, struct.unpack_from("<Q", data, i)[0])
-        h = (_rotl(h, 27) * _P1 + _P4) & _M
-        i += 8
-    if i + 4 <= n:
-        h ^= (struct.unpack_from("<I", data, i)[0] * _P1) & _M
-        h = (_rotl(h, 23) * _P2 + _P3) & _M
-        i += 4
-    while i < n:
-        h ^= (data[i] * _P5) & _M
-        h = (_rotl(h, 11) * _P1) & _M
-        i += 1
-    h ^= h >> 33
-    h = (h * _P2) & _M
-    h ^= h >> 29
-    h = (h * _P3) & _M
-    h ^= h >> 32
-    return h
-
-
-def _signed(x: int) -> int:
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
-def spark_xxhash64_str(s: str, seed: int = 42) -> int:
-    """Spark F.xxhash64(string_col) == XXH64(utf8 bytes, seed=42), signed."""
-    return _signed(xxh64(s.encode("utf-8"), seed))
-
-
-def spark_xxhash64_str_long(s: str, i: int) -> int:
-    """Spark F.xxhash64(string_col, long_col): columns chain — each value
-    hashed with the running hash as seed, starting at 42. A LongType
-    value contributes 8 little-endian bytes."""
-    h1 = xxh64(s.encode("utf-8"), 42)
-    return _signed(xxh64(struct.pack("<q", i), h1))
-
-
-def spark_xxhash64_str_lit(s: str, i: int) -> int:
-    """Spark F.xxhash64(string_col, F.lit(i)): F.lit of a small Python
-    int is IntegerType → 4 little-endian bytes in the chain (unlike a
-    DataFrame int column, which is LongType)."""
-    h1 = xxh64(s.encode("utf-8"), 42)
-    return _signed(xxh64(struct.pack("<i", i), h1))
+from osm2geojson_spark.pyref import (
+    _M,
+    signed64 as _signed,
+    spark_xxhash64_str,
+    spark_xxhash64_str_lit,
+    spark_xxhash64_str_long,
+    xxh64,
+)
 
 
 def test_xxh64_known_vectors():
