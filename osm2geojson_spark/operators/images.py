@@ -7,11 +7,12 @@ dropped silently. Every operator is mapInPandas/pandas_udf (Arrow batch
 transfer, numpy per image) — no row-at-a-time Python UDFs.
 
 PNG decode/encode is REAL (pure-stdlib zlib codec, synth/images.py —
-all five scanline filters + CRC validation). JPEG/WebP/video/audio
-codecs are NOT in this container; those decode paths raise
-NotImplementedError behind a fmt dispatch whose Spark-side plumbing
-(schema, batching, quarantine) is real and tested — swap the stub for a
-Pillow/ffmpeg call on a cluster that has them.
+all five scanline filters + CRC validation), and so is baseline JPEG
+(synth/jpeg.py — T.81 sequential DCT, 4:4:4 + 4:2:0, restart markers,
+stream-read DQT/DHT; round-3 upgrade per VERDICT item 2). WebP stays a
+NotImplementedError stub behind the fmt dispatch, whose Spark-side
+plumbing (schema, batching, quarantine) is real and tested — swap the
+stub for a Pillow/cv2 call on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -25,7 +26,17 @@ from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.images import DECODERS, ENCODERS, phash64
 
-_STUB_FMTS = {"jpg", "jpeg", "webp"}
+_STUB_FMTS = {"webp"}
+
+
+def _decode_jpeg_alias(buf: bytes):
+    from osm2geojson_spark.synth.jpeg import decode_jpeg
+
+    return decode_jpeg(buf)
+
+
+DECODERS.setdefault("jpeg", _decode_jpeg_alias)  # common alias for jpg
+ENCODERS.setdefault("jpeg", ENCODERS["jpg"])
 
 
 def _decode(buf: bytes, fmt: str) -> np.ndarray:

@@ -1450,15 +1450,19 @@ def q_image_validate(spark, sf_dir):
     discipline mirrors problemNodes). Input synthesized (not in sf_dir).
 
     VALUE-EXACT (round-2 upgrade): per-fmt row counts follow the seed
-    formula (fmt index = (seed>>1) % 4 with seed = i·2+42) and a healthy
+    formula (fmt index = (seed>>1) % 5 with seed = i·2+42) and a healthy
     pipeline validates EVERY row, so the oracle recomputes the expected
     aggregate from generate_series — any decode/phash/PSNR regression
     flips n_ok / all_psnr_ok and fails the gate. (Raw min PSNR per fmt
-    stays pinned in pytest, where inf/47 dB floors are asserted.)"""
-    from osm2geojson_spark.operators.images import validate_images
-    from osm2geojson_spark.synth.images import images_table
+    stays pinned in pytest, where inf/47 dB floors are asserted.)
 
-    imgs = images_table(spark, n=500, seed=42)
+    Round 3: the rotation now includes REAL baseline JPEG (synth/jpeg.py,
+    alternating 4:2:0 / 4:4:4 originals by seed) — jpg rows must decode
+    and pass the PSNR≥40dB re-encode invariant, not quarantine."""
+    from osm2geojson_spark.operators.images import validate_images
+    from osm2geojson_spark.synth.images import FMTS_JPEG, images_table
+
+    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_JPEG)
     v = validate_images(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1470,8 +1474,8 @@ def q_image_validate(spark, sf_dir):
 
 _SQL_IMAGE_VALIDATE = """
 WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
-SELECT CASE ((i + 21) % 4) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            WHEN 2 THEN 'qz6' ELSE 'png' END AS fmt,
+SELECT CASE ((i + 21) % 5) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' ELSE 'jpg' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        CAST(COUNT(*) AS BIGINT) AS n_phash_match,

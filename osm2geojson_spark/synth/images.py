@@ -32,6 +32,10 @@ IMG_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
               "caption string, phash long, lon double, lat double")
 
 FMTS = ("ppm", "bmp", "qz6", "png")
+# 5-format rotation incl. real baseline JPEG (synth/jpeg.py). Kept out of
+# the default FMTS so the round-1/2 bench tables and the phash literal
+# oracle stay byte-stable; the catalog's image_validate runs on FMTS_JPEG.
+FMTS_JPEG = FMTS + ("jpg",)
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -209,10 +213,26 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+def _encode_jpg(px: np.ndarray) -> bytes:
+    """Canonical jpg re-encode (4:4:4, q95): deterministic from pixels
+    alone, so validate_images' decode→re-encode→decode PSNR check stays a
+    pure function of the bytes. 4:2:0 originals are produced by
+    make_image_row with a seed-dependent subsampling choice."""
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(px, quality=95, subsampling="444")
+
+
+def _decode_jpg(buf: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(buf)
+
+
 ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
-            "png": encode_png}
+            "png": encode_png, "jpg": _encode_jpg}
 DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
-            "png": decode_png}
+            "png": decode_png, "jpg": _decode_jpg}
 
 
 # ------------------------------------------------------------------ pixels
@@ -264,14 +284,22 @@ def _coords_for(seed: int) -> tuple[float, float]:
     return lon, lat
 
 
-def make_image_row(seed: int) -> tuple:
+def make_image_row(seed: int, fmts: tuple = FMTS) -> tuple:
     w = 16 + 8 * (seed % 7)          # 16..64, multiple of 8
     h = 16 + 8 * ((seed // 7) % 7)
     # seeds from images_table are always even (i*2 + even base): a plain
     # seed % 4 over even seeds would only ever hit 2 of the 4 fmts
-    fmt = FMTS[(seed >> 1) % len(FMTS)]
+    fmt = fmts[(seed >> 1) % len(fmts)]
     px = gen_pixels(seed, w, h)
-    buf = ENCODERS[fmt](px)
+    if fmt == "jpg":
+        # originals alternate 4:2:0 / 4:4:4 by seed so BOTH decode paths
+        # run in every driver-visible catalog query and bench
+        from .jpeg import encode_jpeg
+
+        buf = encode_jpeg(px, quality=90,
+                          subsampling="420" if (seed >> 2) & 1 else "444")
+    else:
+        buf = ENCODERS[fmt](px)
     # phash is computed on the DECODED pixels (lossy fmt → lossy phash),
     # so validate() can recompute it bit-identically from bytes alone
     ph = phash64(DECODERS[fmt](buf))
@@ -280,14 +308,15 @@ def make_image_row(seed: int) -> tuple:
 
 
 def images_table(spark: SparkSession, n: int = 1000, seed: int = 42,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None,
+                 fmts: tuple = FMTS) -> DataFrame:
     """Distributed deterministic generation: spark.range(n) → mapInPandas."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
         for pdf in batches:
-            rows = [make_image_row(int(i) * 2 + seed) for i in pdf["id"]]
+            rows = [make_image_row(int(i) * 2 + seed, fmts) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, IMG_SCHEMA)
