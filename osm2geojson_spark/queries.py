@@ -1518,6 +1518,41 @@ FROM seeds
 """
 
 
+def q_video_validate(spark, sf_dir):
+    """Video twin of image/audio_validate over the MIXED container
+    rotation (real fpack + real MJPEG-in-AVI, round 3): video_stats
+    decodes EVERY frame of every clip — AVI rows walk RIFF → idx1 →
+    per-frame baseline-JPEG decode — and aggregates per fmt.
+
+    VALUE-EXACT by seed formula: n_frames = 4 + seed % 9, fps = 10,
+    fmt = (fpack, avi)[(seed>>1) % 2] with seed = i·2+66, so the oracle
+    recomputes (n, n_ok, min_dur, max_dur) from generate_series; a
+    decode failure nulls duration and flips n_ok."""
+    from osm2geojson_spark.operators.video import video_stats
+    from osm2geojson_spark.synth.video import VFMTS_AVI, video_table
+
+    vids = video_table(spark, n=120, seed=66, fmts=VFMTS_AVI)
+    v = video_stats(vids)
+    return v.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("error").isNull().cast("int")).alias("n_ok"),
+        F.min("duration_sec").alias("min_dur"),
+        F.max("duration_sec").alias("max_dur"),
+    )
+
+
+_SQL_VIDEO_VALIDATE = """
+WITH seeds AS (
+  SELECT i, (i * 2 + 66) AS seed FROM generate_series(0, 119) AS t(i))
+SELECT CASE ((i + 33) % 2) WHEN 0 THEN 'fpack' ELSE 'avi' END AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       MIN(CAST(4 + (seed % 9) AS DOUBLE) / 10.0) AS min_dur,
+       MAX(CAST(4 + (seed % 9) AS DOUBLE) / 10.0) AS max_dur
+FROM seeds GROUP BY 1
+"""
+
+
 def q_image_tile_join(spark, sf_dir):
     """North-star shape: image rows → shuffle-free tile assignment →
     broadcast join against the GeoJSON tile table → per-tile rollup.
@@ -1630,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_validate": q_image_validate,
         "image_tile_join": q_image_tile_join,
         "audio_validate": q_audio_validate,
+        "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
     }
 
@@ -1675,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "image_tile_join": _sql_image_tile_join(),
         "image_validate": _SQL_IMAGE_VALIDATE,
         "audio_validate": _SQL_AUDIO_VALIDATE,
+        "video_validate": _SQL_VIDEO_VALIDATE,
         "cell_encode": _sql_cell_encode(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),

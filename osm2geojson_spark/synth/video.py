@@ -59,23 +59,35 @@ def fpack_frame(buf: bytes, idx: int) -> np.ndarray:
     return np.frombuffer(frame, dtype=np.uint8).reshape(h, w, 3)
 
 
-def make_video_row(seed: int) -> tuple:
+VFMTS = ("fpack",)
+# rotation including the real-world MJPEG-in-AVI container (synth/avi.py)
+VFMTS_AVI = ("fpack", "avi")
+
+
+def make_video_row(seed: int, fmts: tuple = VFMTS) -> tuple:
     w = 16 + 8 * (seed % 3)
     h = 16 + 8 * ((seed // 3) % 3)
     n_frames = 4 + seed % 9
+    fmt = fmts[(seed >> 1) % len(fmts)]
     frames = [gen_pixels(seed + 31 * k, w, h) for k in range(n_frames)]
-    return (f"vid-{seed:012d}", encode_fpack(frames, fps=10), w, h,
-            n_frames, 10, "fpack")
+    if fmt == "avi":
+        from .avi import encode_avi_mjpeg
+
+        buf = encode_avi_mjpeg(frames, fps=10)
+    else:
+        buf = encode_fpack(frames, fps=10)
+    return (f"vid-{seed:012d}", buf, w, h, n_frames, 10, fmt)
 
 
 def video_table(spark: SparkSession, n: int = 200, seed: int = 66,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None,
+                fmts: tuple = VFMTS) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
         for pdf in batches:
-            rows = [make_video_row(int(i) * 2 + seed) for i in pdf["id"]]
+            rows = [make_video_row(int(i) * 2 + seed, fmts) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
