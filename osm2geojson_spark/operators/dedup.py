@@ -369,6 +369,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -389,6 +390,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         labels = updated.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # a dup chain with diameter > max_iters would otherwise return
+        # silently partial labels (ADVICE round-2): fail loudly — the
+        # caller can raise max_iters (rounds needed = graph diameter)
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters")
     out = labels.select("id", F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out

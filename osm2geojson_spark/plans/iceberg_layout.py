@@ -113,34 +113,52 @@ class IcebergLikeTable:
         with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
             json.dump({"entries": entries}, f)
 
-        prev = self._metadata()
-        prev_manifests = [] if overwrite else (
-            prev["snapshots"][-1]["manifests"] if prev and
-            prev["snapshots"] else [])
-        snap = {
-            "snapshot_id": (prev["snapshots"][-1]["snapshot_id"] + 1
-                            if prev and prev["snapshots"] else 1),
-            "manifests": prev_manifests + [manifest_name],
-            "added_files": len(entries),
-            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "summary": summary or {},
-        }
-        new_md = {
-            "format_version": 2,
-            "table_uuid": prev["table_uuid"] if prev else uuid.uuid4().hex,
-            "location": self.root,
-            "schema": json.loads(df.schema.json()),
-            "partition_by": partition_by,
-            "snapshots": (prev["snapshots"] if prev else []) + [snap],
-        }
-        v = self.current_version() + 1
-        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w") as f:
-            json.dump(new_md, f)
-        tmp = self._hint_path() + f".tmp-{commit_id}"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._hint_path())  # ← THE commit
-        return snap
+        # optimistic concurrency (ADVICE round-2 fix): the metadata file
+        # is created with O_EXCL, so two writers racing to the same
+        # version N cannot both succeed — the loser re-reads the winner's
+        # metadata and rebases its snapshot on top (real Iceberg's
+        # rename-without-overwrite + retry, spelled in posix). A v{N}
+        # file with no hint pointing at it is a crashed commit's orphan:
+        # the prober skips past it (monotonic v) while STILL rebasing on
+        # the committed metadata only, so the orphan snapshot is
+        # abandoned, never resurrected.
+        v = 0
+        for _attempt in range(20):
+            prev = self._metadata()
+            prev_manifests = [] if overwrite else (
+                prev["snapshots"][-1]["manifests"] if prev and
+                prev["snapshots"] else [])
+            snap = {
+                "snapshot_id": (prev["snapshots"][-1]["snapshot_id"] + 1
+                                if prev and prev["snapshots"] else 1),
+                "manifests": prev_manifests + [manifest_name],
+                "added_files": len(entries),
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "summary": summary or {},
+            }
+            new_md = {
+                "format_version": 2,
+                "table_uuid": prev["table_uuid"] if prev else uuid.uuid4().hex,
+                "location": self.root,
+                "schema": json.loads(df.schema.json()),
+                "partition_by": partition_by,
+                "snapshots": (prev["snapshots"] if prev else []) + [snap],
+            }
+            v = max(v + 1, self.current_version() + 1)
+            try:
+                with open(os.path.join(self.meta_dir,
+                                       f"v{v}.metadata.json"), "x") as f:
+                    json.dump(new_md, f)
+            except FileExistsError:
+                continue  # lost the race for version v — rebase and retry
+            tmp = self._hint_path() + f".tmp-{commit_id}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._hint_path())  # ← THE commit
+            return snap
+        raise RuntimeError(
+            f"commit contention: lost the version race 20 times in "
+            f"{self.meta_dir}")
 
     # ---------------------------------------------------------------- reads
     def _files(self, snapshot_id: int | None = None) -> list[str]:
@@ -199,15 +217,22 @@ class IcebergLikeTable:
                     summary={"operation": "compact"}, overwrite=True)
         return {"files_before": before, "files_after": len(self._files())}
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         orphan_grace_sec: float = 3600.0) -> dict:
         """Iceberg-style table maintenance: drop all but the newest
         ``keep_last`` snapshots from metadata, then garbage-collect every
         data file and manifest no surviving snapshot references —
         including ORPHANS from crashed commits (written but never made
         visible by a hint swap). The metadata rewrite commits through the
-        same atomic hint-swap path as append, so a reader never observes
-        a half-expired table. Returns {files_removed, manifests_removed,
-        snapshots_removed}."""
+        same atomic hint-swap O_EXCL path as append, so a reader never
+        observes a half-expired table. Returns {files_removed,
+        manifests_removed, snapshots_removed}.
+
+        ``orphan_grace_sec`` (ADVICE round-2 fix): an IN-FLIGHT writer's
+        data files look exactly like crash orphans until its hint swap
+        lands, so unreferenced files younger than the grace window are
+        left alone — only stale orphans are collected. Set 0 only when
+        no concurrent writer can exist (tests, single-writer cron)."""
         md = self._metadata()
         if not md or not md["snapshots"]:
             return {"files_removed": 0, "manifests_removed": 0,
@@ -219,30 +244,45 @@ class IcebergLikeTable:
         for mf in live_manifests:
             with open(os.path.join(self.meta_dir, mf)) as f:
                 live_files.update(e["path"] for e in json.load(f)["entries"])
-        # GC: anything under data/ not referenced by a live manifest
+        # GC: anything under data/ not referenced by a live manifest and
+        # older than the in-flight-writer grace window
+        now = time.time()
         files_removed = 0
         for p in glob.glob(os.path.join(self.root, "data", "*", "**", "*"),
                            recursive=True):
             if os.path.isfile(p) and \
-                    os.path.relpath(p, self.root) not in live_files:
+                    os.path.relpath(p, self.root) not in live_files and \
+                    now - os.path.getmtime(p) >= orphan_grace_sec:
                 os.remove(p)
                 files_removed += 1
         manifests_removed = 0
         for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
-            if os.path.basename(p) not in live_manifests:
+            if os.path.basename(p) not in live_manifests and \
+                    now - os.path.getmtime(p) >= orphan_grace_sec:
                 os.remove(p)
                 manifests_removed += 1
-        new_md = dict(md, snapshots=kept)
-        v = self.current_version() + 1
-        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w") as f:
-            json.dump(new_md, f)
-        tmp = self._hint_path() + ".tmp-expire"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._hint_path())
-        return {"files_removed": files_removed,
-                "manifests_removed": manifests_removed,
-                "snapshots_removed": removed_snaps}
+        v = 0
+        for _attempt in range(20):
+            v = max(v + 1, self.current_version() + 1)
+            cur = self._metadata()
+            new_md = dict(cur, snapshots=[
+                s for s in cur["snapshots"]
+                if s["snapshot_id"] in {k["snapshot_id"] for k in kept}
+                or s["snapshot_id"] > md["snapshots"][-1]["snapshot_id"]])
+            try:
+                with open(os.path.join(self.meta_dir,
+                                       f"v{v}.metadata.json"), "x") as f:
+                    json.dump(new_md, f)
+            except FileExistsError:
+                continue  # concurrent append won the version — rebase
+            tmp = self._hint_path() + ".tmp-expire"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._hint_path())
+            return {"files_removed": files_removed,
+                    "manifests_removed": manifests_removed,
+                    "snapshots_removed": removed_snaps}
+        raise RuntimeError("expire_snapshots: lost the version race 20 times")
 
     def partitions(self, snapshot_id: int | None = None) -> set[tuple]:
         """Committed partition values — metadata-only (no data IO)."""

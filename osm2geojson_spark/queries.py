@@ -1144,7 +1144,9 @@ def _sql_lsh_bucket(alias: str, planes) -> str:
     for i, p in enumerate(planes):
         dot = "0.0"
         for j, x in enumerate(p):
-            dot = f"({dot} + ({alias}.embedding[{j + 1}] * {x!r}))"
+            # float(x)!r: under numpy>=2, repr(np.float64) is
+            # 'np.float64(0.125)' — not SQL. Plain-float repr always is.
+            dot = f"({dot} + ({alias}.embedding[{j + 1}] * {float(x)!r}))"
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 

@@ -199,7 +199,7 @@ def test_iceberg_expire_snapshots_gc(spark, root):
     _os.makedirs(orphan_dir)
     with open(_os.path.join(orphan_dir, "part-orphan.parquet"), "wb") as f:
         f.write(b"not really parquet")
-    stats = tbl.expire_snapshots(keep_last=1)
+    stats = tbl.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     assert stats["snapshots_removed"] == 3
     assert stats["files_removed"] >= 1           # at least the orphan
     assert len(tbl.snapshots()) == 1
@@ -247,7 +247,7 @@ def test_iceberg_compact_small_files(spark, root):
                              n_buckets=6, buckets_per_wave=1, layout="iceberg")
     assert out.count() == 600 and not calls
     # expiry GCs the old small files
-    tbl.expire_snapshots(keep_last=1)
+    tbl.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     assert len(tbl._files()) == 6
     assert tbl.read(spark).count() == 600
 
@@ -276,3 +276,35 @@ def test_metrics_table(spark, root):
     mt = metrics_table(spark, root)
     assert mt.count() == 3
     assert mt.filter(F.col("name") == "rows_in").count() == 2
+
+
+def test_iceberg_commit_skips_orphan_version_file(spark, root):
+    """O_EXCL optimistic concurrency (ADVICE round-2): a v{N+1} metadata
+    file left by a crashed/concurrent writer whose hint swap never
+    landed must not be overwritten OR resurrected — the next commit
+    probes past it and rebases on the COMMITTED metadata only."""
+    import json as _json
+    import os as _os
+
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    tbl = IcebergLikeTable(f"{root}/excl")
+    tbl.append(spark.range(10))
+    v = tbl.current_version()
+    # plant an orphan at v+1 (uncommitted attempt: no hint swap)
+    orphan_path = _os.path.join(tbl.meta_dir, f"v{v + 1}.metadata.json")
+    orphan_md = dict(tbl._metadata(),
+                     snapshots=[{"snapshot_id": 999, "manifests": [],
+                                 "added_files": 0, "timestamp": "x",
+                                 "summary": {"orphan": True}}])
+    with open(orphan_path, "w") as f:
+        _json.dump(orphan_md, f)
+
+    snap = tbl.append(spark.range(5))
+    assert tbl.current_version() == v + 2          # probed past the orphan
+    ids = [s["snapshot_id"] for s in tbl.snapshots()]
+    assert 999 not in ids and snap["snapshot_id"] in ids
+    assert tbl.read(spark).count() == 15
+    # the orphan file itself is untouched (GC'd later by expiry)
+    with open(orphan_path) as f:
+        assert _json.load(f)["snapshots"][0]["summary"] == {"orphan": True}

@@ -227,3 +227,18 @@ def test_dup_clusters_long_chain_converges(spark):
     got = {r["id"]: r["cluster_id"]
            for r in dup_clusters(pairs, max_iters=20).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """A 12-node chain has diameter 11 > max_iters=3: must fail loudly,
+    not return partially-converged labels (ADVICE round-2)."""
+    import pytest
+    from osm2geojson_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=3)
+    # and with enough rounds the same chain fully converges to label 0
+    out = dup_clusters(chain, max_iters=15)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
