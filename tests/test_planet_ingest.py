@@ -134,3 +134,78 @@ def test_osm_to_geojson_distributed_equals_per_file(spark, tmp_path_factory, xml
             # outer ring — parity still asserted above
             assert da, k
     assert b["quarantine"].count() == a["quarantine"].count()
+
+
+def test_split_scanner_memory_is_entity_bounded():
+    """VERDICT round-2 item 5: the rolling-buffer high-water mark stays
+    O(largest entity + chunk) even when the split is vastly larger —
+    list-accumulate-then-join would peak at the full split size."""
+    import re
+
+    from osm2geojson_spark.sources.osm_xml import _scan_split
+
+    blob_re = re.compile(r"(?s)<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)")
+    entity = '<node id="%d" lat="1.0" lon="2.0"><tag k="a" v="%s"/></node>'
+    lines = []
+    for i in range(4000):
+        lines.append(entity % (i, "x" * 50))
+    total = sum(len(ln) + 1 for ln in lines)
+    assert total > 400_000
+
+    stats = {}
+    chunk = 4096
+    out = list(_scan_split(enumerate(lines), blob_re, stats=stats,
+                           chunk=chunk))
+    blobs = [b for k, _, b in out if k == "B"]
+    assert len(blobs) == 4000
+    largest = max(len(ln) for ln in lines)
+    # peak rolling buffer ≈ one chunk + one entity, NOT the whole split
+    assert stats["peak"] <= largest + 2 * chunk, stats
+    assert stats["peak"] < total // 20
+
+
+def test_split_scanner_chunking_byte_identical():
+    """Chunked matching == whole-text matching for every chunk size,
+    including chunks far smaller than one entity."""
+    import re
+
+    from osm2geojson_spark.sources.osm_xml import _scan_split
+
+    blob_re = re.compile(r"(?s)<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)")
+    lines = ["garbage header",
+             '<way id="1">' + "\n".join(f'<nd ref="{i}"/>' for i in range(200)),
+             "</way>",
+             '<node id="2" lat="0" lon="0"/>',
+             "<relation id='3'>"]  # unterminated tail
+    whole = "\n".join(lines)
+    want_blobs = [m.group(0) for m in blob_re.finditer(whole)]
+    for chunk in (16, 100, 1 << 20):
+        out = list(_scan_split(enumerate(lines), blob_re, chunk=chunk))
+        blobs = [b for k, _, b in out if k == "B"]
+        frags = [(off, t) for k, off, t in out if k == "F"]
+        assert blobs == want_blobs, chunk
+        # head prefix and tail suffix bracket the original stream
+        head = frags[0][1]
+        tail = frags[1][1]
+        assert whole.startswith(head)
+        assert whole.endswith(tail.rstrip("\n"))
+
+
+def test_boundary_budget_raises_actionable_error(spark, tmp_path):
+    """ADVICE round-2: entities larger than the split size must fail
+    with a clear message, not crawl toward a driver OOM."""
+    import pytest
+
+    from osm2geojson_spark.sources.osm_xml import read_osm_blobs_distributed
+
+    # one giant entity spanning every 256-byte split: all-head fragments
+    big = ('<way id="9">' +
+           "\n".join(f'<nd ref="{i}"/>' for i in range(500)) + "</way>")
+    p = tmp_path / "giant.osm"
+    p.write_text(f"<osm>\n{big}\n</osm>\n")
+    with pytest.raises(ValueError, match="max_boundary_bytes"):
+        read_osm_blobs_distributed(spark, str(p), split_maxsize=256,
+                                   max_boundary_bytes=1024).collect()
+    # same file with an adequate budget parses fine
+    out = read_osm_blobs_distributed(spark, str(p), split_maxsize=256)
+    assert out.count() == 1
