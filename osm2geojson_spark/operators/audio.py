@@ -3,10 +3,12 @@ Arrow-batched kernels over (audio_id, bytes, sample_rate, n_samples,
 fmt, transcript) with the same quarantine discipline (problem* sinks,
 OsmJoin.java:111-113,176-179: undecodable rows split out, never dropped).
 
-``wav`` decode is REAL (stdlib codec, synth/audio.py); mp3/flac/ogg raise
-NotImplementedError behind the fmt dispatch with the Spark plumbing
-(schema, batching, quarantine) fully exercised — swap in ffmpeg/soundfile
-on a cluster that has them.
+``wav`` AND ``aiff`` decode are REAL (stdlib codecs, synth/audio.py —
+AIFF walks the public IFF chunk grammar incl. the 80-bit extended-float
+sample rate; round-3 parity move mirroring MJPEG-in-AVI for video).
+mp3/flac/ogg raise NotImplementedError behind the fmt dispatch with the
+Spark plumbing (schema, batching, quarantine) fully exercised — swap in
+ffmpeg/soundfile on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -18,9 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm2geojson_spark.synth.audio import decode_wav
+from osm2geojson_spark.synth.audio import decode_aiff, decode_wav
 
 _STUB_FMTS = {"mp3", "flac", "ogg", "opus"}
+_DECODERS = {"wav": decode_wav, "aiff": decode_aiff}
 
 
 def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
@@ -28,9 +31,10 @@ def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"codec '{fmt}' requires an audio library not present in this "
             "container; plug ffmpeg/soundfile into the dispatch to enable")
-    if fmt != "wav":
+    dec = _DECODERS.get(fmt)
+    if dec is None:
         raise ValueError(f"unknown fmt '{fmt}'")
-    return decode_wav(buf)
+    return dec(buf)
 
 
 def validate_audio(df: DataFrame) -> DataFrame:

@@ -1495,11 +1495,15 @@ def q_audio_validate(spark, sf_dir):
     rate 16 kHz), so the oracle recomputes the expected aggregate from
     generate_series — and since the Spark side derives duration from the
     DECODED sample count, a decode bug diverges the aggregate and fails
-    the gate."""
-    from osm2geojson_spark.operators.audio import validate_audio
-    from osm2geojson_spark.synth.audio import audio_table
+    the gate.
 
-    aud = audio_table(spark, n=300, seed=24)
+    Round 3: the rotation now includes REAL AIFF (big-endian PCM16 IFF
+    container, 80-bit extended-float sample rate) — aiff rows must
+    decode and match their declared metadata, not quarantine."""
+    from osm2geojson_spark.operators.audio import validate_audio
+    from osm2geojson_spark.synth.audio import AFMTS_AIFF, audio_table
+
+    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_AIFF)
     v = validate_audio(aud)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1511,12 +1515,13 @@ def q_audio_validate(spark, sf_dir):
 
 _SQL_AUDIO_VALIDATE = """
 WITH seeds AS (
-  SELECT (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
-SELECT 'wav' AS fmt, CAST(COUNT(*) AS BIGINT) AS n,
+  SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
+SELECT CASE ((i + 12) % 2) WHEN 0 THEN 'wav' ELSE 'aiff' END AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        MIN(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS min_dur,
        MAX(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS max_dur
-FROM seeds
+FROM seeds GROUP BY 1
 """
 
 

@@ -51,6 +51,76 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def _f80_encode(rate: int) -> bytes:
+    """80-bit IEEE 754 extended float (AIFF COMM sampleRate field).
+    Layout: 1 sign + 15 exponent (bias 16383) + 64-bit mantissa with an
+    EXPLICIT integer bit. Exact for any positive integer rate."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    e = rate.bit_length() - 1          # floor(log2(rate))
+    mant = rate << (63 - e)            # normalize: top bit = integer bit
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _f80_decode(b: bytes) -> int:
+    se = int.from_bytes(b[0:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = (se & 0x7FFF) - 16383
+    if e < 0 or e > 62:
+        raise ValueError(f"unsupported AIFF sample rate exponent {e}")
+    # round the fractional part (integral for every real-world rate)
+    shift = 63 - e
+    return (mant + (1 << (shift - 1))) >> shift
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """PCM16 mono AIFF (IFF FORM/COMM/SSND, big-endian samples) — the
+    classic real-world sibling of WAV; round-3 parity move mirroring
+    MJPEG-in-AVI for video."""
+    data = samples.astype(">i2").tobytes()
+    comm = (1).to_bytes(2, "big") + len(samples).to_bytes(4, "big") \
+        + (16).to_bytes(2, "big") + _f80_encode(rate)
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    body = (b"AIFF"
+            + b"COMM" + len(comm).to_bytes(4, "big") + comm
+            + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+            + (b"\x00" if len(ssnd) % 2 else b""))
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def decode_aiff(buf: bytes) -> tuple[np.ndarray, int]:
+    """→ (int16 samples, sample_rate); walks the public IFF chunk
+    grammar (any chunk order, unknown chunks skipped)."""
+    if buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF file")
+    pos, end = 12, 8 + int.from_bytes(buf[4:8], "big")
+    n_frames = rate = None
+    data = None
+    while pos + 8 <= min(end, len(buf)):
+        cid = buf[pos:pos + 4]
+        sz = int.from_bytes(buf[pos + 4:pos + 8], "big")
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"COMM":
+            if int.from_bytes(body[0:2], "big") != 1:
+                raise ValueError("need mono AIFF")
+            if int.from_bytes(body[6:8], "big") != 16:
+                raise ValueError("need 16-bit AIFF")
+            n_frames = int.from_bytes(body[2:6], "big")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            off = int.from_bytes(body[0:4], "big")
+            data = body[8 + off:]
+        pos += 8 + sz + (sz % 2)
+    if n_frames is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    samples = np.frombuffer(data[:2 * n_frames], dtype=">i2").astype("<i2")
+    if len(samples) != n_frames:
+        raise ValueError("truncated AIFF sample data")
+    return samples, rate
+
+
 def gen_samples(seed: int, n: int, rate: int = 16_000) -> np.ndarray:
     """Deterministic tone mix keyed on seed (sine + harmonic + fade)."""
     t = np.arange(n, dtype=np.float64) / rate
@@ -67,16 +137,24 @@ def transcript_for(seed: int) -> str:
                     for i in range(n))
 
 
-def make_audio_row(seed: int) -> tuple:
+AFMTS = ("wav",)
+# rotation including real AIFF (big-endian PCM16 IFF container)
+AFMTS_AIFF = ("wav", "aiff")
+
+
+def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
     rate = 16_000
     n = 1600 + 160 * (seed % 50)          # 0.1 .. 0.6 s
+    fmt = fmts[(seed >> 1) % len(fmts)]
     samples = gen_samples(seed, n, rate)
-    return (f"aud-{seed:012d}", encode_wav(samples, rate), rate, n, "wav",
+    enc = encode_aiff if fmt == "aiff" else encode_wav
+    return (f"aud-{seed:012d}", enc(samples, rate), rate, n, fmt,
             transcript_for(seed))
 
 
 def audio_table(spark: SparkSession, n: int = 500, seed: int = 24,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None,
+                fmts: tuple = AFMTS) -> DataFrame:
     """Distributed deterministic generation (same pattern as images_table:
     spark.range → mapInPandas, rows keyed purely on the 64-bit id)."""
     parts = partitions or spark.sparkContext.defaultParallelism
@@ -85,7 +163,7 @@ def audio_table(spark: SparkSession, n: int = 500, seed: int = 24,
         cols = ["audio_id", "bytes", "sample_rate", "n_samples", "fmt",
                 "transcript"]
         for pdf in batches:
-            rows = [make_audio_row(int(i) * 2 + seed) for i in pdf["id"]]
+            rows = [make_audio_row(int(i) * 2 + seed, fmts) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, AUDIO_SCHEMA)
