@@ -22,8 +22,15 @@ from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.audio import decode_aiff, decode_wav
 
-_STUB_FMTS = {"mp3", "flac", "ogg", "opus"}
-_DECODERS = {"wav": decode_wav, "aiff": decode_aiff}
+
+def _decode_flac(buf: bytes):
+    from osm2geojson_spark.synth.flac import decode_flac
+
+    return decode_flac(buf)
+
+
+_STUB_FMTS = {"mp3", "ogg", "opus"}
+_DECODERS = {"wav": decode_wav, "aiff": decode_aiff, "flac": _decode_flac}
 
 
 def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:

@@ -1498,12 +1498,13 @@ def q_audio_validate(spark, sf_dir):
     the gate.
 
     Round 3: the rotation now includes REAL AIFF (big-endian PCM16 IFF
-    container, 80-bit extended-float sample rate) — aiff rows must
-    decode and match their declared metadata, not quarantine."""
+    container, 80-bit extended-float sample rate) and REAL FLAC
+    (synth/flac.py — CONSTANT/FIXED+Rice frames, CRC-8/16) — those rows
+    must decode and match their declared metadata, not quarantine."""
     from osm2geojson_spark.operators.audio import validate_audio
-    from osm2geojson_spark.synth.audio import AFMTS_AIFF, audio_table
+    from osm2geojson_spark.synth.audio import AFMTS_REAL, audio_table
 
-    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_AIFF)
+    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_REAL)
     v = validate_audio(aud)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1516,7 +1517,8 @@ def q_audio_validate(spark, sf_dir):
 _SQL_AUDIO_VALIDATE = """
 WITH seeds AS (
   SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
-SELECT CASE ((i + 12) % 2) WHEN 0 THEN 'wav' ELSE 'aiff' END AS fmt,
+SELECT CASE ((i + 12) % 3) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+            ELSE 'flac' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        MIN(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS min_dur,

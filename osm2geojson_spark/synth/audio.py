@@ -140,6 +140,8 @@ def transcript_for(seed: int) -> str:
 AFMTS = ("wav",)
 # rotation including real AIFF (big-endian PCM16 IFF container)
 AFMTS_AIFF = ("wav", "aiff")
+# full real-codec rotation: + FLAC (synth/flac.py, CONSTANT/FIXED+Rice)
+AFMTS_REAL = ("wav", "aiff", "flac")
 
 
 def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
@@ -147,8 +149,14 @@ def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
     n = 1600 + 160 * (seed % 50)          # 0.1 .. 0.6 s
     fmt = fmts[(seed >> 1) % len(fmts)]
     samples = gen_samples(seed, n, rate)
-    enc = encode_aiff if fmt == "aiff" else encode_wav
-    return (f"aud-{seed:012d}", enc(samples, rate), rate, n, fmt,
+    if fmt == "flac":
+        from .flac import encode_flac
+
+        buf = encode_flac(samples, rate)
+    else:
+        enc = encode_aiff if fmt == "aiff" else encode_wav
+        buf = enc(samples, rate)
+    return (f"aud-{seed:012d}", buf, rate, n, fmt,
             transcript_for(seed))
 
 

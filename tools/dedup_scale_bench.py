@@ -1,16 +1,25 @@
-"""sf0.1 → sf1 scale evidence for the dedup family (VERDICT r2 item 8).
+"""sf0.1 → sf1 → sf10-equivalent scale evidence for the dedup family
+(VERDICT r2 item 8).
 
 Synthesizes documents/embeddings tables at 1x (= sf0.1 size: 5k docs /
-2k vecs) and 10x (= sf1 equivalent: 50k docs / 20k vecs) with a PLANTED
-HOT BUCKET (boilerplate docs sharing 45/50 tokens; a spike of
-near-identical embeddings), then times minhash_pairs, dup_clusters and
-embedding_near_dup at both scales, with and without the bucket-size cap
-on the planted skew.
+2k vecs), 10x (sf1: 50k / 20k) and optionally 100x (sf10: 500k / 200k)
+with TWO planted structures:
 
-Usage: python tools/dedup_scale_bench.py [scales...]   (default: 1 10)
-Prints one JSON line per (op, scale). Near-linear scaling = cost factor
-≤ ~12x for 10x rows. Methodology per BENCH.md: run only when
-/proc/loadavg 1-min < ~1.2; min-of-2 per op.
+- dup GROUPS (the signal): 5% of docs arrive in 5-member near-duplicate
+  groups (45 shared tokens + 2 unique per member) — these pairs must
+  survive dedup at every scale;
+- a boilerplate SPIKE (the skew): 0.5% of docs share one 45-token
+  boilerplate — at scale this is the hot LSH bucket that makes the
+  uncapped self-join quadratic, and the ``max_bucket_size`` cap must
+  neutralize it WITHOUT touching the group pairs.
+
+Embeddings get the analogous spike (0.5% near-identical vectors = true
+near-dups the operator must emit).
+
+Usage: python tools/dedup_scale_bench.py [scales...]   (default: 1 10 100)
+Prints one JSON line per (op, scale) plus pairwise cost factors.
+Methodology per BENCH.md: quiet window (/proc/loadavg 1-min < ~1.2),
+min-of-2 per op.
 """
 
 from __future__ import annotations
@@ -26,8 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BASE_DOCS = 5_000     # sf0.1 documents size
 BASE_VECS = 2_000     # sf0.1 embeddings size
-HOT_FRACTION = 0.01   # planted boilerplate / near-identical spike
+GROUP_EVERY = 100     # docs i with i%GROUP_EVERY < GROUP_SIZE form a group
+GROUP_SIZE = 5
+SPIKE_EVERY = 200     # docs with i%SPIKE_EVERY == 199 share boilerplate
 DIM = 64
+CAP = 100             # max_bucket_size: > group buckets, < spike buckets
 
 _WORDS = ("key agg row scan slow fast table value part hash merge batch "
           "spark line sort window join group filter map shuffle plan codegen "
@@ -38,48 +50,59 @@ _BOILER = " ".join(_WORDS[(7 * i) % len(_WORDS)] for i in range(45))
 
 
 def synth_docs(spark, n: int):
-    """Deterministic ~50-token docs; the first HOT_FRACTION share a
-    45-token boilerplate prefix (the hot-shingle / hot-band spike)."""
-    n_hot = int(n * HOT_FRACTION)
-    toks = F.transform(
-        F.sequence(F.lit(0), F.lit(49)),
-        lambda j: F.element_at(
-            F.array(*[F.lit(w) for w in _WORDS]),
-            (F.pmod(F.col("doc_id") * 31 + j * 17 + (F.col("doc_id") * j) % 97,
-                    F.lit(len(_WORDS)))).cast("int") + 1),
-    )
-    uniq5 = F.concat_ws(
+    """xxhash64-mixed random docs + planted groups + boilerplate spike.
+    Group members share a 45-token body keyed on the group id; spike
+    docs share ONE global boilerplate. Unique suffix tokens keep every
+    doc distinct (near-dup, not exact-dup)."""
+    gid = (F.col("doc_id") / GROUP_EVERY).cast("long")
+    in_group = F.pmod(F.col("doc_id"), F.lit(GROUP_EVERY)) < GROUP_SIZE
+    in_spike = F.pmod(F.col("doc_id"), F.lit(SPIKE_EVERY)) == SPIKE_EVERY - 1
+
+    def toks(seed_col, count):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(count - 1)),
+            lambda j: F.element_at(
+                F.array(*[F.lit(w) for w in _WORDS]),
+                F.pmod(F.xxhash64(seed_col, j), F.lit(len(_WORDS)))
+                .cast("int") + 1))
+
+    body_group = F.concat_ws(" ", toks(gid * 7919 + 13, 45))
+    body_rand = F.concat_ws(" ", toks(F.col("doc_id"), 50))
+    uniq = F.concat_ws(
         " ", *[F.concat(F.lit("u"),
-                        ((F.col("doc_id") * (i + 3)) % 99991).cast("string"))
-               for i in range(5)])
+                        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)),
+                               F.lit(99991)).cast("string"))
+               for i in range(2)])
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.when(F.col("id") < n_hot,
-               F.concat(F.lit(_BOILER), F.lit(" "), uniq5))
-        .otherwise(F.concat_ws(" ", toks)).alias("text"),
+        F.when(in_spike, F.concat(F.lit(_BOILER), F.lit(" "), uniq))
+        .when(in_group, F.concat(body_group, F.lit(" "), uniq))
+        .otherwise(body_rand).alias("text"),
     )
 
 
 def synth_vecs(spark, n: int):
-    """Deterministic float vectors; the first HOT_FRACTION are tiny
-    perturbations of ONE vector (hot LSH bucket + true near-dups)."""
-    n_hot = int(n * HOT_FRACTION)
+    """xxhash64-mixed random vectors + a 0.5% spike of near-identical
+    vectors (tiny per-id perturbation of one base = true near-dups)."""
+    in_spike = F.pmod(F.col("vec_id"), F.lit(SPIKE_EVERY)) == SPIKE_EVERY - 1
     base = F.transform(
         F.sequence(F.lit(0), F.lit(DIM - 1)),
-        lambda j: ((F.pmod(F.col("vec_id") * 2654435761 + j * 40503,
-                           F.lit(100_000)) - 50_000) / 50_000.0).cast("float"))
+        lambda j: ((F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(100_000))
+                    - 50_000) / 50_000.0).cast("float"))
     hot = F.transform(
         F.sequence(F.lit(0), F.lit(DIM - 1)),
         lambda j: (F.lit(0.5)
-                   + (F.pmod(F.col("vec_id") * 7 + j, F.lit(1000)) / 1e6)).cast("float"))
+                   + (F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(1000))
+                      / 1e6)).cast("float"))
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
-        F.when(F.col("id") < n_hot, hot).otherwise(base).alias("embedding"),
+        F.when(in_spike, hot).otherwise(base).alias("embedding"),
     )
 
 
 def _mat(df) -> int:
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
 
 
 def run_scale(spark, scale: int, tmp: str) -> list[dict]:
@@ -111,30 +134,32 @@ def run_scale(spark, scale: int, tmp: str) -> list[dict]:
         out.append(rec)
         return rec
 
-    # capped: the production configuration (skew guard active on the
-    # planted bucket); uncapped at 1x only, to show the cap's effect
     bench("minhash_pairs_capped",
-          lambda: minhash_lsh_pairs(docs, max_bucket_size=200), n_docs)
-    if scale == 1:
+          lambda: minhash_lsh_pairs(docs, max_bucket_size=CAP), n_docs)
+    if scale <= 10:
+        # uncapped: the hot clique grows quadratically with scale — run
+        # only where it stays tractable, to show what the cap prevents
         bench("minhash_pairs_uncapped",
               lambda: minhash_lsh_pairs(docs), n_docs)
 
-    pairs = minhash_lsh_pairs(docs, max_bucket_size=200) \
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=CAP) \
         .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b").persist()
-    pairs.count()
+    n_pairs = pairs.count()
+    print(json.dumps({"op": "surviving_group_pairs", "scale": scale,
+                      "pairs": n_pairs}), flush=True)
     bench("dup_clusters", lambda: dup_clusters(pairs), n_docs)
     pairs.unpersist()
 
     bench("embedding_near_dup",
           lambda: embedding_near_dup_pairs(
-              vecs, threshold=0.95, dim=DIM, max_bucket_size=1000), n_vecs)
+              vecs, threshold=0.95, dim=DIM, max_bucket_size=5000), n_vecs)
     return out
 
 
 def main():
     from osm2geojson_spark.session import get_spark
 
-    scales = [int(s) for s in sys.argv[1:]] or [1, 10]
+    scales = [int(s) for s in sys.argv[1:]] or [1, 10, 100]
     load1 = open("/proc/loadavg").read().split()[0]
     print(json.dumps({"loadavg_1min": float(load1), "scales": scales}),
           flush=True)
@@ -146,14 +171,16 @@ def main():
         all_recs.extend(run_scale(spark, s, tmp))
     by = {(r["op"], r["scale"]): r for r in all_recs}
     for op in ("minhash_pairs_capped", "dup_clusters", "embedding_near_dup"):
-        a, b = by.get((op, scales[0])), by.get((op, scales[-1]))
-        if a and b and scales[-1] != scales[0]:
-            factor = b["sec"] / a["sec"]
-            print(json.dumps({
-                "op": op, "cost_factor": round(factor, 2),
-                "data_factor": scales[-1] // scales[0],
-                "near_linear": factor <= 1.2 * (scales[-1] / scales[0]),
-            }), flush=True)
+        for a_s, b_s in zip(scales, scales[1:]):
+            a, b = by.get((op, a_s)), by.get((op, b_s))
+            if a and b:
+                factor = b["sec"] / a["sec"]
+                print(json.dumps({
+                    "op": op, "from_scale": a_s, "to_scale": b_s,
+                    "cost_factor": round(factor, 2),
+                    "data_factor": b_s // a_s,
+                    "near_linear": factor <= 1.2 * (b_s / a_s),
+                }), flush=True)
 
 
 if __name__ == "__main__":
