@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.images import DECODERS, ENCODERS, phash64
 
-_STUB_FMTS = {"webp"}
+# round 3 closes the last image stub: webp is now the real VP8L codec
+# (synth/webp.py). The stub set stays as the dispatch mechanism for any
+# format the engine does not implement (e.g. heif/avif on real corpora).
+_STUB_FMTS = {"heif", "avif"}
 
 
 def _decode_jpeg_alias(buf: bytes):

@@ -1459,12 +1459,14 @@ def q_image_validate(spark, sf_dir):
     stays pinned in pytest, where inf/47 dB floors are asserted.)
 
     Round 3: the rotation now includes REAL baseline JPEG (synth/jpeg.py,
-    alternating 4:2:0 / 4:4:4 originals by seed) — jpg rows must decode
-    and pass the PSNR≥40dB re-encode invariant, not quarantine."""
+    alternating 4:2:0 / 4:4:4 originals by seed) AND real lossless WebP
+    (VP8L, synth/webp.py) — those rows must decode and pass the
+    PSNR≥40dB re-encode invariant, not quarantine. Every format in the
+    rotation is a real codec; no stubs remain."""
     from osm2geojson_spark.operators.images import validate_images
-    from osm2geojson_spark.synth.images import FMTS_JPEG, images_table
+    from osm2geojson_spark.synth.images import FMTS_ALL, images_table
 
-    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_JPEG)
+    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_ALL)
     v = validate_images(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1476,8 +1478,9 @@ def q_image_validate(spark, sf_dir):
 
 _SQL_IMAGE_VALIDATE = """
 WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
-SELECT CASE ((i + 21) % 5) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' ELSE 'jpg' END AS fmt,
+SELECT CASE ((i + 21) % 6) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' WHEN 4 THEN 'jpg'
+            ELSE 'webp' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        CAST(COUNT(*) AS BIGINT) AS n_phash_match,

@@ -34,8 +34,11 @@ IMG_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
 FMTS = ("ppm", "bmp", "qz6", "png")
 # 5-format rotation incl. real baseline JPEG (synth/jpeg.py). Kept out of
 # the default FMTS so the round-1/2 bench tables and the phash literal
-# oracle stay byte-stable; the catalog's image_validate runs on FMTS_JPEG.
+# oracle stay byte-stable; the catalog's image_validate runs on FMTS_ALL.
 FMTS_JPEG = FMTS + ("jpg",)
+# 6-format rotation: + real lossless WebP/VP8L (synth/webp.py) — every
+# image format the engine knows is now a real codec, zero stubs.
+FMTS_ALL = FMTS_JPEG + ("webp",)
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -213,6 +216,18 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+def _encode_webp(px: np.ndarray) -> bytes:
+    from .webp import encode_webp
+
+    return encode_webp(px)
+
+
+def _decode_webp(buf: bytes) -> np.ndarray:
+    from .webp import decode_webp
+
+    return decode_webp(buf)
+
+
 def _encode_jpg(px: np.ndarray) -> bytes:
     """Canonical jpg re-encode (4:4:4, q95): deterministic from pixels
     alone, so validate_images' decode→re-encode→decode PSNR check stays a
@@ -230,9 +245,9 @@ def _decode_jpg(buf: bytes) -> np.ndarray:
 
 
 ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
-            "png": encode_png, "jpg": _encode_jpg}
+            "png": encode_png, "jpg": _encode_jpg, "webp": _encode_webp}
 DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
-            "png": decode_png, "jpg": _decode_jpg}
+            "png": decode_png, "jpg": _decode_jpg, "webp": _decode_webp}
 
 
 # ------------------------------------------------------------------ pixels

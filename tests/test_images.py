@@ -161,8 +161,8 @@ def test_validate_all_ok(images):
 def test_validate_quarantines_corrupt_and_stub(spark, images):
     corrupt = images.limit(4).withColumn(
         "bytes", F.substring("bytes", 1, 10).cast("binary"))
-    webpish = images.limit(3).withColumn("fmt", F.lit("webp"))
-    v = validate_images(corrupt.unionByName(webpish))
+    avifish = images.limit(3).withColumn("fmt", F.lit("avif"))
+    v = validate_images(corrupt.unionByName(avifish))
     good, bad = quarantine_split(v)
     assert good.count() == 0 and bad.count() == 7
     errs = [r["error"] for r in bad.collect()]
