@@ -91,6 +91,35 @@ class _BitWriter:
         for i in range(length - 1, -1, -1):
             self.write((code >> i) & 1, 1)
 
+    def write_tokens(self, codes: np.ndarray, lens: np.ndarray):
+        """Vectorized batch append: each (code, len) written MSB-first
+        (len 0 tokens are skipped). ~15 numpy passes instead of a
+        Python loop per bit — the encoder hot path."""
+        m0 = lens > 0
+        codes, lens = codes[m0], lens[m0]
+        total = int(lens.sum())
+        if total == 0:
+            return
+        cum = np.cumsum(lens)
+        starts = cum - lens
+        bits = np.zeros(total, dtype=np.uint8)
+        for j in range(int(lens.max())):
+            m = lens > j
+            bits[starts[m] + j] = (codes[m] >> (lens[m] - 1 - j)) & 1
+        # splice with any pending partial byte
+        if self.n:
+            pre = np.array([(self.acc >> j) & 1 for j in range(self.n)],
+                           dtype=np.uint8)
+            bits = np.concatenate([pre, bits])
+            self.acc, self.n = 0, 0
+        nfull = len(bits) // 8
+        if nfull:
+            self.out += np.packbits(
+                bits[:nfull * 8], bitorder="little").tobytes()
+        for j, b in enumerate(bits[nfull * 8:].tolist()):
+            self.acc |= b << j
+            self.n += 1
+
     def bytes(self) -> bytes:
         if self.n:
             self.out.append(self.acc)
@@ -780,7 +809,10 @@ def _write_image_stream(bw: _BitWriter, argb: np.ndarray, w: int, h: int,
         bw.write(2, 2)                      # SUBTRACT_GREEN
     if is_level0 and transform_terminator:
         bw.write(0, 1)                      # no (more) transforms
-    # tokenize: literals, cache hits, dist-1 runs
+    if not cache_bits:
+        _write_stream_fast(bw, px, rle, is_level0)
+        return
+    # general (color-cache) path: sequential tokenizer
     ops = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
     i = 0
@@ -864,6 +896,112 @@ def _write_image_stream(bw: _BitWriter, argb: np.ndarray, w: int, h: int,
             dsym, dextra, debits = _lz77_symbol(dist + 120)
             put_always(dc, dsym)
             bw.write(dextra, debits)
+
+
+def _lut_arrays(codes: dict, alphabet: int):
+    """(code_arr, len_arr) for vectorized emission; a single-symbol code
+    gets length 0 (reads consume zero bits)."""
+    c = np.zeros(alphabet, dtype=np.int64)
+    ln = np.zeros(alphabet, dtype=np.int64)
+    if len(codes) > 1:
+        for s, (co, l_) in codes.items():
+            c[s] = co
+            ln[s] = l_
+    return c, ln
+
+
+def _bitrev(vals: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """Per-element bit reversal within nbits (raw ReadBits payloads are
+    LSB-first; the token packer writes MSB-first)."""
+    out = np.zeros_like(vals)
+    if len(vals) == 0:
+        return out
+    for j in range(int(nbits.max())):
+        m = nbits > j
+        out[m] |= ((vals[m] >> j) & 1) << (nbits[m] - 1 - j)
+    return out
+
+
+def _write_stream_fast(bw: _BitWriter, px: np.ndarray, rle: bool,
+                       is_level0: bool):
+    """Vectorized no-color-cache emission: run-length tokenize, bincount
+    histograms, LUT code arrays, one batched bit-pack (~10x the
+    sequential tokenizer, which still serves the color-cache path)."""
+    vals = px.astype(np.int64)
+    n = len(vals)
+    if rle and n > 1:
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = vals[1:] != vals[:-1]
+        starts = np.nonzero(new_run)[0]
+        run_lens = np.diff(np.append(starts, n))
+    else:
+        starts = np.arange(n)
+        run_lens = np.ones(n, dtype=np.int64)
+    lit_vals = vals[starts]
+    copies = run_lens - 1
+    cm = copies > 0
+    copy_lens = copies[cm]
+
+    g = (lit_vals >> 8) & 0xFF
+    r = (lit_vals >> 16) & 0xFF
+    b = lit_vals & 0xFF
+    a = (lit_vals >> 24) & 0xFF
+    gf = np.bincount(g, minlength=280).astype(np.int64)
+    rf = np.bincount(r, minlength=256)
+    bf = np.bincount(b, minlength=256)
+    af = np.bincount(a, minlength=256)
+
+    # vectorized _lz77_symbol over copy lengths
+    if len(copy_lens):
+        small = copy_lens <= 4
+        v = copy_lens - 1
+        bl = np.frexp(v.astype(np.float64))[1]      # exact int bit_length
+        extra = np.maximum(bl - 2, 0)
+        bit = (v >> extra) & 1
+        len_sym = np.where(small, copy_lens - 1, 2 * extra + 2 + bit)
+        len_eb_val = np.where(small, 0, v - ((2 + bit) << extra))
+        len_eb_cnt = np.where(small, 0, extra)
+        np.add.at(gf, 256 + len_sym, 1)
+    dsym, deb_val, deb_cnt = _lz77_symbol(1 + 120)  # dist 1 (plain code)
+    df = [0] * 40
+    df[dsym] = int(cm.sum())
+
+    if is_level0:
+        bw.write(0, 1)                      # no color cache
+        bw.write(0, 1)                      # no entropy image
+    else:
+        bw.write(0, 1)                      # no color cache
+    gl = _huffman_lengths(gf.tolist())
+    rl_, bl_, al = (_huffman_lengths(x.tolist()) for x in (rf, bf, af))
+    dl = _huffman_lengths(df)
+    for lengths in (gl, rl_, bl_, al, dl):
+        if not any(lengths):
+            lengths[0] = 1
+        _write_prefix_code(bw, lengths)
+    gc_c, gc_l = _lut_arrays(canonical_codes(gl), 280)
+    rc_c, rc_l = _lut_arrays(canonical_codes(rl_), 256)
+    bc_c, bc_l = _lut_arrays(canonical_codes(bl_), 256)
+    ac_c, ac_l = _lut_arrays(canonical_codes(al), 256)
+    dc_c, dc_l = _lut_arrays(canonical_codes(dl), 40)
+
+    n_runs = len(lit_vals)
+    T = np.zeros((n_runs, 8), dtype=np.int64)
+    L = np.zeros((n_runs, 8), dtype=np.int64)
+    T[:, 0], L[:, 0] = gc_c[g], gc_l[g]
+    T[:, 1], L[:, 1] = rc_c[r], rc_l[r]
+    T[:, 2], L[:, 2] = bc_c[b], bc_l[b]
+    T[:, 3], L[:, 3] = ac_c[a], ac_l[a]
+    if len(copy_lens):
+        T[cm, 4], L[cm, 4] = gc_c[256 + len_sym], gc_l[256 + len_sym]
+        T[cm, 5] = _bitrev(len_eb_val, len_eb_cnt)
+        L[cm, 5] = len_eb_cnt
+        T[cm, 6], L[cm, 6] = dc_c[dsym], dc_l[dsym]
+        if deb_cnt:
+            T[cm, 7] = _bitrev(np.full(int(cm.sum()), deb_val, np.int64),
+                               np.full(int(cm.sum()), deb_cnt, np.int64))
+            L[cm, 7] = deb_cnt
+    bw.write_tokens(T.ravel(), L.ravel())
 
 
 def encode_webp(px: np.ndarray, cache_bits: int = 0, rle: bool = True,

@@ -13,7 +13,12 @@ contamination), warm-up run discarded, min of REPS timed runs reported
 (min = steady-state; host is a shared VM with noisy neighbors).
 
 Usage: python tools/scaling_bench.py [n_images] → prints JSON; paste into
-BASELINE.md / BENCH.md.
+BASELINE.md / BENCH.md. Env:
+  SCALE_REPS=N      timed reps per level (default 3)
+  SCALE_FMTS=all    use the FULL 6-codec rotation (incl. real JPEG +
+                    WebP/VP8L decode in the hot path) instead of the
+                    round-1/2-comparable 4-format mix
+  SCALE_LEVELS=32   comma list of parallelism levels (default "8,32")
 """
 
 from __future__ import annotations
@@ -62,13 +67,14 @@ print(json.dumps({"cores": cores, "times": times, "best": min(times)}))
 """
 
 
-def synth_input(n: int, path: str) -> None:
+def synth_input(n: int, path: str, fmts_all: bool) -> None:
+    fmts = ("fmts=FMTS_ALL, " if fmts_all else "")
     code = (
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "from osm2geojson_spark.session import get_spark\n"
-        "from osm2geojson_spark.synth.images import images_table\n"
+        "from osm2geojson_spark.synth.images import images_table, FMTS_ALL\n"
         "spark = get_spark('synth', master='local[32]')\n"
-        f"images_table(spark, n={n}, seed=42, partitions=64)"
+        f"images_table(spark, n={n}, seed=42, {fmts}partitions=64)"
         f".write.mode('overwrite').parquet({path!r})\n"
     )
     subprocess.run([sys.executable, "-c", code], check=True,
@@ -86,20 +92,34 @@ def run_level(cores: int, path: str, reps: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     reps = int(os.environ.get("SCALE_REPS", "3"))
-    path = os.path.join(tempfile.gettempdir(), f"images_scale_{n}.parquet")
+    fmts_all = os.environ.get("SCALE_FMTS", "") == "all"
+    levels = [int(x) for x in
+              os.environ.get("SCALE_LEVELS", "8,32").split(",")]
+    suffix = "_all" if fmts_all else ""
+    path = os.path.join(tempfile.gettempdir(),
+                        f"images_scale_{n}{suffix}.parquet")
     if not os.path.exists(path):
-        synth_input(n, path)
-    lo = run_level(8, path, reps)
-    hi = run_level(32, path, reps)
-    eff = (lo["best"] / hi["best"]) / (32 / 8)
+        synth_input(n, path, fmts_all)
+    if len(levels) == 1:
+        r = run_level(levels[0], path, reps)
+        print(json.dumps({
+            "n_images": n, "fmts": "all6" if fmts_all else "base4",
+            f"local{levels[0]}": {
+                "best_sec": round(r["best"], 3),
+                "rows_per_sec": round(n / r["best"]),
+                "times": [round(t, 3) for t in r["times"]]}}))
+        return
+    lo = run_level(levels[0], path, reps)
+    hi = run_level(levels[1], path, reps)
+    eff = (lo["best"] / hi["best"]) / (levels[1] / levels[0])
     print(json.dumps({
-        "n_images": n,
-        "local8": {"best_sec": round(lo["best"], 3),
-                   "rows_per_sec": round(n / lo["best"]),
-                   "times": [round(t, 3) for t in lo["times"]]},
-        "local32": {"best_sec": round(hi["best"], 3),
-                    "rows_per_sec": round(n / hi["best"]),
-                    "times": [round(t, 3) for t in hi["times"]]},
+        "n_images": n, "fmts": "all6" if fmts_all else "base4",
+        f"local{levels[0]}": {"best_sec": round(lo["best"], 3),
+                              "rows_per_sec": round(n / lo["best"]),
+                              "times": [round(t, 3) for t in lo["times"]]},
+        f"local{levels[1]}": {"best_sec": round(hi["best"], 3),
+                              "rows_per_sec": round(n / hi["best"]),
+                              "times": [round(t, 3) for t in hi["times"]]},
         "speedup": round(lo["best"] / hi["best"], 2),
         "scaling_efficiency": round(eff, 3),
     }))
