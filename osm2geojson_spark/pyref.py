@@ -317,6 +317,74 @@ def ref_phash_pairs(n: int = 500, seed: int = 42,
     return _chunk16_pairs_hamming(items, max_hamming)
 
 
+# ------------------------------------------------------------------- s2
+
+# Hilbert traversal tables — see functions/s2.py (public S2 constants).
+_S2_IJ_TO_POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+_S2_POS_TO_ORIENT = [1, 0, 0, 3]
+_S2_MAX_LEVEL = 30
+
+
+def s2_encode(lon: float, lat: float, level: int = _S2_MAX_LEVEL) -> int:
+    """Scalar pure-Python twin of ``functions.s2.encode_np`` (math module
+    only; independent of the vectorized numpy kernel, shares just libm).
+    Branch/tie-break order deliberately mirrors the numpy np.where /
+    np.select chain so both paths pick the same face and (u,v)."""
+    import math
+
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    cphi = math.cos(phi)
+    x = cphi * math.cos(lam)
+    y = cphi * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0.0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0.0 else 4
+    else:
+        face = 2 if z >= 0.0 else 5
+    u, v = [
+        lambda: (y / x, z / x),       # +x
+        lambda: (-x / y, z / y),      # +y
+        lambda: (-x / z, -y / z),     # +z
+        lambda: (z / x, y / x),       # -x
+        lambda: (z / y, -x / y),      # -y
+        lambda: (-y / z, -x / z),     # -z
+    ][face]()
+
+    def st(w: float) -> float:
+        if w >= 0.0:
+            return 0.5 * math.sqrt(1.0 + 3.0 * w)
+        return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+
+    n = 1 << _S2_MAX_LEVEL
+    i = min(max(int(math.floor(st(u) * n)), 0), n - 1)
+    j = min(max(int(math.floor(st(v) * n)), 0), n - 1)
+
+    pos = 0
+    orient = face & 1
+    for k in range(_S2_MAX_LEVEL - 1, -1, -1):
+        ij2 = ((i >> k) & 1) << 1 | ((j >> k) & 1)
+        p = _S2_IJ_TO_POS[orient][ij2]
+        pos = (pos << 2) | p
+        orient ^= _S2_POS_TO_ORIENT[p]
+
+    cell = (face << 61) | (pos << 1) | 1
+    if level < _S2_MAX_LEVEL:
+        lsb = 1 << (2 * (_S2_MAX_LEVEL - level))
+        cell = (cell & -lsb) | lsb
+    return signed64(cell)
+
+
+def s2_parent(cell: int, level: int) -> int:
+    """Parent id at ``level`` (bit math on the signed-int64 bit pattern)."""
+    u = cell & ((1 << 64) - 1)
+    lsb = 1 << (2 * (_S2_MAX_LEVEL - level))
+    return signed64((u & -lsb & ((1 << 64) - 1)) | lsb)
+
+
 # -------------------------------------------------------------- SQL emit
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm2geojson_spark.functions import cells as C
+from osm2geojson_spark.functions import s2 as S2
 from osm2geojson_spark.functions import text as TX
 from osm2geojson_spark.operators import dedup as DD
 from osm2geojson_spark.operators import osm_join as OJ
@@ -1277,6 +1278,65 @@ SELECT c_custkey, {cell} AS cell, ({cell}) >> 6 AS parent FROM customer
 """
 
 
+def q_s2_cell_encode(spark, sf_dir):
+    """G1+ — TRUE S2 cell encode (cube-face + Hilbert): Arrow-batched
+    numpy kernel for the curve walk, then parent rollup as pure column
+    bit math (JVM-side). The north-star's "batch-encode to H3/S2 cells"
+    shape, value-exact against the scalar pure-Python twin."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    enc = S2.s2_udf(level=12)
+    cell = enc(lon_col(k), lat_col(k))
+    return cust.select(
+        "c_custkey", cell.alias("s2_cell"),
+        S2.parent_expr(cell, 5).alias("s2_parent"))
+
+
+def _sql_s2_cell_encode() -> str:
+    """Literal-table oracle: ids recomputed by the scalar pure-Python
+    twin (pyref.s2_encode — math module, no numpy/Spark) from the same
+    int-derived coordinates."""
+    from osm2geojson_spark import pyref
+
+    rows = []
+    for (key,) in _oracle_parquet("customer", ["c_custkey"]):
+        lon = (key * _LON_MUL % 360_000_000) / 1_000_000.0 - 180.0
+        lat = ((key * _LAT_MUL + _LAT_OFF) % 170_000_000) / 1_000_000.0 - 85.0
+        cell = pyref.s2_encode(lon, lat, 12)
+        rows.append((key, cell, pyref.s2_parent(cell, 5)))
+    return pyref.values_sql(
+        rows, [("c_custkey", "BIGINT"), ("s2_cell", "BIGINT"),
+               ("s2_parent", "BIGINT")])
+
+
+def q_s2_histogram(spark, sf_dir):
+    """G4+ with the S2 index: encode events ONCE at a fine level
+    (Arrow-batched Hilbert kernel), roll up to a coarse level with pure
+    column bit math, then a partial-agg count — the Hilbert analog of
+    tile_histogram, with ids whose numeric order IS spatial order."""
+    ev = _t(spark, sf_dir, "events")
+    enc = S2.s2_udf(level=12)
+    k = F.col("event_id")
+    fine = enc(lon_col(k), lat_col(k))
+    return (ev.select(S2.parent_expr(fine, 4).alias("s2_cell"))
+            .groupBy("s2_cell").agg(F.count("*").alias("n_rows")))
+
+
+def _sql_s2_histogram() -> str:
+    from collections import Counter
+
+    from osm2geojson_spark import pyref
+
+    counts = Counter()
+    for (key,) in _oracle_parquet("events", ["event_id"]):
+        lon = (key * _LON_MUL % 360_000_000) / 1_000_000.0 - 180.0
+        lat = ((key * _LAT_MUL + _LAT_OFF) % 170_000_000) / 1_000_000.0 - 85.0
+        counts[pyref.s2_parent(pyref.s2_encode(lon, lat, 12), 4)] += 1
+    return pyref.values_sql(
+        sorted(counts.items()),
+        [("s2_cell", "BIGINT"), ("n_rows", "BIGINT")])
+
+
 def q_tile_histogram(spark, sf_dir):
     """G4 — shuffle-free tile assignment + per-tile histogram (the skew
     detector feeding the salted join)."""
@@ -1668,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "cell_encode": q_cell_encode,
+        "s2_cell_encode": q_s2_cell_encode,
+        "s2_histogram": q_s2_histogram,
         "tile_histogram": q_tile_histogram,
         "tile_pyramid": q_tile_pyramid,
         "distance_join": q_distance_join,
@@ -1725,6 +1787,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate": _SQL_AUDIO_VALIDATE,
         "video_validate": _SQL_VIDEO_VALIDATE,
         "cell_encode": _sql_cell_encode(),
+        "s2_cell_encode": _sql_s2_cell_encode(),
+        "s2_histogram": _sql_s2_histogram(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),
         "distance_join": _SQL_DISTANCE_JOIN,
