@@ -2,12 +2,16 @@
 the (media_id, bytes, …, fmt) video table, with the same quarantine
 discipline as images/audio (problem* sinks, OsmJoin.java:111-113).
 
-``fpack`` decode is REAL (seekable container, synth/video.py) and so is
-``avi`` (MJPEG-in-AVI, synth/avi.py — RIFF chunk walk + idx1 O(1) frame
-seek, frames decoded by the baseline JPEG codec; round-3 upgrade per
-VERDICT item 7). mp4/webm/mkv raise NotImplementedError behind the
-dispatch — the sampling logic, batch shape, and quarantine routing are
-fully exercised either way. Replaces round-1's pure
+ALL four containers decode for real: ``fpack`` (seekable synth
+container, synth/video.py), ``avi`` (MJPEG-in-AVI, RIFF chunk walk +
+idx1 O(1) seek, synth/avi.py), ``mp4`` (ISO-BMFF 'jpeg' Photo-JPEG
+track, sample tables stsd/stts/stsc/stsz/stco, synth/mp4.py) and
+``mkv`` (Matroska V_MJPEG, EBML structural walk + Cues, synth/mkv.py).
+``webm`` is the SAME EBML grammar parsed by the mkv reader, but its
+codec set (VP8/VP9/AV1) needs a DSP decoder we don't carry — the
+parser raises NotImplementedError on the codec id, so webm rows
+quarantine with the container fully validated (honest partial support,
+same policy as avc1-in-mp4). Replaces round-1's pure
 ``sample_video_frames`` stub (operators/images.py), which survives only
 as a thin deprecated wrapper.
 """
@@ -22,21 +26,17 @@ from pyspark.sql import DataFrame
 
 from osm2geojson_spark.synth.avi import avi_frame, avi_frame_index, avi_header
 from osm2geojson_spark.synth.images import encode_ppm
+from osm2geojson_spark.synth.mkv import mkv_frame, mkv_frame_index, mkv_header
+from osm2geojson_spark.synth.mp4 import mp4_frame, mp4_frame_index, mp4_header
 from osm2geojson_spark.synth.video import fpack_frame, fpack_header
-
-_STUB_FMTS = {"mp4", "webm", "mkv"}
 
 
 def _open_clip(buf: bytes, fmt: str):
-    """(n_frames, fps, get_frame) for the two real containers; NotImpl/
-    ValueError for stubs/unknowns (→ quarantine row upstream). Both
-    containers give O(1) per-frame access, so every-n sampling touches
-    ONLY sampled frames — the property that matters when a clip is
-    thousands of frames and you sample a handful."""
-    if fmt in _STUB_FMTS:
-        raise NotImplementedError(
-            f"codec '{fmt}' requires ffmpeg (not in this container); "
-            "plug it into the dispatch to enable")
+    """(n_frames, fps, get_frame); NotImplementedError/ValueError →
+    quarantine row upstream. Every container gives O(1) per-frame access
+    after one header/index parse, so every-n sampling touches ONLY
+    sampled frames — the property that matters when a clip is thousands
+    of frames and you sample a handful."""
     if fmt == "fpack":
         n, _, _, fps, _ = fpack_header(buf)
         return n, fps, lambda k: fpack_frame(buf, k)
@@ -46,6 +46,19 @@ def _open_clip(buf: bytes, fmt: str):
         if len(idx) != n:
             raise ValueError(f"AVI header says {n} frames, index has {len(idx)}")
         return n, fps, lambda k: avi_frame(buf, k, idx)
+    if fmt == "mp4":
+        n, _, _, fps = mp4_header(buf)
+        idx = mp4_frame_index(buf)
+        if len(idx) != n:
+            raise ValueError(f"mp4 stts says {n} samples, index has {len(idx)}")
+        return n, fps, lambda k: mp4_frame(buf, k, idx)
+    if fmt in ("mkv", "webm"):
+        # one parser for both doctypes; real webm codecs raise here
+        n, _, _, fps, _codec = mkv_header(buf)
+        idx = mkv_frame_index(buf)
+        if len(idx) != n:
+            raise ValueError(f"mkv Duration says {n} frames, index has {len(idx)}")
+        return n, fps, lambda k: mkv_frame(buf, k, idx)
     raise ValueError(f"unknown fmt '{fmt}'")
 
 

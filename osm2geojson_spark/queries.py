@@ -1591,19 +1591,21 @@ FROM seeds GROUP BY 1
 
 
 def q_video_validate(spark, sf_dir):
-    """Video twin of image/audio_validate over the MIXED container
-    rotation (real fpack + real MJPEG-in-AVI, round 3): video_stats
-    decodes EVERY frame of every clip — AVI rows walk RIFF → idx1 →
-    per-frame baseline-JPEG decode — and aggregates per fmt.
+    """Video twin of image/audio_validate over the FULL container
+    rotation (round-3 final: real fpack + MJPEG in AVI/MP4/MKV, plus a
+    structurally-valid webm whose V_VP9 codec the reader honestly
+    refuses → quarantine): video_stats decodes EVERY frame of every
+    decodable clip — RIFF/idx1, ISO-BMFF sample tables, EBML cluster
+    walk, per-frame baseline-JPEG decode — and aggregates per fmt.
 
     VALUE-EXACT by seed formula: n_frames = 4 + seed % 9, fps = 10,
-    fmt = (fpack, avi)[(seed>>1) % 2] with seed = i·2+66, so the oracle
-    recomputes (n, n_ok, min_dur, max_dur) from generate_series; a
-    decode failure nulls duration and flips n_ok."""
+    fmt index = (seed>>1) % 5 with seed = i·2+66, so the oracle
+    recomputes (n, n_ok, min_dur, max_dur) from generate_series; webm
+    rows quarantine (n_ok 0, durations NULL) by design."""
     from osm2geojson_spark.operators.video import video_stats
-    from osm2geojson_spark.synth.video import VFMTS_AVI, video_table
+    from osm2geojson_spark.synth.video import VFMTS_ALL, video_table
 
-    vids = video_table(spark, n=120, seed=66, fmts=VFMTS_AVI)
+    vids = video_table(spark, n=120, seed=66, fmts=VFMTS_ALL)
     v = video_stats(vids)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1615,12 +1617,17 @@ def q_video_validate(spark, sf_dir):
 
 _SQL_VIDEO_VALIDATE = """
 WITH seeds AS (
-  SELECT i, (i * 2 + 66) AS seed FROM generate_series(0, 119) AS t(i))
-SELECT CASE ((i + 33) % 2) WHEN 0 THEN 'fpack' ELSE 'avi' END AS fmt,
+  SELECT i, (i * 2 + 66) AS seed,
+         CASE ((i + 33) % 5) WHEN 0 THEN 'fpack' WHEN 1 THEN 'avi'
+              WHEN 2 THEN 'mp4' WHEN 3 THEN 'mkv' ELSE 'webm' END AS fmt
+  FROM generate_series(0, 119) AS t(i))
+SELECT fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(COUNT(*) AS BIGINT) AS n_ok,
-       MIN(CAST(4 + (seed % 9) AS DOUBLE) / 10.0) AS min_dur,
-       MAX(CAST(4 + (seed % 9) AS DOUBLE) / 10.0) AS max_dur
+       CAST(SUM(CASE WHEN fmt = 'webm' THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+       MIN(CASE WHEN fmt = 'webm' THEN NULL
+                ELSE CAST(4 + (seed % 9) AS DOUBLE) / 10.0 END) AS min_dur,
+       MAX(CASE WHEN fmt = 'webm' THEN NULL
+                ELSE CAST(4 + (seed % 9) AS DOUBLE) / 10.0 END) AS max_dur
 FROM seeds GROUP BY 1
 """
 

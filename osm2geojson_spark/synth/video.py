@@ -3,9 +3,11 @@
 fpack is the video analogue of the qz6 image codec: a real, seekable,
 pure-stdlib container so the frame-sampling OPERATOR logic (header
 parse, O(1) frame seek, every-n selection, per-frame feature extraction)
-is genuinely exercised — real-world codecs (mp4/webm/mkv) stay behind
-NotImplementedError stubs in operators/video.py, same policy as
-jpeg/webp for images and mp3/flac for audio.
+is genuinely exercised. The real-world containers live next door —
+MJPEG in AVI (synth/avi.py), MP4 (synth/mp4.py) and MKV (synth/mkv.py)
+all decode for real; webm rows are structurally-valid EBML whose
+VP8/VP9/AV1 codecs we honestly refuse (quarantine), since a DSP video
+decoder is out of scope.
 
 Layout: ``FPK1\\n<n_frames> <w> <h> <fps>\\n`` + n_frames raw RGB24
 frames (fixed size ⇒ random access by index without decoding the rest).
@@ -62,6 +64,9 @@ def fpack_frame(buf: bytes, idx: int) -> np.ndarray:
 VFMTS = ("fpack",)
 # rotation including the real-world MJPEG-in-AVI container (synth/avi.py)
 VFMTS_AVI = ("fpack", "avi")
+# full rotation: every real container + a structurally-valid webm whose
+# codec id (V_VP9) the reader honestly refuses — the quarantine row
+VFMTS_ALL = ("fpack", "avi", "mp4", "mkv", "webm")
 
 
 def make_video_row(seed: int, fmts: tuple = VFMTS) -> tuple:
@@ -73,7 +78,22 @@ def make_video_row(seed: int, fmts: tuple = VFMTS) -> tuple:
     if fmt == "avi":
         from .avi import encode_avi_mjpeg
 
-        buf = encode_avi_mjpeg(frames, fps=10)
+        buf = encode_avi_mjpeg(frames, fps=10, quality=95)
+    elif fmt == "mp4":
+        from .mp4 import encode_mp4_mjpeg
+
+        buf = encode_mp4_mjpeg(frames, fps=10, quality=95)
+    elif fmt == "mkv":
+        from .mkv import encode_mkv_mjpeg
+
+        buf = encode_mkv_mjpeg(frames, fps=10, quality=95)
+    elif fmt == "webm":
+        # real EBML/webm container; V_VP9 payload bytes are never decoded
+        # (the reader gates on the codec id before touching payloads)
+        from .mkv import encode_mkv_mjpeg
+
+        buf = encode_mkv_mjpeg(frames, fps=10, doctype="webm",
+                               codec_id="V_VP9")
     else:
         buf = encode_fpack(frames, fps=10)
     return (f"vid-{seed:012d}", buf, w, h, n_frames, 10, fmt)

@@ -106,7 +106,9 @@ def test_mixed_rotation_operators(spark):
     assert checked == 5
 
 
-def test_stub_fmts_still_quarantine(spark):
+def test_mislabeled_fmt_quarantines(spark):
+    # mp4 is a real decoder now; fpack bytes labeled mp4 must fail the
+    # box parse and quarantine (ValueError), never crash the task
     from pyspark.sql import functions as F
 
     from osm2geojson_spark.operators.video import video_stats
@@ -114,4 +116,4 @@ def test_stub_fmts_still_quarantine(spark):
 
     vids = video_table(spark, n=3, seed=66).withColumn("fmt", F.lit("mp4"))
     st = video_stats(vids).collect()
-    assert all("NotImplementedError" in r["error"] for r in st)
+    assert all(r["error"] and "ValueError" in r["error"] for r in st)

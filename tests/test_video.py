@@ -53,12 +53,24 @@ def test_sample_frames_every_n(spark, videos):
     assert px.ndim == 3 and px.shape[2] == 3
 
 
-def test_sample_frames_quarantines_stub_fmt(spark, videos):
+def test_sample_frames_quarantines_bad_rows(spark, videos):
+    # mp4 decodes for real now: fpack bytes mislabeled mp4 fail the box
+    # parse (ValueError → quarantine); a structurally-valid webm fails
+    # the codec gate (NotImplementedError → quarantine)
     mp4ish = videos.limit(3).withColumn("fmt", F.lit("mp4"))
     rows = sample_frames(mp4ish).collect()
     assert len(rows) == 3
-    assert all(r["frame_idx"] == -1 and "NotImplementedError" in r["error"]
+    assert all(r["frame_idx"] == -1 and "ValueError" in r["error"]
                for r in rows)
+
+    from osm2geojson_spark.synth.video import VFMTS_ALL, video_table
+
+    allv = video_table(spark, n=10, seed=66, fmts=VFMTS_ALL)
+    webm = allv.filter(F.col("fmt") == "webm")
+    rows = sample_frames(webm).collect()
+    assert rows and all(r["frame_idx"] == -1
+                        and "NotImplementedError" in r["error"]
+                        for r in rows)
 
 
 def test_video_stats(spark, videos):
