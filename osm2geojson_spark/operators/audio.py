@@ -3,12 +3,14 @@ Arrow-batched kernels over (audio_id, bytes, sample_rate, n_samples,
 fmt, transcript) with the same quarantine discipline (problem* sinks,
 OsmJoin.java:111-113,176-179: undecodable rows split out, never dropped).
 
-``wav`` AND ``aiff`` decode are REAL (stdlib codecs, synth/audio.py —
-AIFF walks the public IFF chunk grammar incl. the 80-bit extended-float
-sample rate; round-3 parity move mirroring MJPEG-in-AVI for video).
-mp3/flac/ogg raise NotImplementedError behind the fmt dispatch with the
-Spark plumbing (schema, batching, quarantine) fully exercised — swap in
-ffmpeg/soundfile on a cluster that has them.
+Real decoders: ``wav`` (stdlib PCM16), ``aiff`` (IFF chunk grammar,
+80-bit extended-float rate), ``flac`` (synth/flac.py — FIXED/LPC+Rice),
+and the compressed-WAV family ``ulaw``/``alaw`` (ITU-T G.711) and
+``adpcm`` (IMA/DVI WAVE tag 0x11) via synth/wavext.py. mp3/ogg/opus
+raise NotImplementedError behind the fmt dispatch — those are
+patent-era DSP codecs whose decoders are out of scope; the Spark
+plumbing (schema, batching, quarantine) is fully exercised either way —
+swap in ffmpeg/soundfile on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -29,8 +31,16 @@ def _decode_flac(buf: bytes):
     return decode_flac(buf)
 
 
+def _decode_wav_ext(buf: bytes):
+    from osm2geojson_spark.synth.wavext import decode_wav_ext
+
+    return decode_wav_ext(buf)
+
+
 _STUB_FMTS = {"mp3", "ogg", "opus"}
-_DECODERS = {"wav": decode_wav, "aiff": decode_aiff, "flac": _decode_flac}
+_DECODERS = {"wav": decode_wav, "aiff": decode_aiff, "flac": _decode_flac,
+             "ulaw": _decode_wav_ext, "alaw": _decode_wav_ext,
+             "adpcm": _decode_wav_ext}
 
 
 def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:

@@ -1560,14 +1560,16 @@ def q_audio_validate(spark, sf_dir):
     DECODED sample count, a decode bug diverges the aggregate and fails
     the gate.
 
-    Round 3: the rotation now includes REAL AIFF (big-endian PCM16 IFF
-    container, 80-bit extended-float sample rate) and REAL FLAC
-    (synth/flac.py — CONSTANT/FIXED+Rice frames, CRC-8/16) — those rows
-    must decode and match their declared metadata, not quarantine."""
+    Round 3: the rotation covers SIX real codecs — WAV, AIFF (IFF
+    grammar, 80-bit extended-float rate), FLAC (CONSTANT/FIXED+Rice,
+    CRC-8/16), and the compressed-WAV family G.711 μ-law/A-law + IMA
+    ADPCM (synth/wavext.py) — every row must decode and match its
+    declared metadata, not quarantine. ADPCM's duration check is the
+    sharp one: the fact-chunk sample count must survive block padding."""
     from osm2geojson_spark.operators.audio import validate_audio
-    from osm2geojson_spark.synth.audio import AFMTS_REAL, audio_table
+    from osm2geojson_spark.synth.audio import AFMTS_FULL, audio_table
 
-    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_REAL)
+    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_FULL)
     v = validate_audio(aud)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1580,8 +1582,9 @@ def q_audio_validate(spark, sf_dir):
 _SQL_AUDIO_VALIDATE = """
 WITH seeds AS (
   SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
-SELECT CASE ((i + 12) % 3) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
-            ELSE 'flac' END AS fmt,
+SELECT CASE ((i + 12) % 6) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+            WHEN 2 THEN 'flac' WHEN 3 THEN 'ulaw' WHEN 4 THEN 'alaw'
+            ELSE 'adpcm' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        MIN(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS min_dur,

@@ -142,6 +142,8 @@ AFMTS = ("wav",)
 AFMTS_AIFF = ("wav", "aiff")
 # full real-codec rotation: + FLAC (synth/flac.py, CONSTANT/FIXED+Rice)
 AFMTS_REAL = ("wav", "aiff", "flac")
+# + the compressed-WAV family (G.711 ulaw/alaw, IMA ADPCM — wavext.py)
+AFMTS_FULL = ("wav", "aiff", "flac", "ulaw", "alaw", "adpcm")
 
 
 def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
@@ -153,6 +155,10 @@ def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
         from .flac import encode_flac
 
         buf = encode_flac(samples, rate)
+    elif fmt in ("ulaw", "alaw", "adpcm"):
+        from .wavext import encode_wav_ext
+
+        buf = encode_wav_ext(samples, rate, fmt)
     else:
         enc = encode_aiff if fmt == "aiff" else encode_wav
         buf = enc(samples, rate)
