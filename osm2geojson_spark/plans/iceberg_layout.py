@@ -71,6 +71,37 @@ class IcebergLikeTable:
     def exists(self) -> bool:
         return self.current_version() > 0
 
+    # ---------------------------------------------------------- file stats
+    @staticmethod
+    def _footer_stats(path: str, cols: list[str]) -> dict:
+        """Per-file [min, max] per column, read from the parquet FOOTER
+        (row-group statistics — no row scan, exactly the bounds real
+        Iceberg manifests carry). Columns whose stats are missing in any
+        row group are omitted (pruning then keeps the file: safe)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        if md.num_row_groups == 0:
+            return {}
+        name_to_idx = {md.row_group(0).column(i).path_in_schema: i
+                       for i in range(md.row_group(0).num_columns)}
+        out = {}
+        for c in cols:
+            i = name_to_idx.get(c)
+            if i is None:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    mins = []
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if mins:
+                out[c] = [min(mins), max(maxs)]
+        return out
+
     # --------------------------------------------------------------- commit
     def append(
         self,
@@ -78,6 +109,7 @@ class IcebergLikeTable:
         partition_by: str | None = None,
         summary: dict | None = None,
         overwrite: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Write ``df`` as a new snapshot. With ``partition_by``, data
         files land under ``<col>=<val>`` dirs and each manifest entry
@@ -107,8 +139,10 @@ class IcebergLikeTable:
                 kv = os.path.basename(os.path.dirname(p))
                 col, _, val = kv.partition("=")
                 part[col] = val
-            entries.append({"path": os.path.relpath(p, self.root),
-                            "partition": part})
+            e = {"path": os.path.relpath(p, self.root), "partition": part}
+            if stats_cols:
+                e["stats"] = self._footer_stats(p, stats_cols)
+            entries.append(e)
         manifest_name = f"manifest-{commit_id}.json"
         with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
             json.dump({"entries": entries}, f)
@@ -161,28 +195,70 @@ class IcebergLikeTable:
             f"{self.meta_dir}")
 
     # ---------------------------------------------------------------- reads
-    def _files(self, snapshot_id: int | None = None) -> list[str]:
+    def _entries(self, snapshot_id: int | None = None) -> list[dict]:
         md = self._metadata()
         if not md or not md["snapshots"]:
             return []
         snaps = md["snapshots"]
         snap = (snaps[-1] if snapshot_id is None else
                 next(s for s in snaps if s["snapshot_id"] == snapshot_id))
-        files = []
+        entries = []
         for mf in snap["manifests"]:
             with open(os.path.join(self.meta_dir, mf)) as f:
-                files.extend(os.path.join(self.root, e["path"])
-                             for e in json.load(f)["entries"])
-        return files
+                entries.extend(json.load(f)["entries"])
+        return entries
+
+    def _files(self, snapshot_id: int | None = None) -> list[str]:
+        return [os.path.join(self.root, e["path"])
+                for e in self._entries(snapshot_id)]
+
+    def plan_files(self, prune: dict | None = None,
+                   snapshot_id: int | None = None) -> tuple[list[str], int]:
+        """Metadata-only scan planning: ``prune`` maps column → (lo, hi)
+        inclusive interval; a file is kept unless its manifest stats
+        prove it disjoint from EVERY predicate interval. Files without
+        stats for a predicated column are kept (pruning is a superset —
+        callers still apply the row filter). Returns (kept, total) so
+        benchmarks can report the skipping ratio."""
+        entries = self._entries(snapshot_id)
+        if not prune:
+            return [os.path.join(self.root, e["path"]) for e in entries], \
+                len(entries)
+        kept = []
+        for e in entries:
+            stats = e.get("stats") or {}
+            drop = False
+            for col, (lo, hi) in prune.items():
+                if col in stats:
+                    fmin, fmax = stats[col]
+                    if fmax < lo or fmin > hi:
+                        drop = True
+                        break
+            if not drop:
+                kept.append(os.path.join(self.root, e["path"]))
+        return kept, len(entries)
 
     def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame:
+             snapshot_id: int | None = None,
+             prune: dict | None = None) -> DataFrame:
         """Current (or time-travel) snapshot as a DataFrame. Partition
         columns are reconstructed per commit directory via basePath
         (files are grouped by their commit dir — a commit is one write,
-        so each group has a consistent <col>=<val> layout)."""
-        files = self._files(snapshot_id)
+        so each group has a consistent <col>=<val> layout).
+
+        ``prune``: interval predicates ({col: (lo, hi)}) resolved
+        against per-file manifest stats BEFORE Spark ever sees a path —
+        the scan plan contains only surviving files. The pruned set is a
+        superset of matching rows; apply the row filter on the result."""
+        files = (self.plan_files(prune, snapshot_id)[0] if prune
+                 else self._files(snapshot_id))
         if not files:
+            if prune and self._files(snapshot_id):
+                # every file pruned — legit empty result, table schema
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(self._metadata()["schema"])
+                return spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         by_commit: dict[str, list[str]] = {}
         for p in files:
@@ -216,6 +292,47 @@ class IcebergLikeTable:
         self.append(df, partition_by=part,
                     summary={"operation": "compact"}, overwrite=True)
         return {"files_before": before, "files_after": len(self._files())}
+
+    def cluster(self, spark: SparkSession, lon_col: str, lat_col: str,
+                n_files: int = 8,
+                stats_cols: list[str] | None = None) -> dict:
+        """Hilbert-curve data clustering (the "zorder by" maintenance op,
+        with a better curve): REPLACE-commit the current snapshot sorted
+        by the S2 leaf id of (lon, lat) into ``n_files`` range-partitioned
+        files, recording per-file lon/lat footer bounds in the manifest.
+
+        Why this matters at 100 TB: after clustering, each file covers a
+        CONTIGUOUS Hilbert range, and the Hilbert curve has no seams —
+        so per-file lon/lat bounding boxes are tight, and a spatial
+        interval predicate prunes all but O(query-area / file-area)
+        files at PLAN time (plan_files), before Spark lists a single
+        path. Unclustered appends leave every file spanning the whole
+        domain: zero skipping. tests/test_iceberg_cluster.py measures
+        the ratio; BENCH.md records it.
+
+        The sort is one repartitionByRange exchange (range boundaries
+        from Spark's sampled partitioner) + in-partition sort — the same
+        cost shape as any global sort, amortized over every subsequent
+        pruned scan. Returns {files_before, files_after, stats_cols}."""
+        from pyspark.sql import functions as F
+
+        from osm2geojson_spark.functions.s2 import s2_udf
+
+        before = len(self._files())
+        stats_cols = list(dict.fromkeys(
+            [lon_col, lat_col] + list(stats_cols or [])))
+        df = self.read(spark)
+        enc = s2_udf(level=30)
+        key = enc(F.col(lon_col), F.col(lat_col))
+        clustered = (df.withColumn("__hilbert", key)
+                     .repartitionByRange(n_files, "__hilbert")
+                     .sortWithinPartitions("__hilbert")
+                     .drop("__hilbert"))
+        self.append(clustered, summary={"operation": "cluster",
+                                        "curve": "s2-hilbert"},
+                    overwrite=True, stats_cols=stats_cols)
+        return {"files_before": before, "files_after": len(self._files()),
+                "stats_cols": stats_cols}
 
     def expire_snapshots(self, keep_last: int = 1,
                          orphan_grace_sec: float = 3600.0) -> dict:
