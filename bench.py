@@ -66,6 +66,20 @@ def tile_assign_full(spark, sf_dir):
     return TI.tile_histogram(pts, zoom=7)
 
 
+def s2_encode_full(spark, sf_dir):
+    """TRUE S2 encode over ALL points (Arrow-batched cube-face + Hilbert
+    kernel, functions/s2.py) + parent rollup histogram via pure column
+    bit math — the north-star's "batch-encode each record to H3/S2
+    cells" shape, added round 3."""
+    from osm2geojson_spark.functions import s2 as S2
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    cell = S2.s2_udf(level=12)(Q.lon_col(key), Q.lat_col(key))
+    return (li.select(S2.parent_expr(cell, 6).alias("s2_cell"))
+            .groupBy("s2_cell").agg(F.count("*").alias("n_rows")))
+
+
 def osm_assembly(spark, sf_dir):
     """The reference's core workload at scale: synthesize 100k ways /
     ~400k nodes distributed (hash arithmetic, no driver loop), run the
@@ -127,6 +141,7 @@ BENCH_QUERIES = {
     "spatial_pipeline": spatial_pipeline,
     "osm_assembly": osm_assembly,
     "tile_assign_full": tile_assign_full,
+    "s2_encode_full": s2_encode_full,
     "planet_ingest": planet_ingest,
     "pricing_summary": Q.q_pricing_summary,
     "star_join": Q.q_star_join,
