@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm2geojson_spark.functions import cells as C
+from osm2geojson_spark.functions import hexgrid as HX
 from osm2geojson_spark.functions import s2 as S2
 from osm2geojson_spark.functions import text as TX
 from osm2geojson_spark.operators import dedup as DD
@@ -1337,6 +1338,81 @@ def _sql_s2_histogram() -> str:
         [("s2_cell", "BIGINT"), ("n_rows", "BIGINT")])
 
 
+def q_hex_encode(spark, sf_dir):
+    """G1++ — H3-style hexagonal cell encode: Voronoi of two offset
+    integer lattices (functions/hexgrid.py), pure column arithmetic
+    (codegen, no UDF).  Emits the cell id, its exact center, and the
+    H3-style approximate parent (re-encode of the center) — the three
+    ops an H3 user runs per row.  Value-exact twin: the identical
+    bounded-integer math as plain SQL."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cell = HX.hex_cell_expr(lon_col(k), lat_col(k), 5)
+    clon, clat = HX.hex_center_expr(cell, 5)
+    return cust.select(
+        "c_custkey", cell.alias("hex_cell"),
+        clon.alias("hex_lon"), clat.alias("hex_lat"),
+        HX.hex_parent_expr(cell, 5, 2).alias("hex_parent"))
+
+
+def _sql_hex_encode() -> str:
+    cell = HX.hex_cell_sql(lon_sql("c_custkey"), lat_sql("c_custkey"), 5)
+    lon, lat = HX.hex_center_sql(cell, 5)
+    parent = HX.hex_parent_sql(cell, 5, 2)
+    return f"""
+SELECT c_custkey, {cell} AS hex_cell, {lon} AS hex_lon, {lat} AS hex_lat,
+       {parent} AS hex_parent FROM customer
+"""
+
+
+def q_hex_smooth(spark, sf_dir):
+    """G4++ — hex-ring density smoothing: bin events to hex cells (one
+    partial-agg count), then each cell's count contributes to itself and
+    its 6 hex neighbors (array explode of pure-arithmetic neighbor ids —
+    the counts table is tiny, so the explode runs over cells, never over
+    raw events) and re-aggregates.  The hexagonal analog of a one-ring
+    raster blur; numeric order of ids groups rows of the same lattice
+    stripe together."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    cell = HX.hex_cell_expr(lon_col(k), lat_col(k), 3)
+    counts = (ev.select(cell.alias("hex_cell"))
+              .groupBy("hex_cell").agg(F.count("*").alias("n")))
+    targets = F.array_union(
+        F.array(F.col("hex_cell")),
+        HX.hex_neighbors_expr(F.col("hex_cell"), 3))
+    return (counts
+            .select(F.explode(targets).alias("hex_cell"), "n")
+            .groupBy("hex_cell").agg(F.sum("n").alias("smoothed")))
+
+
+def _sql_hex_smooth() -> str:
+    cell = HX.hex_cell_sql(lon_sql("event_id"), lat_sql("event_id"), 3)
+    lb, i, j = HX.hex_unpack_sql("hex_cell")
+    pack = (lambda lbv, iv, jv:
+            f"((({jv}) * {HX._PACK_I} + ({iv})) * 2 + ({lbv})) * 16 + 3")
+    other = f"(1 - ({lb}))"
+    d0 = f"(({lb}) - 1)"
+    variants = [
+        "hex_cell",
+        pack(lb, f"({i}) - 1", j),
+        pack(lb, f"({i}) + 1", j),
+        pack(other, f"({i}) + ({d0})", f"({j}) + ({d0})"),
+        pack(other, f"({i}) + ({d0}) + 1", f"({j}) + ({d0})"),
+        pack(other, f"({i}) + ({d0})", f"({j}) + ({d0}) + 1"),
+        pack(other, f"({i}) + ({d0}) + 1", f"({j}) + ({d0}) + 1"),
+    ]
+    contribs = "\nUNION ALL\n".join(
+        f"SELECT {v} AS hex_cell, n FROM counts" for v in variants)
+    return f"""
+WITH counts AS (
+  SELECT {cell} AS hex_cell, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT hex_cell, CAST(SUM(n) AS BIGINT) AS smoothed
+FROM ({contribs}) GROUP BY hex_cell
+"""
+
+
 def q_tile_histogram(spark, sf_dir):
     """G4 — shuffle-free tile assignment + per-tile histogram (the skew
     detector feeding the salted join)."""
@@ -1740,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "s2_cell_encode": q_s2_cell_encode,
         "s2_histogram": q_s2_histogram,
+        "hex_encode": q_hex_encode,
+        "hex_smooth": q_hex_smooth,
         "tile_histogram": q_tile_histogram,
         "tile_pyramid": q_tile_pyramid,
         "distance_join": q_distance_join,
@@ -1799,6 +1877,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode": _sql_cell_encode(),
         "s2_cell_encode": _sql_s2_cell_encode(),
         "s2_histogram": _sql_s2_histogram(),
+        "hex_encode": _sql_hex_encode(),
+        "hex_smooth": _sql_hex_smooth(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),
         "distance_join": _SQL_DISTANCE_JOIN,
