@@ -1413,6 +1413,73 @@ FROM ({contribs}) GROUP BY hex_cell
 """
 
 
+# box-polygon synthesis for the polygon-overlap join: half-sizes in
+# micro-degrees from the same exact int arithmetic as the coordinates
+_HW_MUL, _HW_MOD, _HW_OFF = 2654435761, 2_000_000, 250_000
+_HH_MUL, _HH_MOD, _HH_OFF = 2246822519, 1_500_000, 250_000
+
+
+def _box_bounds_cols(key):
+    lon, lat = lon_col(key), lat_col(key)
+    hw = ((key * F.lit(_HW_MUL)) % F.lit(_HW_MOD) + F.lit(_HW_OFF)
+          ).cast("double") / 1_000_000.0
+    hh = ((key * F.lit(_HH_MUL)) % F.lit(_HH_MOD) + F.lit(_HH_OFF)
+          ).cast("double") / 1_000_000.0
+    return lon - hw, lon + hw, lat - hh, lat + hh
+
+
+def _box_bounds_sql(key: str) -> tuple[str, str, str, str]:
+    lon, lat = lon_sql(key), lat_sql(key)
+    hw = f"(CAST((({key}) * {_HW_MUL}) % {_HW_MOD} + {_HW_OFF} AS DOUBLE) / 1000000.0)"
+    hh = f"(CAST((({key}) * {_HH_MUL}) % {_HH_MOD} + {_HH_OFF} AS DOUBLE) / 1000000.0)"
+    return (f"(({lon}) - {hw})", f"(({lon}) + {hw})",
+            f"(({lat}) - {hh})", f"(({lat}) + {hh})")
+
+
+def _box_ring_df(df, key_col: str, id_alias: str):
+    k = F.col(key_col)
+    minx, maxx, miny, maxy = _box_bounds_cols(k)
+    pt = lambda x, y: F.struct(x.alias("lon"), y.alias("lat"))
+    ring = F.array(pt(minx, miny), pt(maxx, miny), pt(maxx, maxy),
+                   pt(minx, maxy), pt(minx, miny))
+    return df.select(k.alias(id_alias), ring.alias("ring"))
+
+
+def q_poly_overlap(spark, sf_dir):
+    """G2++ — distributed polygon↔polygon overlap join
+    (spatial/overlap.py): bbox → Morton cell-range cover → equi-join on
+    cell with CANONICAL-CELL dedup (each pair emitted at exactly one
+    shared cell — no dropDuplicates shuffle) → exact interval predicate.
+    Neither side broadcasts; never a cartesian.  Boxes are exact
+    int-derived rectangles so the DuckDB interval-join twin is
+    value-exact; the non-rectangular exact mode (edge crossing +
+    containment) is pinned in tests/test_overlap.py vs a numpy brute
+    reference."""
+    from osm2geojson_spark.spatial.overlap import polygon_overlap_join
+
+    supp = _box_ring_df(_t(spark, sf_dir, "supplier"), "s_suppkey", "l_id")
+    cust = _box_ring_df(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400),
+        "c_custkey", "r_id")
+    return (polygon_overlap_join(supp, cust, res=4)
+            .select("l_id", "r_id"))
+
+
+def _sql_poly_overlap() -> str:
+    lminx, lmaxx, lminy, lmaxy = _box_bounds_sql("s_suppkey")
+    rminx, rmaxx, rminy, rmaxy = _box_bounds_sql("c_custkey")
+    return f"""
+WITH l AS (SELECT s_suppkey AS l_id, {lminx} AS minx, {lmaxx} AS maxx,
+                  {lminy} AS miny, {lmaxy} AS maxy FROM supplier),
+     r AS (SELECT c_custkey AS r_id, {rminx} AS minx, {rmaxx} AS maxx,
+                  {rminy} AS miny, {rmaxy} AS maxy FROM customer
+           WHERE c_custkey <= 400)
+SELECT l_id, r_id FROM l JOIN r
+  ON l.minx <= r.maxx AND r.minx <= l.maxx
+ AND l.miny <= r.maxy AND r.miny <= l.maxy
+"""
+
+
 def q_tile_histogram(spark, sf_dir):
     """G4 — shuffle-free tile assignment + per-tile histogram (the skew
     detector feeding the salted join)."""
@@ -1818,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_histogram": q_s2_histogram,
         "hex_encode": q_hex_encode,
         "hex_smooth": q_hex_smooth,
+        "poly_overlap": q_poly_overlap,
         "tile_histogram": q_tile_histogram,
         "tile_pyramid": q_tile_pyramid,
         "distance_join": q_distance_join,
@@ -1879,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_histogram": _sql_s2_histogram(),
         "hex_encode": _sql_hex_encode(),
         "hex_smooth": _sql_hex_smooth(),
+        "poly_overlap": _sql_poly_overlap(),
         "tile_histogram": _sql_tile_histogram(),
         "tile_pyramid": _sql_tile_pyramid(),
         "distance_join": _SQL_DISTANCE_JOIN,
