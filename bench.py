@@ -137,6 +137,24 @@ def planet_ingest(spark, sf_dir):
     return parse_osm_blobs(blobs)["nodes"]
 
 
+def zonal_stats_full(spark, sf_dir):
+    """G5 raster zonal statistics at bench scale: 4k synthesized tiles
+    (all six real codecs incl. JPEG + VP8L), hexagonal zones over the
+    city clusters — tile-assign (codegen) → decode+pixel-mask in ONE
+    Arrow pass (bbox prefilter skips far tiles before decode) → one agg
+    shuffle of per-(zone, tile) integer partials."""
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.zonal import zonal_stats
+    from osm2geojson_spark.synth.images import FMTS_ALL, images_table
+
+    imgs = images_table(spark, n=4000, seed=42, fmts=FMTS_ALL)
+    zones = spark.createDataFrame(
+        [(zid, [{"lon": x, "lat": y} for x, y in ring])
+         for zid, ring in pyref.ref_zones(8)],
+        "zone_id string, ring array<struct<lon:double,lat:double>>")
+    return zonal_stats(imgs, zones, zoom=6)
+
+
 BENCH_QUERIES = {
     "spatial_pipeline": spatial_pipeline,
     "osm_assembly": osm_assembly,
@@ -155,6 +173,7 @@ BENCH_QUERIES = {
     "knn_ring": Q.q_knn_ring,
     "vocab_topk": Q.q_vocab_topk,
     "asof_join": Q.q_asof_join,
+    "zonal_stats": zonal_stats_full,
 }
 
 

@@ -385,6 +385,104 @@ def s2_parent(cell: int, level: int) -> int:
     return signed64((u & -lsb & ((1 << 64) - 1)) | lsb)
 
 
+# ------------------------------------------------------------------ zonal
+
+# convex hexagon offsets (unit pattern, scaled per zone) — slanted edges
+# so partial-coverage masking is exercised, not just bbox clipping
+_HEX_OFF = ((2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2))
+
+
+def ref_zones(n_extra: int = 3) -> list[tuple]:
+    """Deterministic zone polygons: one hexagon over each of the three
+    synthetic 'cities' (synth/images._coords_for) plus ``n_extra`` at
+    hash-scattered positions.  Shared by the Spark catalog query and the
+    zonal oracle — pure int-derived arithmetic, no trig, no Spark."""
+    zones = []
+    for c in range(3):
+        cx, cy = c * 40.0 - 60.0 + 0.5, c * 20.0 - 10.0 + 0.5
+        s = 0.8 + 0.2 * c
+        ring = [(cx + dx * s, cy + dy * s) for dx, dy in _HEX_OFF]
+        zones.append((f"city-{c}", ring))
+    for k in range(n_extra):
+        h = (k * 2654435761 + 12345) & 0xFFFFFFFF
+        cx = (h % 300_000_000) / 1_000_000.0 - 150.0
+        cy = ((h // 7) % 140_000_000) / 1_000_000.0 - 70.0
+        s = 0.6 + (h % 5) * 0.3
+        ring = [(cx + dx * s, cy + dy * s) for dx, dy in _HEX_OFF]
+        zones.append((f"z-{k}", ring))
+    return zones
+
+
+def _pip_many_np(px, py, ring):
+    """Even-odd ray cast — the same arithmetic as spatial.pip._pip_many
+    (kept separate so this module stays Spark-import-free)."""
+    import numpy as np
+
+    if len(ring) < 4:
+        return np.zeros(len(px), dtype=bool)
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    py_ = py[:, None]
+    cross = (y1[None, :] > py_) != (y2[None, :] > py_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (py_ - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+    hits = cross & (px[:, None] < xint)
+    return (np.count_nonzero(hits, axis=1) % 2).astype(bool)
+
+
+def ref_zonal_stats(n: int = 240, seed: int = 42, zoom: int = 6,
+                    n_extra_zones: int = 3, fmts=None) -> list[tuple]:
+    """Twin of the ``zonal_stats`` catalog query: re-synthesize the image
+    table, decode every candidate tile with the pure-Python codecs, mask
+    pixel centers per zone, and aggregate — no Spark anywhere.  Returns
+    sorted (zone_id, n_tiles, n_pix, sum_lum, mean_lum, min_lum,
+    max_lum) rows."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import DECODERS, FMTS_ALL, make_image_row
+
+    fmts = fmts or FMTS_ALL
+    zones = []
+    for zid, pts in ref_zones(n_extra_zones):
+        ring = np.asarray(pts, dtype=np.float64)
+        ring = np.vstack([ring, ring[:1]])
+        zones.append((zid, ring,
+                      (ring[:, 0].min(), ring[:, 0].max(),
+                       ring[:, 1].min(), ring[:, 1].max())))
+    nz = 1 << zoom
+    acc: dict = {}
+    for i in range(n):
+        image_id, buf, w, h, fmt, _cap, _ph, lon, lat = make_image_row(
+            i * 2 + seed, fmts)
+        ix = min(max(int(np.floor((lon - -180.0) / 360.0 * nz)), 0), nz - 1)
+        iy = min(max(int(np.floor((lat - -90.0) / 180.0 * nz)), 0), nz - 1)
+        x0, x1 = ix / nz * 360.0 - 180.0, (ix + 1) / nz * 360.0 - 180.0
+        y0, y1 = iy / nz * 180.0 - 90.0, (iy + 1) / nz * 180.0 - 90.0
+        hit = [(zid, ring) for zid, ring, (zx0, zx1, zy0, zy1) in zones
+               if zx0 <= x1 and x0 <= zx1 and zy0 <= y1 and y0 <= zy1]
+        if not hit:
+            continue
+        px = DECODERS[fmt](buf)
+        lum = px.astype(np.int64).sum(axis=2)
+        cx = x0 + (np.arange(w, dtype=np.float64) + 0.5) / w * (x1 - x0)
+        cy = y1 - (np.arange(h, dtype=np.float64) + 0.5) / h * (y1 - y0)
+        lons = np.broadcast_to(cx, (h, w)).ravel()
+        lats = np.repeat(cy, w)
+        flat = lum.ravel()
+        for zid, ring in hit:
+            m = _pip_many_np(lons, lats, ring)
+            k = int(np.count_nonzero(m))
+            if k == 0:
+                continue
+            sel = flat[m]
+            t, p, s, lo, hi = acc.get(zid, (0, 0, 0, 1 << 62, -1))
+            acc[zid] = (t + 1, p + k, s + int(sel.sum()),
+                        min(lo, int(sel.min())), max(hi, int(sel.max())))
+    return sorted(
+        (zid, t, p, s, s / (3.0 * p), lo, hi)
+        for zid, (t, p, s, lo, hi) in acc.items())
+
+
 # -------------------------------------------------------------- SQL emit
 
 

@@ -1824,6 +1824,37 @@ FROM seeds GROUP BY 1
 """
 
 
+def q_zonal_stats(spark, sf_dir):
+    """G5 — raster zonal statistics (spatial/zonal.py): per-polygon pixel
+    aggregates over georeferenced image tiles, REAL decode in the kernel
+    (all six codecs incl. JPEG 4:2:0/4:4:4 and VP8L).  Partial tile
+    coverage masks at pixel-center granularity (even-odd ray cast over
+    the lattice), partials are integer-exact (luminance = r+g+b per
+    pixel), and the only shuffle moves per-(zone, tile) rows.  Oracle:
+    literal table from pyref.ref_zonal_stats — the same corpus decoded
+    and masked by the Spark-free pure-Python/numpy reference."""
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.zonal import zonal_stats
+    from osm2geojson_spark.synth.images import FMTS_ALL, images_table
+
+    imgs = images_table(spark, n=240, seed=42, fmts=FMTS_ALL)
+    zones = spark.createDataFrame(
+        [(zid, [{"lon": x, "lat": y} for x, y in ring])
+         for zid, ring in pyref.ref_zones(3)],
+        "zone_id string, ring array<struct<lon:double,lat:double>>")
+    return zonal_stats(imgs, zones, zoom=6)
+
+
+def _sql_zonal_stats() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_zonal_stats(n=240, seed=42, zoom=6, n_extra_zones=3)
+    return pyref.values_sql(rows, [
+        ("zone_id", "VARCHAR"), ("n_tiles", "BIGINT"), ("n_pix", "BIGINT"),
+        ("sum_lum", "BIGINT"), ("mean_lum", "DOUBLE"),
+        ("min_lum", "INT"), ("max_lum", "INT")])
+
+
 def q_image_phash_dedup(spark, sf_dir):
     """Image near-dup pairs from the phash column — no decode in the hot
     path (hash rides the table); 4x16-bit band LSH + exact hamming."""
@@ -1897,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_validate": q_audio_validate,
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -1964,4 +1996,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "embedding_ivf": _sql_embedding_ivf(),
         "image_phash_dedup": _sql_image_phash_dedup(),
+        "zonal_stats": _sql_zonal_stats(),
     }
