@@ -5,12 +5,15 @@ OsmJoin.java:111-113,176-179: undecodable rows split out, never dropped).
 
 Real decoders: ``wav`` (stdlib PCM16), ``aiff`` (IFF chunk grammar,
 80-bit extended-float rate), ``flac`` (synth/flac.py — FIXED/LPC+Rice),
-and the compressed-WAV family ``ulaw``/``alaw`` (ITU-T G.711) and
-``adpcm`` (IMA/DVI WAVE tag 0x11) via synth/wavext.py. mp3/ogg/opus
-raise NotImplementedError behind the fmt dispatch — those are
-patent-era DSP codecs whose decoders are out of scope; the Spark
-plumbing (schema, batching, quarantine) is fully exercised either way —
-swap in ffmpeg/soundfile on a cluster that has them.
+the compressed-WAV family ``ulaw``/``alaw`` (ITU-T G.711) and ``adpcm``
+(IMA/DVI WAVE tag 0x11) via synth/wavext.py, and ``ogg`` (RFC 3533
+pages + the Xiph FLAC-in-Ogg mapping, synth/ogg.py — CRC-verified,
+continuation-aware packet reassembly; Vorbis/Opus payloads codec-gate
+to NotImplementedError like webm/VP9). mp3/opus raise
+NotImplementedError behind the fmt dispatch — patent-era DSP codecs
+whose decoders are out of scope; the Spark plumbing (schema, batching,
+quarantine) is fully exercised either way — swap in ffmpeg/soundfile on
+a cluster that has them.
 """
 
 from __future__ import annotations
@@ -37,10 +40,16 @@ def _decode_wav_ext(buf: bytes):
     return decode_wav_ext(buf)
 
 
-_STUB_FMTS = {"mp3", "ogg", "opus"}
+def _decode_ogg(buf: bytes):
+    from osm2geojson_spark.synth.ogg import decode_ogg_flac
+
+    return decode_ogg_flac(buf)
+
+
+_STUB_FMTS = {"mp3", "opus"}
 _DECODERS = {"wav": decode_wav, "aiff": decode_aiff, "flac": _decode_flac,
              "ulaw": _decode_wav_ext, "alaw": _decode_wav_ext,
-             "adpcm": _decode_wav_ext}
+             "adpcm": _decode_wav_ext, "ogg": _decode_ogg}
 
 
 def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:

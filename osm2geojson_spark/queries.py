@@ -1708,11 +1708,15 @@ def q_audio_validate(spark, sf_dir):
     CRC-8/16), and the compressed-WAV family G.711 μ-law/A-law + IMA
     ADPCM (synth/wavext.py) — every row must decode and match its
     declared metadata, not quarantine. ADPCM's duration check is the
-    sharp one: the fact-chunk sample count must survive block padding."""
+    sharp one: the fact-chunk sample count must survive block padding.
+    Round-3 final: SEVENTH format — Ogg (RFC 3533 pages + FLAC-in-Ogg
+    mapping, synth/ogg.py): CRC-verified page walk, continuation-aware
+    packet reassembly, then the repo's FLAC decoder; Vorbis/Opus
+    payloads codec-gate honestly → quarantine."""
     from osm2geojson_spark.operators.audio import validate_audio
-    from osm2geojson_spark.synth.audio import AFMTS_FULL, audio_table
+    from osm2geojson_spark.synth.audio import AFMTS_OGG, audio_table
 
-    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_FULL)
+    aud = audio_table(spark, n=300, seed=24, fmts=AFMTS_OGG)
     v = validate_audio(aud)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1725,9 +1729,9 @@ def q_audio_validate(spark, sf_dir):
 _SQL_AUDIO_VALIDATE = """
 WITH seeds AS (
   SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
-SELECT CASE ((i + 12) % 6) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+SELECT CASE ((i + 12) % 7) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
             WHEN 2 THEN 'flac' WHEN 3 THEN 'ulaw' WHEN 4 THEN 'alaw'
-            ELSE 'adpcm' END AS fmt,
+            WHEN 5 THEN 'adpcm' ELSE 'ogg' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        MIN(CAST(1600 + 160 * (seed % 50) AS DOUBLE) / 16000.0) AS min_dur,

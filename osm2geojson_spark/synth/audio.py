@@ -144,6 +144,8 @@ AFMTS_AIFF = ("wav", "aiff")
 AFMTS_REAL = ("wav", "aiff", "flac")
 # + the compressed-WAV family (G.711 ulaw/alaw, IMA ADPCM — wavext.py)
 AFMTS_FULL = ("wav", "aiff", "flac", "ulaw", "alaw", "adpcm")
+# + Ogg (RFC 3533 pages + FLAC-in-Ogg mapping — synth/ogg.py)
+AFMTS_OGG = AFMTS_FULL + ("ogg",)
 
 
 def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
@@ -155,6 +157,10 @@ def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
         from .flac import encode_flac
 
         buf = encode_flac(samples, rate)
+    elif fmt == "ogg":
+        from .ogg import encode_ogg_flac
+
+        buf = encode_ogg_flac(samples, rate)
     elif fmt in ("ulaw", "alaw", "adpcm"):
         from .wavext import encode_wav_ext
 

@@ -189,9 +189,18 @@ def _best_fixed_order(x: np.ndarray) -> int:
 def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """Mono 16-bit FLAC with per-block CONSTANT / FIXED+Rice / VERBATIM
     subframes (fixed 4096 blocksize, frame-number strategy)."""
+    streaminfo, frames = encode_flac_parts(samples, rate)
+    return (b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo + b"".join(frames))
+
+
+def encode_flac_parts(samples: np.ndarray,
+                      rate: int = 16_000) -> tuple[bytes, list[bytes]]:
+    """(STREAMINFO body, [audio frames]) — the pieces a container
+    mapping (native fLaC or Ogg-FLAC, synth/ogg.py) assembles its own
+    way.  Each frame includes its CRC-16 footer."""
     x = samples.astype(np.int64)
     n = len(x)
-    out = bytearray(b"fLaC")
     streaminfo = bytearray()
     streaminfo += _BLOCK.to_bytes(2, "big") * 2         # min/max blocksize
     streaminfo += (0).to_bytes(3, "big") * 2            # min/max framesize
@@ -199,8 +208,8 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
     packed = (rate << 44) | (0 << 41) | (15 << 36) | n
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += b"\x00" * 16                          # md5 unset (allowed)
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
+    frames: list[bytes] = []
     for frame_no, start in enumerate(range(0, max(n, 1), _BLOCK)):
         blk = x[start:start + _BLOCK]
         bs = len(blk)
@@ -243,8 +252,8 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
         bw.align()
         body = bw.bytes()
         frame = bytes(hdr) + body
-        out += frame + _crc16(frame).to_bytes(2, "big")
-    return bytes(out)
+        frames.append(frame + _crc16(frame).to_bytes(2, "big"))
+    return bytes(streaminfo), frames
 
 
 # ---------------------------------------------------------------- decoder
