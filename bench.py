@@ -137,17 +137,27 @@ def planet_ingest(spark, sf_dir):
     return parse_osm_blobs(blobs)["nodes"]
 
 
+ZONAL_PARQUET = "/tmp/spark_graft_zonal_bench_imgs.parquet"
+
+
 def zonal_stats_full(spark, sf_dir):
-    """G5 raster zonal statistics at bench scale: 4k synthesized tiles
-    (all six real codecs incl. JPEG + VP8L), hexagonal zones over the
-    city clusters — tile-assign (codegen) → decode+pixel-mask in ONE
-    Arrow pass (bbox prefilter skips far tiles before decode) → one agg
-    shuffle of per-(zone, tile) integer partials."""
+    """G5 raster zonal statistics at bench scale: 4k image tiles (all
+    six real codecs incl. JPEG + VP8L), hexagonal zones over the city
+    clusters — tile-assign (codegen) → decode+pixel-mask in ONE Arrow
+    pass (bbox prefilter skips far tiles before decode) → one agg
+    shuffle of per-(zone, tile) integer partials.  The corpus is
+    synthesized ONCE to parquet (like planet_ingest's bz2 file) so the
+    measurement is the operator — scan, decode, mask, agg — not the
+    VP8L/JPEG encoders."""
     from osm2geojson_spark import pyref
     from osm2geojson_spark.spatial.zonal import zonal_stats
     from osm2geojson_spark.synth.images import FMTS_ALL, images_table
 
-    imgs = images_table(spark, n=4000, seed=42, fmts=FMTS_ALL)
+    if not os.path.exists(ZONAL_PARQUET):
+        images_table(spark, n=4000, seed=42, fmts=FMTS_ALL) \
+            .write.mode("overwrite").parquet(ZONAL_PARQUET + ".tmp")
+        os.replace(ZONAL_PARQUET + ".tmp", ZONAL_PARQUET)
+    imgs = spark.read.parquet(ZONAL_PARQUET).repartition(32)
     zones = spark.createDataFrame(
         [(zid, [{"lon": x, "lat": y} for x, y in ring])
          for zid, ring in pyref.ref_zones(8)],

@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.images import DECODERS, ENCODERS, phash64
 
-# round 3 closes the last image stub: webp is now the real VP8L codec
-# (synth/webp.py). The stub set stays as the dispatch mechanism for any
-# format the engine does not implement (e.g. heif/avif on real corpora).
-_STUB_FMTS = {"heif", "avif"}
+# round 3 closes ALL blind image stubs: webp is the real VP8L codec
+# (synth/webp.py) and heif/avif go through the real ISO-BMFF item walk
+# (synth/heif.py) — a JPEG coding item decodes for real; hvc1/av01
+# payloads raise NotImplementedError from INSIDE the container parse
+# (honest codec gate → quarantine), so the stub set is empty.  It stays
+# as the dispatch mechanism for formats a deployment might add.
+_STUB_FMTS: set[str] = set()
 
 
 def _decode_jpeg_alias(buf: bytes):
@@ -38,8 +41,16 @@ def _decode_jpeg_alias(buf: bytes):
     return decode_jpeg(buf)
 
 
+def _decode_avif(buf: bytes):
+    # same ISO-BMFF item walk as heif; av01 payloads gate inside
+    from osm2geojson_spark.synth.heif import decode_heif
+
+    return decode_heif(buf)
+
+
 DECODERS.setdefault("jpeg", _decode_jpeg_alias)  # common alias for jpg
 ENCODERS.setdefault("jpeg", ENCODERS["jpg"])
+DECODERS.setdefault("avif", _decode_avif)
 
 
 def _decode(buf: bytes, fmt: str) -> np.ndarray:

@@ -1664,12 +1664,15 @@ def q_image_validate(spark, sf_dir):
     Round 3: the rotation now includes REAL baseline JPEG (synth/jpeg.py,
     alternating 4:2:0 / 4:4:4 originals by seed) AND real lossless WebP
     (VP8L, synth/webp.py) — those rows must decode and pass the
-    PSNR≥40dB re-encode invariant, not quarantine. Every format in the
-    rotation is a real codec; no stubs remain."""
+    PSNR≥40dB re-encode invariant, not quarantine. Round-3 final adds a
+    SEVENTH format: HEIF with the standard JPEG coding item
+    (synth/heif.py — real ftyp/meta/pitm/iinf/iloc/ispe walk; hvc1/av01
+    payloads codec-gate → quarantine). Every format in the rotation is
+    a real codec; no blind stubs remain."""
     from osm2geojson_spark.operators.images import validate_images
-    from osm2geojson_spark.synth.images import FMTS_ALL, images_table
+    from osm2geojson_spark.synth.images import FMTS_HEIF, images_table
 
-    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_ALL)
+    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_HEIF)
     v = validate_images(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1681,9 +1684,9 @@ def q_image_validate(spark, sf_dir):
 
 _SQL_IMAGE_VALIDATE = """
 WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
-SELECT CASE ((i + 21) % 6) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+SELECT CASE ((i + 21) % 7) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' WHEN 4 THEN 'jpg'
-            ELSE 'webp' END AS fmt,
+            WHEN 5 THEN 'webp' ELSE 'heif' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        CAST(COUNT(*) AS BIGINT) AS n_phash_match,

@@ -39,6 +39,9 @@ FMTS_JPEG = FMTS + ("jpg",)
 # 6-format rotation: + real lossless WebP/VP8L (synth/webp.py) — every
 # image format the engine knows is now a real codec, zero stubs.
 FMTS_ALL = FMTS_JPEG + ("webp",)
+# 7-format rotation: + HEIF with the standard JPEG coding item
+# (synth/heif.py — real ISO-BMFF meta/iinf/iloc walk; hvc1/av01 gate).
+FMTS_HEIF = FMTS_ALL + ("heif",)
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -244,10 +247,24 @@ def _decode_jpg(buf: bytes) -> np.ndarray:
     return decode_jpeg(buf)
 
 
+def _encode_heif(px: np.ndarray) -> bytes:
+    from .heif import encode_heif
+
+    return encode_heif(px)
+
+
+def _decode_heif(buf: bytes) -> np.ndarray:
+    from .heif import decode_heif
+
+    return decode_heif(buf)
+
+
 ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
-            "png": encode_png, "jpg": _encode_jpg, "webp": _encode_webp}
+            "png": encode_png, "jpg": _encode_jpg, "webp": _encode_webp,
+            "heif": _encode_heif}
 DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
-            "png": decode_png, "jpg": _decode_jpg, "webp": _decode_webp}
+            "png": decode_png, "jpg": _decode_jpg, "webp": _decode_webp,
+            "heif": _decode_heif}
 
 
 # ------------------------------------------------------------------ pixels

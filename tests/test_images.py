@@ -161,13 +161,27 @@ def test_validate_all_ok(images):
 def test_validate_quarantines_corrupt_and_stub(spark, images):
     corrupt = images.limit(4).withColumn(
         "bytes", F.substring("bytes", 1, 10).cast("binary"))
+    # mislabeled avif (ppm bytes): the REAL ISO-BMFF walk rejects them
+    # with a parse error — still quarantined, never silently dropped
     avifish = images.limit(3).withColumn("fmt", F.lit("avif"))
     v = validate_images(corrupt.unionByName(avifish))
     good, bad = quarantine_split(v)
     assert good.count() == 0 and bad.count() == 7
     errs = [r["error"] for r in bad.collect()]
     assert all(e is not None for e in errs)
-    assert any("NotImplementedError" in e for e in errs)
+    assert any("malformed box" in e or "meta box" in e for e in errs)
+
+    # structurally-valid avif: parses, then codec-gates on av01
+    from osm2geojson_spark.synth.heif import encode_avif_gated
+    from osm2geojson_spark.synth.images import gen_pixels
+
+    real = spark.createDataFrame(
+        [("a-1", bytearray(encode_avif_gated(gen_pixels(5, 16, 16))),
+          16, 16, "avif", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    _, badr = quarantine_split(validate_images(real))
+    assert "NotImplementedError" in badr.first()["error"]
 
 
 def test_image_stats_and_resize(images):

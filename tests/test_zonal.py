@@ -82,7 +82,8 @@ def test_quarantine_and_prefilter(spark):
                     (-180.0, 90.0), (-180.0, -90.0)])]
     parts = zonal_partials(bad, _zones_df(spark, world), zoom=6)
     q = zonal_quarantine(parts).collect()
-    assert len(q) == 1 and "NotImplementedError" in q[0]["error"]
+    # mislabeled heif: the real ISO-BMFF walk rejects it — quarantined
+    assert len(q) == 1 and "malformed box" in q[0]["error"]
     stats = zonal_stats(bad, _zones_df(spark, world), zoom=6).collect()
     assert stats[0]["n_tiles"] == 5   # quarantined tile excluded, rest counted
 
