@@ -82,6 +82,36 @@ _OUT_SCHEMA = ("zone_id string, image_id string, n_pix long, sum_lum long, "
                "min_lum int, max_lum int, error string")
 
 
+def _tile_zone_rows(t, zone_rings, decode) -> list[tuple]:
+    """Decode ONE tile and mask it against its candidate zones —
+    the shared kernel of both the broadcast and partitioned paths.
+    ``zone_rings``: [(zone_id, closed numpy ring)]."""
+    try:
+        px = decode(bytes(t.bytes), t.fmt)
+    except Exception as ex:  # noqa: BLE001 — quarantine, never drop
+        return [(None, t.image_id, 0, 0, None, None,
+                 f"{type(ex).__name__}: {ex}")]
+    x0, x1 = float(t.lon_min), float(t.lon_max)
+    y0, y1 = float(t.lat_min), float(t.lat_max)
+    h, w = px.shape[:2]
+    lum = px.astype(np.int64).sum(axis=2)        # (h, w), 0..765
+    cx = x0 + (np.arange(w, dtype=np.float64) + 0.5) / w * (x1 - x0)
+    cy = y1 - (np.arange(h, dtype=np.float64) + 0.5) / h * (y1 - y0)
+    lons = np.broadcast_to(cx, (h, w)).ravel()
+    lats = np.repeat(cy, w)
+    flat = lum.ravel()
+    rows = []
+    for zid, ring in zone_rings:
+        m = _pip_many(lons, lats, ring)
+        k = int(np.count_nonzero(m))
+        if k == 0:
+            continue
+        sel = flat[m]
+        rows.append((zid, t.image_id, k, int(sel.sum()),
+                     int(sel.min()), int(sel.max()), None))
+    return rows
+
+
 def zonal_partials(images: DataFrame, zones: DataFrame, zoom: int,
                    lon_col: str = "lon", lat_col: str = "lat",
                    max_broadcast_zones: int = MAX_BROADCAST_POLYGONS,
@@ -119,27 +149,7 @@ def zonal_partials(images: DataFrame, zones: DataFrame, zoom: int,
                        if zx0 <= x1 and x0 <= zx1 and zy0 <= y1 and y0 <= zy1]
                 if not hit:
                     continue  # decode nothing for tiles far from every zone
-                try:
-                    px = _decode(bytes(t.bytes), t.fmt)
-                except Exception as ex:  # noqa: BLE001 — quarantine, never drop
-                    rows.append((None, t.image_id, 0, 0, None, None,
-                                 f"{type(ex).__name__}: {ex}"))
-                    continue
-                h, w = px.shape[:2]
-                lum = px.astype(np.int64).sum(axis=2)  # (h, w), 0..765
-                cx = x0 + (np.arange(w, dtype=np.float64) + 0.5) / w * (x1 - x0)
-                cy = y1 - (np.arange(h, dtype=np.float64) + 0.5) / h * (y1 - y0)
-                lons = np.broadcast_to(cx, (h, w)).ravel()
-                lats = np.repeat(cy, w)
-                flat = lum.ravel()
-                for zid, ring in hit:
-                    m = _pip_many(lons, lats, ring)
-                    k = int(np.count_nonzero(m))
-                    if k == 0:
-                        continue
-                    sel = flat[m]
-                    rows.append((zid, t.image_id, k, int(sel.sum()),
-                                 int(sel.min()), int(sel.max()), None))
+                rows.extend(_tile_zone_rows(t, hit, _decode))
             yield pd.DataFrame(rows, columns=[
                 "zone_id", "image_id", "n_pix", "sum_lum", "min_lum",
                 "max_lum", "error"])
@@ -147,13 +157,65 @@ def zonal_partials(images: DataFrame, zones: DataFrame, zoom: int,
     return tiled.select(*cols).mapInPandas(run, _OUT_SCHEMA)
 
 
+def zonal_partials_partitioned(images: DataFrame, zones: DataFrame, zoom: int,
+                               lon_col: str = "lon", lat_col: str = "lat",
+                               ) -> DataFrame:
+    """Partitioned twin of :func:`zonal_partials` for zone sets past the
+    broadcast contract (millions of admin polygons): NO driver collect,
+    no broadcast — zones explode to their bbox cover tiles (the same
+    Morton ids tile assignment produces) and a distributed equi-join on
+    ``tile_id`` routes each tile's bytes to exactly the zones whose
+    bboxes overlap it.  A second groupBy on the tile key collapses the
+    join fan-out back to ONE decode per candidate tile (rings collected
+    per tile), so decode cost matches the broadcast path; the extra cost
+    vs broadcast is that candidate tile bytes cross two exchanges —
+    bounded by the zone-covered area, never the corpus, and skewed hot
+    tiles fall to AQE skew-split.  Output contract is identical (same
+    rows, same quarantine markers)."""
+    from osm2geojson_spark.spatial.pip import polygon_cover_cells
+
+    cover = zones.select(
+        "zone_id", "ring",
+        F.explode(polygon_cover_cells(F.col("ring"), zoom)).alias("tile_id"))
+    tiled = tile_bounds(assign_tiles(images, zoom, lon_col, lat_col), zoom)
+    cand = (tiled
+            .select("image_id", "bytes", "fmt", "tile_id",
+                    "lon_min", "lon_max", "lat_min", "lat_max")
+            .join(cover, "tile_id"))
+    grouped = cand.groupBy("image_id").agg(
+        F.first("bytes").alias("bytes"), F.first("fmt").alias("fmt"),
+        F.first("lon_min").alias("lon_min"), F.first("lon_max").alias("lon_max"),
+        F.first("lat_min").alias("lat_min"), F.first("lat_max").alias("lat_max"),
+        F.collect_list(F.struct("zone_id", "ring")).alias("zs"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm2geojson_spark.operators.images import _decode
+
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                rings = [(z["zone_id"], _close_ring(np.asarray(
+                    [[p["lon"], p["lat"]] for p in z["ring"]],
+                    dtype=np.float64))) for z in t.zs]
+                rows.extend(_tile_zone_rows(t, rings, _decode))
+            yield pd.DataFrame(rows, columns=[
+                "zone_id", "image_id", "n_pix", "sum_lum", "min_lum",
+                "max_lum", "error"])
+
+    return grouped.mapInPandas(run, _OUT_SCHEMA)
+
+
 def zonal_stats(images: DataFrame, zones: DataFrame, zoom: int,
-                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                lon_col: str = "lon", lat_col: str = "lat",
+                partitioned: bool = False) -> DataFrame:
     """Per-zone aggregate: (zone_id, n_tiles, n_pix, sum_lum, mean_lum,
     min_lum, max_lum).  ``mean_lum`` is mean per-pixel luminance on the
     0..255 scale (sum_lum / (3·n_pix)) — derived from integer-exact sums
-    so it is engine-reproducible bit-for-bit."""
-    parts = zonal_partials(images, zones, zoom, lon_col, lat_col)
+    so it is engine-reproducible bit-for-bit.  ``partitioned=True``
+    routes through :func:`zonal_partials_partitioned` (no broadcast,
+    no driver collect — the million-zone path)."""
+    fn = zonal_partials_partitioned if partitioned else zonal_partials
+    parts = fn(images, zones, zoom, lon_col, lat_col)
     ok = parts.filter(F.col("zone_id").isNotNull())
     return (ok.groupBy("zone_id")
             .agg(F.count("*").alias("n_tiles"),

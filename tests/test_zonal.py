@@ -105,6 +105,31 @@ def test_matches_pyref_aggregate(spark):
     assert got == [tuple(r) for r in exp]
 
 
+def test_partitioned_equals_broadcast(spark):
+    """The no-broadcast path (cover-cell equi-join + per-tile regroup)
+    returns byte-identical aggregates AND identical quarantine markers."""
+    imgs = images_table(spark, n=70, seed=42, fmts=FMTS_ALL)
+    one = imgs.first()["image_id"]
+    bad = imgs.withColumn(
+        "fmt", F.when(F.col("image_id") == one, F.lit("heif"))
+                .otherwise(F.col("fmt")))
+    zones = _zones_df(spark, pyref.ref_zones(3)
+                      + [("big", [(-180.0, -86.0), (180.0, -86.0),
+                                  (180.0, 86.0), (-180.0, 86.0),
+                                  (-180.0, -86.0)])])
+    a = sorted(tuple(r) for r in
+               zonal_stats(bad, zones, zoom=6).collect())
+    b = sorted(tuple(r) for r in
+               zonal_stats(bad, zones, zoom=6, partitioned=True).collect())
+    assert a == b and len(a) >= 2
+    from osm2geojson_spark.spatial.zonal import zonal_partials_partitioned
+    qa = sorted(tuple(r) for r in zonal_quarantine(
+        zonal_partials(bad, zones, zoom=6)).collect())
+    qb = sorted(tuple(r) for r in zonal_quarantine(
+        zonal_partials_partitioned(bad, zones, zoom=6)).collect())
+    assert qa == qb and len(qa) == 1
+
+
 def test_single_shuffle_plan(spark):
     """The only Exchange is the final per-zone aggregate — tile
     assignment, bbox derivation, and the decode/mask kernel are narrow."""
