@@ -63,6 +63,137 @@ def _decode(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
     return dec(buf)
 
 
+# --------------------------------------------------------------- probing
+# Header-only metadata extraction (the ffprobe shape): no sample decode,
+# so it also works on formats whose DSP layer is gated (mp3, Ogg-Vorbis/
+# Opus) — real container grammar for every branch.
+
+def _probe_riff(buf: bytes) -> tuple[int, int, bool]:
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, tag, rate, n_fact, data_sz = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, _ch, rate = struct.unpack_from("<HHI", buf, body)
+        elif cid == b"fact":
+            n_fact = struct.unpack_from("<I", buf, body)[0]
+        elif cid == b"data":
+            data_sz = sz
+        pos = body + sz + (sz & 1)
+    if tag is None or data_sz is None:
+        raise ValueError("missing fmt/data chunk")
+    if tag == 1:
+        n = data_sz // 2
+    elif tag in (6, 7):
+        n = data_sz
+    elif tag == 0x11:
+        if n_fact is None:
+            raise ValueError("ADPCM without fact chunk")
+        n = n_fact
+    else:
+        raise ValueError(f"WAVE tag {tag:#x} unsupported")
+    return rate, n, True
+
+
+def _probe_aiff(buf: bytes) -> tuple[int, int, bool]:
+    import struct
+
+    from osm2geojson_spark.synth.audio import _f80_decode
+
+    if buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("not an AIFF")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, sz = buf[pos:pos + 4], struct.unpack_from(">I", buf, pos + 4)[0]
+        if cid == b"COMM":
+            _ch, n = struct.unpack_from(">hI", buf, pos + 8)
+            rate = _f80_decode(buf[pos + 16:pos + 26])
+            return rate, n, True
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no COMM chunk")
+
+
+def _parse_streaminfo(body: bytes) -> tuple[int, int]:
+    packed = int.from_bytes(body[10:18], "big")
+    return (packed >> 44) & 0xFFFFF, packed & ((1 << 36) - 1)
+
+
+def _probe_flac(buf: bytes) -> tuple[int, int, bool]:
+    if buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC")
+    rate, n = _parse_streaminfo(buf[8:])
+    return rate, n, True
+
+
+def _probe_ogg(buf: bytes) -> tuple[int, int, bool]:
+    import struct
+
+    from osm2geojson_spark.synth.ogg import _walk_pages, ogg_packets
+
+    granule = 0
+    for _flags, g, _serial, _seq, _frags in _walk_pages(buf):
+        if g >= 0:
+            granule = g
+    p0 = ogg_packets(buf)[0]
+    if p0[:5] == b"\x7fFLAC":
+        rate, n = _parse_streaminfo(p0[13 + 4:])
+        return rate, n if n else granule, True
+    if p0[1:7] == b"vorbis":                    # ID header: rate at 12 (LE)
+        return struct.unpack_from("<I", p0, 12)[0], granule, False
+    if p0.startswith(b"OpusHead"):              # input rate at 12 (LE)
+        return struct.unpack_from("<I", p0, 12)[0], granule, False
+    raise ValueError("unrecognized Ogg mapping")
+
+
+def _probe_mpeg(buf: bytes) -> tuple[int, int, bool]:
+    from osm2geojson_spark.synth.mpeg_audio import mpeg_frames
+
+    info = mpeg_frames(buf)
+    return info["rate"], info["n_samples"], False
+
+
+_PROBES = {"wav": _probe_riff, "ulaw": _probe_riff, "alaw": _probe_riff,
+           "adpcm": _probe_riff, "aiff": _probe_aiff, "flac": _probe_flac,
+           "ogg": _probe_ogg, "mp3": _probe_mpeg}
+
+
+def probe_audio(df: DataFrame) -> DataFrame:
+    """Header-only stream metadata for EVERY format incl. DSP-gated ones
+    (mp3 frame walk, Ogg granule positions): (rate, n_samples,
+    duration_sec, decodable, matches_declared).  Unparseable bytes
+    quarantine with error set — same discipline as validate."""
+    out_schema = ("audio_id string, fmt string, rate int, n_samples long, "
+                  "duration_sec double, decodable boolean, "
+                  "matches_declared boolean, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    probe = _PROBES.get(t.fmt)
+                    if probe is None:
+                        raise ValueError(f"unknown fmt '{t.fmt}'")
+                    rate, n, dec = probe(bytes(t.bytes))
+                    rows.append((t.audio_id, t.fmt, rate, n,
+                                 n / float(rate), dec,
+                                 rate == t.sample_rate and n == t.n_samples,
+                                 None))
+                except Exception as ex:  # noqa: BLE001 — quarantine
+                    rows.append((t.audio_id, t.fmt, None, None, None, None,
+                                 None, f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "fmt", "rate", "n_samples", "duration_sec",
+                "decodable", "matches_declared", "error"])
+
+    cols = ["audio_id", "bytes", "sample_rate", "n_samples", "fmt"]
+    return df.select(*cols).mapInPandas(run, out_schema)
+
+
 def validate_audio(df: DataFrame) -> DataFrame:
     """Per-row invariants: decodability, declared (sample_rate, n_samples)
     match the container header, transcript non-empty. Adds (ok, error,

@@ -1729,6 +1729,58 @@ def q_audio_validate(spark, sf_dir):
     )
 
 
+def q_audio_probe(spark, sf_dir):
+    """Header-only stream metadata over the FULL 8-format rotation
+    including mp3 (operators/audio.probe_audio): RIFF/AIFF/FLAC chunk
+    grammars, Ogg page granules, and a REAL MPEG-1 frame walk
+    (synth/mpeg_audio.py — per-frame header parse, frame-length
+    arithmetic, Xing detection) — the ffprobe shape, no DSP decode.
+
+    VALUE-EXACT: every synthesized stream's (rate, samples) is a
+    closed-form function of the seed — 16 kHz and n=1600+160·(seed%50)
+    except mp3, which is 32 kHz (MPEG-1 legal rates) with n padded to
+    whole 1152-sample frames — so the oracle replays the formula; a
+    probe bug in any grammar diverges n_probed/total_samples."""
+    from osm2geojson_spark.operators.audio import probe_audio
+    from osm2geojson_spark.synth.audio import AFMTS_MP3, audio_table
+
+    aud = audio_table(spark, n=280, seed=24, fmts=AFMTS_MP3)
+    p = probe_audio(aud)
+    return p.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("error").isNull().cast("int")).alias("n_probed"),
+        F.sum(F.col("decodable").cast("int")).alias("n_decodable"),
+        F.sum(F.col("matches_declared").cast("int")).alias("n_match"),
+        F.sum("n_samples").alias("total_samples"),
+        F.max("duration_sec").alias("max_dur"),
+    )
+
+
+_SQL_AUDIO_PROBE = """
+WITH seeds AS (
+  SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 279) AS t(i)),
+rows_ AS (
+  SELECT CASE ((i + 12) % 8) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+              WHEN 2 THEN 'flac' WHEN 3 THEN 'ulaw' WHEN 4 THEN 'alaw'
+              WHEN 5 THEN 'adpcm' WHEN 6 THEN 'ogg' ELSE 'mp3' END AS fmt,
+         (1600 + 160 * (seed % 50)) AS n_raw
+  FROM seeds),
+r2 AS (
+  SELECT fmt,
+         CASE WHEN fmt = 'mp3'
+              THEN ((n_raw + 1151) // 1152) * 1152 ELSE n_raw END AS samps,
+         CASE WHEN fmt = 'mp3' THEN 32000 ELSE 16000 END AS rate
+  FROM rows_)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN fmt = 'mp3' THEN 0 ELSE 1 END) AS BIGINT) AS n_decodable,
+       CAST(COUNT(*) AS BIGINT) AS n_match,
+       CAST(SUM(samps) AS BIGINT) AS total_samples,
+       MAX(CAST(samps AS DOUBLE) / CAST(rate AS DOUBLE)) AS max_dur
+FROM r2 GROUP BY 1
+"""
+
+
 _SQL_AUDIO_VALIDATE = """
 WITH seeds AS (
   SELECT i, (i * 2 + 24) AS seed FROM generate_series(0, 299) AS t(i))
@@ -1933,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_validate": q_image_validate,
         "image_tile_join": q_image_tile_join,
         "audio_validate": q_audio_validate,
+        "audio_probe": q_audio_probe,
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
         "zonal_stats": q_zonal_stats,
@@ -1980,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "image_tile_join": _sql_image_tile_join(),
         "image_validate": _SQL_IMAGE_VALIDATE,
         "audio_validate": _SQL_AUDIO_VALIDATE,
+        "audio_probe": _SQL_AUDIO_PROBE,
         "video_validate": _SQL_VIDEO_VALIDATE,
         "cell_encode": _sql_cell_encode(),
         "s2_cell_encode": _sql_s2_cell_encode(),

@@ -146,12 +146,24 @@ AFMTS_REAL = ("wav", "aiff", "flac")
 AFMTS_FULL = ("wav", "aiff", "flac", "ulaw", "alaw", "adpcm")
 # + Ogg (RFC 3533 pages + FLAC-in-Ogg mapping — synth/ogg.py)
 AFMTS_OGG = AFMTS_FULL + ("ogg",)
+# + mp3: REAL MPEG-1 framing (synth/mpeg_audio.py walks every header;
+# probe_audio reads rate/samples/duration), DSP reconstruction gated
+AFMTS_MP3 = AFMTS_OGG + ("mp3",)
 
 
 def make_audio_row(seed: int, fmts: tuple = AFMTS) -> tuple:
     rate = 16_000
     n = 1600 + 160 * (seed % 50)          # 0.1 .. 0.6 s
     fmt = fmts[(seed >> 1) % len(fmts)]
+    if fmt == "mp3":
+        # MPEG-1 allows 32/44.1/48 kHz only; frames are 1152 samples, so
+        # the declared count is the frame-padded total (probe-exact)
+        from .mpeg_audio import encode_mp3_gated
+
+        rate = 32_000
+        n = -(-n // 1152) * 1152
+        buf = encode_mp3_gated(seed, n, rate=rate)
+        return (f"aud-{seed:012d}", buf, rate, n, fmt, transcript_for(seed))
     samples = gen_samples(seed, n, rate)
     if fmt == "flac":
         from .flac import encode_flac
