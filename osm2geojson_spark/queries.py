@@ -1925,6 +1925,239 @@ def q_image_phash_dedup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# corpus hygiene (operators/corpus.py): decontamination, PII redaction,
+# consistent sampling, boilerplate stripping
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 23 == 0 play the
+    eval suite; every other doc reports how many of its word 4-grams
+    (with multiplicity) appear anywhere in the eval set. Eval-side gram
+    set is aggregated once and broadcast — corpus side never shuffles on
+    the gram key."""
+    from osm2geojson_spark.operators import corpus as CP
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    train = docs.where(F.col("doc_id") % 23 != 0)
+    return CP.decontaminate(train, bench, n=4)
+
+
+_SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN (len(ts) >= 4)
+                     THEN list_transform(range(1, (len(ts) - 2)),
+                                         i -> array_to_string(ts[i:(i + 3)], ' '))
+                     ELSE [] END) AS gm
+  FROM t),
+bench AS (SELECT DISTINCT gm FROM g WHERE (doc_id % 23) = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN gm IN (SELECT gm FROM bench) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM g WHERE (doc_id % 23) != 0 GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_ngrams, 0) AS n_ngrams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       (COALESCE(h.n_hits, 0) > 0) AS contaminated
+FROM documents AS d LEFT JOIN hits AS h ON (d.doc_id = h.doc_id)
+WHERE (d.doc_id % 23) != 0
+"""
+
+
+def _pii_augmented_text():
+    """Deterministic PII planting (identical in Spark + DuckDB): every
+    doc gets exactly one of email/phone/IPv4 by doc_id % 3, and every
+    doc_id % 5 == 0 gets a second email — so n_* counts of 0, 1 and 2
+    all occur."""
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.concat(F.lit(" contact u"), s(did), F.lit("@ex"),
+                     s(did % 7), F.lit(".com"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+                     F.lit("-"), F.lpad(s(did % 10000), 4, "0"))
+    ip = F.concat(F.lit(" from 10."), s(did % 256), F.lit("."),
+                  s(F.expr("(doc_id div 256)") % 256), F.lit("."),
+                  s(did % 100))
+    extra = F.concat(F.lit(" mail b"), s(did), F.lit("@h"), s(did % 5),
+                     F.lit(".org"))
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).when(did % 3 == 1, phone).otherwise(ip),
+        F.when(did % 5 == 0, extra).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministically planted PII:
+    per-doc email/phone/IPv4 counts (on the original text) plus the
+    md5 + length of the sequentially redacted text. Pure codegen regex
+    expressions — zero shuffles, zero Python."""
+    from osm2geojson_spark.operators import corpus as CP
+
+    docs = _docs(spark, sf_dir).withColumn("text", _pii_augmented_text())
+    out = CP.pii_redact(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.length("redacted").cast("int").alias("red_len"),
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
+_SQL_PII_AUG = """
+aug AS (
+  SELECT doc_id,
+         (text
+          || CASE (doc_id % 3)
+               WHEN 0 THEN (' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                            || CAST((doc_id % 7) AS VARCHAR) || '.com')
+               WHEN 1 THEN (' call 555-'
+                            || lpad(CAST((doc_id % 1000) AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST((doc_id % 10000) AS VARCHAR), 4, '0'))
+               ELSE (' from 10.' || CAST((doc_id % 256) AS VARCHAR) || '.'
+                     || CAST(((doc_id // 256) % 256) AS VARCHAR) || '.'
+                     || CAST((doc_id % 100) AS VARCHAR))
+             END
+          || CASE WHEN ((doc_id % 5) = 0)
+                  THEN (' mail b' || CAST(doc_id AS VARCHAR) || '@h'
+                        || CAST((doc_id % 5) AS VARCHAR) || '.org')
+                  ELSE '' END) AS text
+  FROM documents)
+"""
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_SQL = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_SQL_PII_REDACT = f"""
+WITH {_SQL_PII_AUG},
+red AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT)
+           AS n_emails,
+         CAST(length(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT)
+           AS n_phones,
+         CAST(length(regexp_extract_all(text, '{_PII_IP_SQL}')) AS INT)
+           AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL_SQL}', '<PII>', 'g'),
+             '{_PII_PHONE_SQL}', '<PII>', 'g'),
+           '{_PII_IP_SQL}', '<PII>', 'g') AS redacted
+  FROM aug)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(length(redacted) AS INT) AS red_len, md5(redacted) AS red_md5
+FROM red
+"""
+
+
+def q_sample_threshold(spark, sf_dir):
+    """Consistent (hash-threshold) sampling: keep rows whose
+    md5(doc_id) hex sorts below a per-stratum prefix (even-numbered
+    sources ≈ 25 %, odd ≈ 75 %). A shuffle-free filter — membership is
+    decided locally and is stable across re-runs/engines — rolled up
+    per source with a kept-id checksum."""
+    docs = _docs(spark, sf_dir)
+    from osm2geojson_spark.operators.corpus import hash_bucket_expr
+
+    tier_even = (F.expr("CAST(substring(source, 4) AS INT)") % 2) == 0
+    thr = F.when(tier_even, F.lit("40")).otherwise(F.lit("c0"))
+    kept = hash_bucket_expr(F.col("doc_id")) < thr
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+        .cast("long").alias("kept_id_sum"),
+    )
+
+
+_SQL_SAMPLE_THRESHOLD = """
+WITH k AS (
+  SELECT source, doc_id,
+         (md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN ((CAST(substr(source, 4) AS INT) % 2) = 0)
+               THEN '40' ELSE 'c0' END) AS kept
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN kept THEN doc_id END), 0) AS BIGINT)
+         AS kept_id_sum
+FROM k GROUP BY source
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact-k-per-stratum deterministic sample (k=5 per source) by
+    md5-hash order — uniform-without-replacement, one shuffle on the
+    stratum key, stable under retries."""
+    from osm2geojson_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, "source", "doc_id", k=5).select(
+        "source", "doc_id", "rk"
+    )
+
+
+_SQL_SAMPLE_STRATIFIED = """
+SELECT source, doc_id, CAST(rn AS INT) AS rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents) AS r
+WHERE (rn <= 5)
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """C4-style repeated-boilerplate removal over aligned 8-token
+    chunks: chunks occurring in ≥2 distinct docs are stripped and the
+    document reassembled in order (sort_array(collect_list(struct)))."""
+    from osm2geojson_spark.operators.corpus import boilerplate_strip
+
+    return boilerplate_strip(_docs(spark, sf_dir), chunk_tokens=8, min_df=2)
+
+
+_SQL_BOILERPLATE_STRIP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(range(1, (len(ts) + 1), 8)) AS idx,
+         unnest(list_transform(range(1, (len(ts) + 1), 8),
+                               i -> array_to_string(ts[i:(i + 7)], ' '))) AS ch
+  FROM t WHERE (len(ts) >= 1)),
+d AS (SELECT ch, COUNT(DISTINCT doc_id) AS dfreq FROM c GROUP BY 1),
+f AS (
+  SELECT c.doc_id, c.idx, c.ch, (d.dfreq < 2) AS keep
+  FROM c JOIN d USING (ch)),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN keep THEN ch END, ' ' ORDER BY idx),
+                  '') AS clean
+  FROM f GROUP BY 1)
+SELECT doc_id, n_chunks, n_removed,
+       CAST(length(list_filter(regexp_split_to_array(trim(clean), '\\s+'),
+                               x -> x != '')) AS BIGINT) AS clean_ntok,
+       md5(clean) AS clean_md5
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -1988,6 +2221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_probe": q_audio_probe,
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "sample_threshold": q_sample_threshold,
+        "sample_stratified": q_sample_stratified,
+        "boilerplate_strip": q_boilerplate_strip,
         "zonal_stats": q_zonal_stats,
     }
 
@@ -2035,6 +2273,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate": _SQL_AUDIO_VALIDATE,
         "audio_probe": _SQL_AUDIO_PROBE,
         "video_validate": _SQL_VIDEO_VALIDATE,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "pii_redact": _SQL_PII_REDACT,
+        "sample_threshold": _SQL_SAMPLE_THRESHOLD,
+        "sample_stratified": _SQL_SAMPLE_STRATIFIED,
+        "boilerplate_strip": _SQL_BOILERPLATE_STRIP,
         "cell_encode": _sql_cell_encode(),
         "s2_cell_encode": _sql_s2_cell_encode(),
         "s2_histogram": _sql_s2_histogram(),

@@ -1,0 +1,169 @@
+"""Corpus-hygiene operators (operators/corpus.py) vs independent
+pure-Python references: decontamination gram counting, PII redaction,
+hash-order sampling, boilerplate chunk stripping."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators import corpus as CP
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "alpha beta gamma delta other words here now"),      # shares 4-grams w/ 0
+    (2, "completely different text with no overlap at all"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta"),    # == doc 0
+    (4, "tiny doc"),                                         # < n tokens
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _ref_ngrams(text: str, n: int) -> list[str]:
+    t = text.split()
+    return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+
+class TestDecontaminate:
+    def test_vs_python_reference(self, spark):
+        df = _docs_df(spark)
+        bench = df.where(F.col("doc_id") == 0)
+        train = df.where(F.col("doc_id") != 0)
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["n_hits"], r["contaminated"])
+            for r in CP.decontaminate(train, bench, n=4).collect()
+        }
+        bench_set = set(_ref_ngrams(DOCS[0][1], 4))
+        for did, text in DOCS[1:]:
+            grams = _ref_ngrams(text, 4)
+            hits = sum(g in bench_set for g in grams)
+            assert got[did] == (len(grams), hits, hits > 0), did
+        # the exact copy is fully contaminated; the prefix-sharing doc
+        # hits exactly one 4-gram; short doc has zero grams
+        assert got[3][0] == got[3][1] == 5
+        assert got[1][1] == 1
+        assert got[4] == (0, 0, False)
+
+
+class TestPiiRedact:
+    CASES = [
+        (0, "mail a.b+c@sub.ex.com and x@y.io end"),
+        (1, "call 555-123-4567 or 555-000-1111"),
+        (2, "host 10.0.200.13 then 192.168.1.1"),
+        (3, "mixed u@ex.com 555-123-4567 10.1.2.3"),
+        (4, "clean text with no pii at all"),
+    ]
+
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in CP.pii_redact(df).collect()}
+        assert (rows[0]["n_emails"], rows[0]["n_phones"], rows[0]["n_ips"]) \
+            == (2, 0, 0)
+        assert rows[1]["n_phones"] == 2
+        assert rows[2]["n_ips"] == 2
+        assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ips"]) \
+            == (1, 1, 1)
+        assert rows[4]["redacted"] == self.CASES[4][1]
+        assert rows[3]["redacted"] == "mixed <PII> <PII> <PII>"
+        for r in rows.values():
+            assert "@" not in r["redacted"]
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        once = CP.pii_redact(df).select(
+            F.col("doc_id"), F.col("redacted").alias("text"))
+        twice = CP.pii_redact(once).collect()
+        for r in twice:
+            assert r["n_emails"] == r["n_phones"] == r["n_ips"] == 0
+
+
+class TestSampling:
+    def test_threshold_matches_hashlib(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        kept = {r["k"] for r in
+                CP.sample_by_hash(df, "k", "80").collect()}
+        ref = {i for i in range(500) if _md5(str(i)) < "80"}
+        assert kept == ref
+        assert 0 < len(kept) < 500
+
+    def test_threshold_monotone_subset(self, spark):
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        small = {r["k"] for r in CP.sample_by_hash(df, "k", "20").collect()}
+        big = {r["k"] for r in CP.sample_by_hash(df, "k", "a0").collect()}
+        assert small < big
+
+    def test_stratified_exact_k(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(100)] + [(1000, "rare")]
+        df = spark.createDataFrame(rows, "k long, g string")
+        out = CP.stratified_sample(df, "g", "k", k=7).collect()
+        by_g: dict[str, list] = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r)
+        assert {g: len(v) for g, v in by_g.items()} == \
+            {"s0": 7, "s1": 7, "s2": 7, "rare": 1}
+        # hash-order reference per stratum
+        for g, members in (("s0", [i for i in range(100) if i % 3 == 0]),):
+            ref = sorted(members, key=lambda i: (_md5(str(i)), i))[:7]
+            got = sorted(by_g[g], key=lambda r: r["rk"])
+            assert [r["k"] for r in got] == ref
+
+
+class TestBoilerplate:
+    def test_known_shared_chunk(self, spark):
+        boiler = "one two three four"
+        rows = [
+            (0, f"{boiler} aaa bbb"),
+            (1, f"{boiler} ccc ddd"),
+            (2, "totally unique text here"),
+            (3, boiler),                       # entirely boilerplate
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               CP.boilerplate_strip(df, chunk_tokens=4, min_df=2).collect()}
+        assert (out[0]["n_chunks"], out[0]["n_removed"]) == (2, 1)
+        assert out[0]["clean_md5"] == _md5("aaa bbb")
+        assert out[0]["clean_ntok"] == 2
+        assert out[2]["n_removed"] == 0
+        assert out[2]["clean_md5"] == _md5(rows[2][1])
+        assert (out[3]["n_removed"], out[3]["clean_ntok"]) == (1, 0)
+        assert out[3]["clean_md5"] == _md5("")
+
+    def test_order_preserved_across_kept_chunks(self, spark):
+        boiler = "x x x x"
+        text = f"a1 a2 a3 a4 {boiler} b1 b2 b3 b4"
+        rows = [(0, text), (1, f"{boiler} solo"), (2, f"pad pad pad pad {boiler}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               CP.boilerplate_strip(df, chunk_tokens=4, min_df=2).collect()}
+        assert out[0]["clean_md5"] == _md5("a1 a2 a3 a4 b1 b2 b3 b4")
+        assert out[0]["n_removed"] == 1
+
+
+class TestPlanShape:
+    def test_sampling_is_shuffle_free(self, spark):
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        plan = CP.sample_by_hash(df, "k", "80")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_decontaminate_broadcasts_bench(self, spark):
+        df = _docs_df(spark)
+        bench = df.where(F.col("doc_id") == 0)
+        train = df.where(F.col("doc_id") != 0)
+        plan = CP.decontaminate(train, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
