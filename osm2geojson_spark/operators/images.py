@@ -114,6 +114,105 @@ def quarantine_split(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     return validated.filter(F.col("ok")), validated.filter(~F.col("ok"))
 
 
+def extract_exif(df: DataFrame) -> DataFrame:
+    """Exif APP1 metadata extraction over JPEG bytes (synth/exif.py: a
+    real TIFF 6.0 IFD walk — both byte orders, pointer-chased sub-IFDs,
+    unknown tags skipped). Non-JPEG rows and JPEGs without an APP1 come
+    back has_exif=false with null fields; a *malformed* Exif blob sets
+    ``error`` (quarantine discipline, OsmJoin.java:176-179 — surfaced,
+    never silently dropped). Arrow-batched mapInPandas; at 100 TB this
+    is a pure map stage (no shuffle) reading only (image_id, fmt,
+    bytes) thanks to column pruning."""
+    from osm2geojson_spark.synth.exif import find_exif_in_jpeg, parse_exif
+
+    out_schema = ("image_id string, fmt string, has_exif boolean, "
+                  "byte_order string, orientation int, make string, "
+                  "model string, dt string, px_w int, px_h int, "
+                  "lat_udeg long, lon_udeg long, error string")
+    cols = ["image_id", "fmt", "has_exif", "byte_order", "orientation",
+            "make", "model", "dt", "px_w", "px_h", "lat_udeg", "lon_udeg",
+            "error"]
+    nul = (None,) * 9
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    payload = (find_exif_in_jpeg(bytes(t.bytes))
+                               if t.fmt == "jpg" else None)
+                    if payload is None:
+                        rows.append((t.image_id, t.fmt, False) + nul + (None,))
+                        continue
+                    x = parse_exif(payload)
+                    rows.append((
+                        t.image_id, t.fmt, True, x.get("byte_order"),
+                        x.get("orientation"), x.get("make"), x.get("model"),
+                        x.get("datetime"), x.get("px_w"), x.get("px_h"),
+                        x.get("lat_udeg"), x.get("lon_udeg"), None))
+                except Exception as ex:  # noqa: BLE001 — quarantine
+                    rows.append((t.image_id, t.fmt, False) + nul
+                                + (f"{type(ex).__name__}: {ex}",))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("image_id", "fmt", "bytes").mapInPandas(run, out_schema)
+
+
+_ORIENT_OPS = {
+    1: lambda px: px,
+    2: lambda px: px[:, ::-1],                 # mirror horizontal
+    3: lambda px: px[::-1, ::-1],              # rotate 180
+    4: lambda px: px[::-1, :],                 # mirror vertical
+    5: lambda px: px.transpose(1, 0, 2),       # transpose
+    6: lambda px: px[::-1, :].transpose(1, 0, 2),   # rotate 90 CW
+    7: lambda px: px[::-1, ::-1].transpose(1, 0, 2),  # transverse
+    8: lambda px: px[:, ::-1].transpose(1, 0, 2),   # rotate 270 CW
+}
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Bake an Exif orientation into pixels (the viewer transform for
+    tag 0x0112). Orientations 5-8 swap width/height."""
+    op = _ORIENT_OPS.get(orientation)
+    if op is None:
+        raise ValueError(f"bad Exif orientation {orientation}")
+    return np.ascontiguousarray(op(px))
+
+
+def normalize_orientation(df: DataFrame) -> DataFrame:
+    """Decode → apply Exif orientation → re-encode (lossless PPM) with
+    upright phash — the ingest step that makes rotated captures
+    comparable for near-dup detection. Rows without Exif (or with
+    orientation 1) pass through decoded-as-is."""
+    from osm2geojson_spark.synth.exif import find_exif_in_jpeg, parse_exif
+
+    out_schema = ("image_id string, w int, h int, upright_phash long, "
+                  "rotated boolean, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    buf = bytes(t.bytes)
+                    px = _decode(buf, t.fmt)
+                    o = 1
+                    if t.fmt == "jpg":
+                        payload = find_exif_in_jpeg(buf)
+                        if payload is not None:
+                            o = int(parse_exif(payload).get("orientation", 1))
+                    up = apply_orientation(px, o)
+                    rows.append((t.image_id, up.shape[1], up.shape[0],
+                                 phash64(up), o != 1, None))
+                except Exception as ex:  # noqa: BLE001 — quarantine
+                    rows.append((t.image_id, None, None, None, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "w", "h", "upright_phash", "rotated", "error"])
+
+    return df.select("image_id", "fmt", "bytes").mapInPandas(run, out_schema)
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """Decode + per-image brightness stats (feature-extraction shape)."""
     out_schema = ("image_id string, mean_lum double, std_lum double, "

@@ -1924,6 +1924,64 @@ def q_image_phash_dedup(spark, sf_dir):
     return phash_near_dup_pairs(imgs, max_hamming=10)
 
 
+def q_exif_extract(spark, sf_dir):
+    """Exif APP1 metadata over an all-JPEG table (3 in 4 rows carry a
+    real TIFF IFD blob, alternating II/MM byte order; synth/exif.py):
+    per-orientation rollup of GPS microdegree sums, maker cardinality,
+    and datetime range. VALUE-EXACT: every Exif field is a pure integer
+    seed formula (exif_fields_for) the oracle replays — a parser bug in
+    either byte order, the IFD walk, the pointer chase, or the rational
+    decode shifts a sum."""
+    from osm2geojson_spark.operators.images import extract_exif
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=400, seed=42, fmts=("jpg",), exif=True)
+    e = extract_exif(imgs)
+    return e.groupBy("orientation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("byte_order") == "II", 1).otherwise(0))
+        .cast("long").alias("n_ii"),
+        F.countDistinct("make").cast("long").alias("n_makes"),
+        F.sum("lat_udeg").cast("long").alias("lat_sum"),
+        F.sum("lon_udeg").cast("long").alias("lon_sum"),
+        F.min("dt").alias("min_dt"),
+        F.max("dt").alias("max_dt"),
+    )
+
+
+_SQL_EXIF_EXTRACT = """
+WITH seeds AS (
+  SELECT i, (i * 2 + 42) AS seed FROM generate_series(0, 399) AS t(i)),
+r AS (
+  SELECT seed,
+         ((seed % 5) != 2) AS has_exif,
+         (1 + (seed % 8)) AS orient,
+         (CASE WHEN ((seed % 3) = 0) THEN 'II' ELSE 'MM' END) AS bo,
+         ((((seed * 2246822519) + 1013904223) % 180000001) - 90000000) AS lat,
+         ((((seed * 2654435761) + 40503) % 360000001) - 180000000) AS lon,
+         ('CamCo' || CAST((seed % 5) AS VARCHAR)) AS mk,
+         (CAST((2010 + (seed % 15)) AS VARCHAR) || ':'
+          || lpad(CAST((1 + (seed % 12)) AS VARCHAR), 2, '0') || ':'
+          || lpad(CAST((1 + (seed % 28)) AS VARCHAR), 2, '0') || ' '
+          || lpad(CAST((seed % 24) AS VARCHAR), 2, '0') || ':'
+          || lpad(CAST((seed % 60) AS VARCHAR), 2, '0') || ':'
+          || lpad(CAST(((seed * 7) % 60) AS VARCHAR), 2, '0')) AS dt
+  FROM seeds)
+SELECT (CASE WHEN has_exif THEN CAST(orient AS INT) END) AS orientation,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN has_exif AND (bo = 'II') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ii,
+       CAST(COUNT(DISTINCT CASE WHEN has_exif THEN mk END) AS BIGINT)
+         AS n_makes,
+       CAST(SUM(CASE WHEN has_exif THEN lat END) AS BIGINT) AS lat_sum,
+       CAST(SUM(CASE WHEN has_exif THEN lon END) AS BIGINT) AS lon_sum,
+       MIN(CASE WHEN has_exif THEN dt END) AS min_dt,
+       MAX(CASE WHEN has_exif THEN dt END) AS max_dt
+FROM r
+GROUP BY (CASE WHEN has_exif THEN CAST(orient AS INT) END)
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus hygiene (operators/corpus.py): decontamination, PII redaction,
 # consistent sampling, boilerplate stripping
@@ -2221,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_probe": q_audio_probe,
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
+        "exif_extract": q_exif_extract,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -2273,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_validate": _SQL_AUDIO_VALIDATE,
         "audio_probe": _SQL_AUDIO_PROBE,
         "video_validate": _SQL_VIDEO_VALIDATE,
+        "exif_extract": _SQL_EXIF_EXTRACT,
         "decontaminate": _SQL_DECONTAMINATE,
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,

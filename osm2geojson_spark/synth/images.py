@@ -316,7 +316,7 @@ def _coords_for(seed: int) -> tuple[float, float]:
     return lon, lat
 
 
-def make_image_row(seed: int, fmts: tuple = FMTS) -> tuple:
+def make_image_row(seed: int, fmts: tuple = FMTS, exif: bool = False) -> tuple:
     w = 16 + 8 * (seed % 7)          # 16..64, multiple of 8
     h = 16 + 8 * ((seed // 7) % 7)
     # seeds from images_table are always even (i*2 + even base): a plain
@@ -330,6 +330,14 @@ def make_image_row(seed: int, fmts: tuple = FMTS) -> tuple:
 
         buf = encode_jpeg(px, quality=90,
                           subsampling="420" if (seed >> 2) & 1 else "444")
+        if exif and seed % 5 != 2:
+            # 4 in 5 jpg rows carry a real Exif APP1 (both byte orders);
+            # the rest exercise the no-metadata path — mod 5 is coprime
+            # with the mod-8 orientation formula so no orientation class
+            # is wiped out; the DuckDB oracle replays the same gate
+            from .exif import attach_exif_app1, exif_app1_for
+
+            buf = attach_exif_app1(buf, exif_app1_for(seed, w, h))
     else:
         buf = ENCODERS[fmt](px)
     # phash is computed on the DECODED pixels (lossy fmt → lossy phash),
@@ -341,14 +349,15 @@ def make_image_row(seed: int, fmts: tuple = FMTS) -> tuple:
 
 def images_table(spark: SparkSession, n: int = 1000, seed: int = 42,
                  partitions: int | None = None,
-                 fmts: tuple = FMTS) -> DataFrame:
+                 fmts: tuple = FMTS, exif: bool = False) -> DataFrame:
     """Distributed deterministic generation: spark.range(n) → mapInPandas."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
         for pdf in batches:
-            rows = [make_image_row(int(i) * 2 + seed, fmts) for i in pdf["id"]]
+            rows = [make_image_row(int(i) * 2 + seed, fmts, exif=exif)
+                    for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, IMG_SCHEMA)
