@@ -513,3 +513,53 @@ def values_sql(rows: list[tuple], colspec: list[tuple]) -> str:
         for r in rows
     )
     return f"SELECT * FROM (VALUES\n{vals}\n) AS t({names})"
+
+
+# ------------------------------------------------------------------ BPE
+
+def _bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge — the same carry-scan
+    semantics as operators/bpe._merge_expr."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_bpe_merges(docs: list[tuple], num_merges: int = 30) -> list[tuple]:
+    """Pure-Python BPE trainer twin of operators/bpe.train_bpe:
+    word-frequency collapse, per-round pair argmax with (freq DESC,
+    left ASC, right ASC) tie-break, greedy merge. Returns
+    [(rank, left, right, pair_freq)]."""
+    import collections
+    import re
+
+    freq: collections.Counter = collections.Counter()
+    for _id, text in docs:
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if w:
+                freq[w] += 1
+    words: list[tuple[list[str], int]] = [
+        (list(w[:-1]) + [w[-1] + "</w>"], f) for w, f in freq.items()
+    ]
+
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        pairs: collections.Counter = collections.Counter()
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, pf))
+        words = [(_bpe_merge_word(s, left, right), f) for s, f in words]
+    return merges

@@ -1924,6 +1924,32 @@ def q_image_phash_dedup(spark, sf_dir):
     return phash_near_dup_pairs(imgs, max_hamming=10)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): corpus →
+    word-freq collapse (the only corpus-sized shuffle) → 24 merge
+    rounds, each a vocab-sized pair-count + TakeOrdered(1) with O(1)
+    driver traffic and a JVM carry-scan merge. VALUE-EXACT vs the
+    pure-Python trainer (pyref.ref_bpe_merges) replayed on the same
+    corpus — same greedy semantics, same (freq DESC, left, right)
+    tie-break."""
+    from osm2geojson_spark.operators.bpe import train_bpe
+
+    m = train_bpe(_docs(spark, sf_dir), num_merges=24)
+    # lhs/rhs: LEFT/RIGHT are reserved words in the oracle dialect
+    return m.select("rank", F.col("left").alias("lhs"),
+                    F.col("right").alias("rhs"), "pair_freq")
+
+
+def _sql_bpe_train() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_bpe_merges(
+        _oracle_parquet("documents", ["doc_id", "text"]), num_merges=24)
+    return pyref.values_sql(
+        rows, [("rank", "INT"), ("lhs", "VARCHAR"), ("rhs", "VARCHAR"),
+               ("pair_freq", "BIGINT")])
+
+
 def q_exif_extract(spark, sf_dir):
     """Exif APP1 metadata over an all-JPEG table (3 in 4 rows carry a
     real TIFF IFD blob, alternating II/MM byte order; synth/exif.py):
@@ -2280,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
         "exif_extract": q_exif_extract,
+        "bpe_train": q_bpe_train,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -2333,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_probe": _SQL_AUDIO_PROBE,
         "video_validate": _SQL_VIDEO_VALIDATE,
         "exif_extract": _SQL_EXIF_EXTRACT,
+        "bpe_train": _sql_bpe_train(),
         "decontaminate": _SQL_DECONTAMINATE,
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
