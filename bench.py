@@ -184,6 +184,10 @@ BENCH_QUERIES = {
     "vocab_topk": Q.q_vocab_topk,
     "asof_join": Q.q_asof_join,
     "zonal_stats": zonal_stats_full,
+    # round-3 additions: corpus hygiene (broadcast bench-gram join over
+    # the full documents table) and the GeoJSON emit→parse round trip
+    "decontaminate": Q.q_decontaminate,
+    "geojson_roundtrip": Q.q_geojson_roundtrip,
 }
 
 

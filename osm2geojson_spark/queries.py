@@ -1924,6 +1924,174 @@ def q_image_phash_dedup(spark, sf_dir):
     return phash_near_dup_pairs(imgs, max_hamming=10)
 
 
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON ROUND TRIP (north-star axis): build feature documents
+    for all four geometry classes from int-derived coordinates, emit
+    the JSON text JVM-side, then PARSE it back with
+    functions/geojson_read.parse_features (get_json_object +
+    type-matched from_json — zero Python, zero shuffle) and report the
+    reconstructed per-feature bbox/vertex/closure columns. The oracle
+    replays the source arithmetic directly — equality proves
+    parse(emit(x)) == x including double round-tripping through JSON
+    text."""
+    from osm2geojson_spark.functions.geojson_read import parse_features
+
+    def num(c):
+        return c.cast("string")
+
+    def pt(x, y):
+        return F.concat(F.lit("["), num(x), F.lit(","), num(y), F.lit("]"))
+
+    def arr(*elems):
+        return F.concat(F.lit("["), F.concat_ws(",", *elems), F.lit("]"))
+
+    def doc(fid, title, gtype, coords, cats_json):
+        return F.concat(
+            F.lit('{"id":"'), fid, F.lit('","title":"'), title,
+            F.lit('","geometry":{"type":"'), F.lit(gtype),
+            F.lit('","coordinates":'), coords,
+            F.lit('},"categories":{"osm":'), F.lit(cats_json), F.lit("}}"),
+        )
+
+    def box_ring(x0, y0, x1, y1):
+        return arr(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 150)
+    k = F.col("c_custkey")
+    points = cust.select(doc(
+        F.concat(F.lit("pt/"), k.cast("string")),
+        F.concat(F.lit("c"), k.cast("string")),
+        "Point", pt(lon_col(k), lat_col(k)), '["poi"]').alias("geojson"))
+
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 60)
+    sk = F.col("s_suppkey")
+    lines = supp.select(doc(
+        F.concat(F.lit("ln/"), sk.cast("string")),
+        F.concat(F.lit("s"), sk.cast("string")),
+        "LineString",
+        arr(pt(lon_col(sk), lat_col(sk)), pt(lon_col(sk + 7), lat_col(sk + 7))),
+        '["way"]').alias("geojson"))
+
+    nat = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    nx0, ny0 = lon_col(nk), lat_col(nk)
+    nx1 = nx0 + (1 + nk % 5).cast("double")
+    ny1 = ny0 + (1 + nk % 3).cast("double")
+    polys = nat.select(doc(
+        F.concat(F.lit("pg/"), nk.cast("string")),
+        F.concat(F.lit("n"), nk.cast("string")),
+        "Polygon", arr(box_ring(nx0, ny0, nx1, ny1)),
+        '["park","area"]').alias("geojson"))
+
+    reg = _t(spark, sf_dir, "region")
+    rk = F.col("r_regionkey")
+    ax0, ay0 = lon_col(rk), lat_col(rk)
+    ax1, ay1 = ax0 + F.lit(2.0), ay0 + F.lit(1.0)
+    bx0, by0 = lon_col(rk + 100), lat_col(rk + 100)
+    bx1, by1 = bx0 + F.lit(3.0), by0 + F.lit(2.0)
+    mpolys = reg.select(doc(
+        F.concat(F.lit("mp/"), rk.cast("string")),
+        F.concat(F.lit("r"), rk.cast("string")),
+        "MultiPolygon",
+        arr(arr(box_ring(ax0, ay0, ax1, ay1)), arr(box_ring(bx0, by0, bx1, by1))),
+        '["region"]').alias("geojson"))
+
+    docs = points.unionAll(lines).unionAll(polys).unionAll(mpolys)
+    out = parse_features(docs)
+    return out.select(
+        "feature_id", "title", "geom_type", "n_points",
+        "min_lon", "min_lat", "max_lon", "max_lat", "ring_closed",
+        F.size("categories").alias("n_cats"),
+    )
+
+
+def _sql_geojson_roundtrip() -> str:
+    lon, lat = lon_sql, lat_sql
+    return f"""
+SELECT ('pt/' || CAST(c_custkey AS VARCHAR)) AS feature_id,
+       ('c' || CAST(c_custkey AS VARCHAR)) AS title,
+       'Point' AS geom_type, CAST(1 AS INT) AS n_points,
+       ({lon('c_custkey')}) AS min_lon, ({lat('c_custkey')}) AS min_lat,
+       ({lon('c_custkey')}) AS max_lon, ({lat('c_custkey')}) AS max_lat,
+       CAST(NULL AS BOOLEAN) AS ring_closed, CAST(1 AS INT) AS n_cats
+FROM customer WHERE (c_custkey <= 150)
+UNION ALL
+SELECT ('ln/' || CAST(s_suppkey AS VARCHAR)),
+       ('s' || CAST(s_suppkey AS VARCHAR)),
+       'LineString', CAST(2 AS INT),
+       LEAST(({lon('s_suppkey')}), ({lon('s_suppkey + 7')})),
+       LEAST(({lat('s_suppkey')}), ({lat('s_suppkey + 7')})),
+       GREATEST(({lon('s_suppkey')}), ({lon('s_suppkey + 7')})),
+       GREATEST(({lat('s_suppkey')}), ({lat('s_suppkey + 7')})),
+       CAST(NULL AS BOOLEAN), CAST(1 AS INT)
+FROM supplier WHERE (s_suppkey <= 60)
+UNION ALL
+SELECT ('pg/' || CAST(n_nationkey AS VARCHAR)),
+       ('n' || CAST(n_nationkey AS VARCHAR)),
+       'Polygon', CAST(5 AS INT),
+       ({lon('n_nationkey')}), ({lat('n_nationkey')}),
+       (({lon('n_nationkey')}) + CAST((1 + (n_nationkey % 5)) AS DOUBLE)),
+       (({lat('n_nationkey')}) + CAST((1 + (n_nationkey % 3)) AS DOUBLE)),
+       TRUE, CAST(2 AS INT)
+FROM nation
+UNION ALL
+SELECT ('mp/' || CAST(r_regionkey AS VARCHAR)),
+       ('r' || CAST(r_regionkey AS VARCHAR)),
+       'MultiPolygon', CAST(10 AS INT),
+       LEAST(({lon('r_regionkey')}), ({lon('r_regionkey + 100')})),
+       LEAST(({lat('r_regionkey')}), ({lat('r_regionkey + 100')})),
+       GREATEST((({lon('r_regionkey')}) + 2.0),
+                (({lon('r_regionkey + 100')}) + 3.0)),
+       GREATEST((({lat('r_regionkey')}) + 1.0),
+                (({lat('r_regionkey + 100')}) + 2.0)),
+       TRUE, CAST(1 AS INT)
+FROM region
+"""
+
+
+def q_exif_tile_join(spark, sf_dir):
+    """Image bytes → Exif GPS → raster tile assignment: the north-star
+    image↔tile join with coordinates sourced from INSIDE the image
+    payload (TIFF IFD GPS rationals) instead of table columns. Pure map
+    (Arrow Exif parse) + codegen tile math + one aggregate shuffle.
+    VALUE-EXACT: GPS microdegrees are a seed formula; the oracle replays
+    it through the identical Morton-cell SQL."""
+    from osm2geojson_spark.operators.images import extract_exif
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=400, seed=42, fmts=("jpg",), exif=True)
+    e = extract_exif(imgs).where(F.col("has_exif"))
+    pts = e.select(
+        "image_id",
+        (F.col("lon_udeg") / F.lit(1_000_000.0)).alias("lon"),
+        (F.col("lat_udeg") / F.lit(1_000_000.0)).alias("lat"),
+    )
+    tiled = TI.assign_tiles(pts, zoom=5)
+    return tiled.groupBy("tile_id").agg(
+        F.count("*").cast("long").alias("n_imgs"),
+        F.min("image_id").alias("min_img"),
+    )
+
+
+def _sql_exif_tile_join() -> str:
+    lon = "(CAST(lon_u AS DOUBLE) / 1000000.0)"
+    lat = "(CAST(lat_u AS DOUBLE) / 1000000.0)"
+    tile = C.cell_sql(lon, lat, 5)
+    return f"""
+WITH seeds AS (
+  SELECT (i * 2 + 42) AS seed FROM generate_series(0, 399) AS t(i)),
+r AS (
+  SELECT seed,
+         ((((seed * 2246822519) + 1013904223) % 180000001) - 90000000) AS lat_u,
+         ((((seed * 2654435761) + 40503) % 360000001) - 180000000) AS lon_u,
+         ('img-' || lpad(CAST(seed AS VARCHAR), 12, '0')) AS image_id
+  FROM seeds WHERE ((seed % 5) != 2))
+SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       MIN(image_id) AS min_img
+FROM r GROUP BY 1
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): corpus →
     word-freq collapse (the only corpus-sized shuffle) → 24 merge
@@ -2306,7 +2474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_validate": q_video_validate,
         "image_phash_dedup": q_image_phash_dedup,
         "exif_extract": q_exif_extract,
+        "exif_tile_join": q_exif_tile_join,
         "bpe_train": q_bpe_train,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -2360,7 +2530,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_probe": _SQL_AUDIO_PROBE,
         "video_validate": _SQL_VIDEO_VALIDATE,
         "exif_extract": _SQL_EXIF_EXTRACT,
+        "exif_tile_join": _sql_exif_tile_join(),
         "bpe_train": _sql_bpe_train(),
+        "geojson_roundtrip": _sql_geojson_roundtrip(),
         "decontaminate": _SQL_DECONTAMINATE,
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
