@@ -44,12 +44,15 @@ from osm2geojson_spark.functions.text import token_count_expr, tokens_expr
 # --------------------------------------------------------------- n-grams
 
 
-def word_ngrams_expr(text: Column, n: int) -> Column:
-    """Space-joined word n-grams (whitespace tokens, order preserved).
-    Documents shorter than ``n`` tokens yield an empty array (guard:
-    ``F.sequence`` auto-reverses when stop < start, which would emit
-    phantom negative offsets)."""
-    toks = tokens_expr(text)
+def word_ngrams_expr(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams over an ALREADY-MATERIALIZED token
+    array (order preserved). Callers must project ``tokens_expr(text)``
+    into its own column first: referencing the split inside the per-gram
+    lambda would re-run the regex split once per gram — O(L²) character
+    work per document (measured 3× the whole operator's cost before the
+    fix). Documents shorter than ``n`` tokens yield an empty array
+    (guard: ``F.sequence`` auto-reverses when stop < start, which would
+    emit phantom negative offsets)."""
 
     def gram(i: Column) -> Column:
         return F.array_join(F.slice(toks, i + 1, n), " ")
@@ -75,13 +78,16 @@ def decontaminate(
     The bench n-gram set is deduplicated then broadcast — the corpus
     side joins map-side and never shuffles on the gram key."""
     bench_grams = (
-        bench.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("g"))
+        bench.select(tokens_expr(F.col(text_col)).alias("_toks"))
+        .select(F.explode(word_ngrams_expr(F.col("_toks"), n)).alias("g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     grams = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_ngrams_expr(F.col(text_col), n)).alias("g"),
+        F.explode_outer(word_ngrams_expr(F.col("_toks"), n)).alias("g"),
     )
     joined = grams.join(F.broadcast(bench_grams), "g", "left")
     return joined.groupBy(id_col).agg(
@@ -167,11 +173,12 @@ def stratified_sample(
 # ----------------------------------------------------- boilerplate strip
 
 
-def chunk_texts_expr(text: Column, chunk_tokens: int) -> Column:
+def chunk_texts_expr(toks: Column, chunk_tokens: int) -> Column:
     """Non-overlapping aligned chunks of ``chunk_tokens`` whitespace
-    tokens (last chunk may be shorter), space-joined. The unit of the
-    repeated-boilerplate filter."""
-    toks = tokens_expr(text)
+    tokens (last chunk may be shorter), space-joined. Takes a
+    materialized token array (same O(L²) re-split hazard as
+    ``word_ngrams_expr``). The unit of the repeated-boilerplate
+    filter."""
 
     def chunk(i: Column) -> Column:
         return F.array_join(F.slice(toks, i, chunk_tokens), " ")
@@ -201,8 +208,10 @@ def boilerplate_strip(
     sort_array(collect_list(struct(idx, ...))) — the same order-carrying
     idiom as way assembly (SURVEY J2)."""
     chunks = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.posexplode(chunk_texts_expr(F.col(text_col), chunk_tokens)).alias(
+        F.posexplode(chunk_texts_expr(F.col("_toks"), chunk_tokens)).alias(
             "idx", "ch"
         ),
     )
