@@ -246,3 +246,150 @@ def embedding_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public method): vectors are chopped
+# into m subvectors, each quantized against its own tiny codebook, so a
+# 64-float vector compresses to m small ints. Search runs in the
+# COMPRESSED domain: a per-query distance lookup table (m × n_codes)
+# turns scoring into m table lookups per corpus row — no raw vectors
+# are read during the scan, which at 100 TB is the difference between
+# scanning bytes and scanning floats. Top-`refine` ADC candidates are
+# then re-ranked with the exact cosine (the standard refine step), so
+# the output is exact cosines over a PQ-selected candidate set.
+
+
+def pq_codebooks(
+    corpus: DataFrame, m: int = 4, n_codes: int = 16,
+    iters: int = 8, sample: int = 4096, seed: int = 29,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace L2 Lloyd's k-means on the same deterministic
+    sorted-limit driver sample as :func:`kmeans_centroids` (partition-
+    layout invariant). Returns (m, n_codes, dim/m) float64 codebooks —
+    tiny, shipped in UDF closures (broadcast)."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col)
+        .limit(sample).select(vec_col).collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(n_codes, len(xs)),
+                             replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[s, : len(cent)] = cent
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    m, _k, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d = ((xs[:, None, :] - books[s][None]) ** 2).sum(-1)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_encode(
+    corpus: DataFrame, books: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, codes): the stored compressed representation."""
+    enc = _pq_encode_udf(books)
+    return corpus.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def cosine_topk_pq(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    m: int = 4, n_codes: int = 16, refine: int = 32,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: compressed-domain scan → per-partition partial
+    top-``refine`` (total order (adc, corpus_id), so partial+global
+    top-R ≡ global top-R) → exact-cosine re-rank of the candidates.
+    Queries are collected to build the m×n_codes lookup tables (the
+    query side is small by the same contract as every broadcast here);
+    the corpus side never leaves its partitions until the candidate
+    rows (≤ refine per query per partition) shuffle for the global
+    cut."""
+    from pyspark.sql import Window
+
+    if books is None:
+        books = pq_codebooks(corpus, m=m, n_codes=n_codes,
+                             id_col=id_col, vec_col=vec_col)
+    mm, _kk, dsub = books.shape
+
+    qrows = (queries.select(id_col, vec_col).orderBy(id_col).collect())
+    q_ids = [r[0] for r in qrows]
+    qx = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    # luts[q, s, c] = ||q_sub - codeword||^2
+    luts = np.stack([
+        ((qn[:, s * dsub:(s + 1) * dsub][:, None, :] - books[s][None]) ** 2)
+        .sum(-1)
+        for s in range(mm)
+    ], axis=1)
+
+    coded = pq_encode(corpus, books, id_col, vec_col) \
+        .withColumnRenamed(id_col, "corpus_id")
+
+    out_schema = "query_id long, corpus_id long, adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            ids = pdf["corpus_id"].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (N, m)
+            rows = []
+            for qi, qid in enumerate(q_ids):
+                d = luts[qi][np.arange(mm), codes].sum(axis=1)  # (N,)
+                order = np.lexsort((ids, d))[:refine]
+                rows.append(pd.DataFrame({
+                    "query_id": qid, "corpus_id": ids[order],
+                    "adc": d[order]}))
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                columns=["query_id", "corpus_id", "adc"])
+
+    partial = coded.mapInPandas(scan, out_schema)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("corpus_id"))
+    cand = (partial.withColumn("_r", F.row_number().over(wr))
+            .filter(F.col("_r") <= refine).drop("_r", "adc"))
+
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    scored = (cand.join(c, "corpus_id").join(F.broadcast(q), "query_id")
+              .select("query_id", "corpus_id",
+                      cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank"))

@@ -563,3 +563,68 @@ def ref_bpe_merges(docs: list[tuple], num_merges: int = 30) -> list[tuple]:
         merges.append((rank, left, right, pf))
         words = [(_bpe_merge_word(s, left, right), f) for s, f in words]
     return merges
+
+
+# ------------------------------------------------------------------- PQ
+
+def ref_pq_topk(ids: list[int], vecs: list[list[float]],
+                query_max_id: int = 10, k: int = 5, m: int = 4,
+                n_codes: int = 16, refine: int = 32, sample: int = 4096,
+                iters: int = 8, seed: int = 29) -> list[tuple]:
+    """Numpy full-pipeline twin of ``similarity.cosine_topk_pq``: same
+    sorted-limit codebook sample, same per-subspace Lloyd iterations and
+    rng.choice order, same ADC lexsort candidate cut, and the exact
+    refine cosine via :func:`cosine_fold` (the F.aggregate fold order) —
+    bit-identical end to end."""
+    import numpy as np
+
+    order = np.argsort(np.asarray(ids), kind="stable")
+    x_all = np.asarray(vecs, dtype=np.float64)
+    ids_arr = np.asarray(ids, dtype=np.int64)
+
+    sx = x_all[order][:sample].copy()
+    sx /= np.maximum(np.linalg.norm(sx, axis=1, keepdims=True), 1e-12)
+    dim = sx.shape[1]
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = sx[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(n_codes, len(xs)),
+                             replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[s, : len(cent)] = cent
+
+    xn = x_all / np.maximum(np.linalg.norm(x_all, axis=1, keepdims=True),
+                            1e-12)
+    codes = np.empty((len(xn), m), dtype=np.int64)
+    for s in range(m):
+        xs = xn[:, s * dsub:(s + 1) * dsub]
+        d = ((xs[:, None, :] - books[s][None]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(d, axis=1)
+
+    qmask = ids_arr < query_max_id
+    out = []
+    for qpos in np.argsort(ids_arr[qmask], kind="stable"):
+        qid = int(ids_arr[qmask][qpos])
+        qraw = x_all[qmask][qpos]
+        qn = qraw / max(np.linalg.norm(qraw), 1e-12)
+        lut = np.stack([
+            (((qn[s * dsub:(s + 1) * dsub])[None, :] - books[s]) ** 2).sum(-1)
+            for s in range(m)
+        ])                                          # (m, n_codes)
+        d = lut[np.arange(m), codes].sum(axis=1)     # (N,)
+        cut = np.lexsort((ids_arr, d))[:refine]
+        scored = sorted(
+            ((cosine_fold(list(qraw), list(x_all[i])), int(ids_arr[i]))
+             for i in cut),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (cos, cid) in enumerate(scored[:k], 1):
+            out.append((qid, cid, cos, rank))
+    return out

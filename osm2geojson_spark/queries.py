@@ -1195,6 +1195,31 @@ def q_embedding_ivf(spark, sf_dir):
     return SIM.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
 
 
+def q_embedding_pq(spark, sf_dir):
+    """Product-quantization ANN (scale path #3): per-subspace codebooks
+    → compressed-domain ADC scan (m table lookups per row, raw vectors
+    untouched) → partial+global top-refine (total order ⇒ identical to
+    global) → exact-cosine re-rank. VALUE-EXACT vs pyref.ref_pq_topk:
+    same sorted-limit sample, same rng order, same lexsort cut, same
+    fold-order cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_pq(emb, queries, k=5, m=8, n_codes=16, refine=64)
+
+
+def _sql_embedding_pq() -> str:
+    from osm2geojson_spark import pyref
+
+    data = _oracle_parquet("embeddings", ["vec_id", "embedding"])
+    rows = pyref.ref_pq_topk([r[0] for r in data],
+                             [list(r[1]) for r in data],
+                             query_max_id=10, k=5, m=8, n_codes=16,
+                             refine=64)
+    return pyref.values_sql(
+        rows, [("query_id", "BIGINT"), ("corpus_id", "BIGINT"),
+               ("cosine", "DOUBLE"), ("rank", "INT")])
+
+
 def q_embedding_near_dup_exact(spark, sf_dir):
     """EXACT cosine near-dup pairs over a bounded corpus — value-exact
     DuckDB twin (the correctness baseline the LSH path is recalled
@@ -2475,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "exif_extract": q_exif_extract,
         "exif_tile_join": q_exif_tile_join,
+        "embedding_pq": q_embedding_pq,
         "bpe_train": q_bpe_train,
         "geojson_roundtrip": q_geojson_roundtrip,
         "decontaminate": q_decontaminate,
@@ -2531,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "video_validate": _SQL_VIDEO_VALIDATE,
         "exif_extract": _SQL_EXIF_EXTRACT,
         "exif_tile_join": _sql_exif_tile_join(),
+        "embedding_pq": _sql_embedding_pq(),
         "bpe_train": _sql_bpe_train(),
         "geojson_roundtrip": _sql_geojson_roundtrip(),
         "decontaminate": _SQL_DECONTAMINATE,

@@ -109,3 +109,77 @@ def test_ivf_matches_pure_numpy_recompute(emb, spark):
         gcid, gcos = got[key]
         assert gcid == cid, key
         assert abs(gcos - cos) < 1e-12, key
+
+
+# ------------------------------------------------------------------- PQ
+
+def test_pq_recall_floor(emb, exact, spark):
+    from osm2geojson_spark.operators.similarity import cosine_topk_pq
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows = cosine_topk_pq(emb, q, k=K, m=8, n_codes=16, refine=64).collect()
+    assert _recall(rows, exact) >= 0.75
+
+
+def test_pq_full_refine_is_exact(emb, exact, spark):
+    """refine = corpus size ⇒ the ADC cut keeps everything, so the
+    exact-cosine re-rank must equal brute force outright."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_pq
+
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = cosine_topk_pq(emb, q, k=K, m=4, n_codes=16, refine=n).collect()
+    got = {(r["query_id"], r["rank"]): r["corpus_id"] for r in rows}
+    brute = {(r["query_id"], r["rank"]): r["corpus_id"]
+             for r in cosine_topk_bruteforce(emb, q, k=K).collect()}
+    assert got == brute
+
+
+def test_pq_matches_pure_numpy_recompute(emb, spark):
+    """Bit-exact end-to-end parity with pyref.ref_pq_topk (ids, cosines,
+    ranks) — codebook sample order, rng stream, lexsort cut, fold-order
+    cosine all replicated."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_pq
+    from osm2geojson_spark.pyref import ref_pq_topk
+
+    data = [(r["vec_id"], list(r["embedding"])) for r in
+            emb.select("vec_id", "embedding").collect()]
+    want = {(r[0], r[1]): (r[2], r[3])
+            for r in ref_pq_topk([d[0] for d in data], [d[1] for d in data],
+                                 query_max_id=10, k=K, m=4, n_codes=16,
+                                 refine=32)}
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = cosine_topk_pq(emb, q, k=K, m=4, n_codes=16, refine=32).collect()
+    got = {(r["query_id"], r["corpus_id"]): (r["cosine"], r["rank"])
+           for r in rows}
+    assert got.keys() == want.keys()
+    for key, (cos, rank) in want.items():
+        gcos, grank = got[key]
+        assert grank == rank and gcos == cos, key
+
+
+def test_pq_partition_invariance(emb, spark):
+    """The per-partition partial top-refine cut must not depend on the
+    partition layout (total order ⇒ associative top-R)."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_pq
+
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, cosine_topk_pq(
+        emb.repartition(1), q, k=K, refine=32).collect()))
+    b = sorted(map(tuple, cosine_topk_pq(
+        emb.repartition(7), q, k=K, refine=32).collect()))
+    assert a == b
+
+
+def test_pq_codes_shape(emb, spark):
+    from osm2geojson_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(emb, m=4, n_codes=16)
+    assert books.shape == (4, 16, 16)
+    codes = pq_encode(emb, books).collect()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
