@@ -408,3 +408,22 @@ def dedup_keep_list(pairs: DataFrame) -> DataFrame:
     (min id). Drop rows with keep=false to dedup the corpus."""
     cl = dup_clusters(pairs)
     return cl.withColumn("keep", F.col("id") == F.col("cluster_id"))
+
+
+def canonical_pick(
+    clusters: DataFrame, docs: DataFrame, quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality member (ties → lowest id) instead of the
+    arbitrary min-id of :func:`dedup_keep_list` — the curation rule real
+    pipelines want (keep the best capture of a duplicated page, not the
+    first). One shuffle (window over cluster_id); docs not in any
+    cluster are implicitly kept and never enter the window."""
+    from pyspark.sql import Window
+
+    q = docs.select(F.col(id_col).alias("id"), quality.alias("quality"))
+    j = clusters.join(q, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("id"))
+    return j.withColumn("keep", F.row_number().over(w) == 1)

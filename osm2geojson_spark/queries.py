@@ -1020,6 +1020,46 @@ SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_canonical_pick(spark, sf_dir):
+    """Quality-ranked canonical selection over near-dup clusters: the
+    highest-quality member of each cluster is kept (ties → lowest id) —
+    dedup that keeps the BEST capture, not the first. Oracle: the
+    recursive-CTE closure + the text_stats quality formula + the same
+    window rank."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    clusters = DD.dup_clusters(pairs.select("id_a", "id_b"))
+    quality = TX.quality_score_expr(F.col("text"), F.col("n_chars"))
+    return DD.canonical_pick(clusters, docs, quality)
+
+
+def _sql_canonical_pick() -> str:
+    base = _sql_dup_clusters().strip()
+    final = "SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+    assert base.endswith(final)
+    quality = """
+((CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+ + (CASE WHEN n_tok > 0 AND (CAST(n_chars AS DOUBLE) / n_tok) >= 3.0
+         AND (CAST(n_chars AS DOUBLE) / n_tok) <= 12.0 THEN 1.0 ELSE 0.0 END)
+ + (CASE WHEN (length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+               / greatest(CAST(n_chars AS DOUBLE), 1.0)) <= 0.2
+         THEN 1.0 ELSE 0.0 END)) / 3.0
+"""
+    return base[: -len(final)] + f""",
+cl AS ({final}),
+qual AS (
+  SELECT doc_id AS id, {quality} AS quality
+  FROM (SELECT doc_id, text, n_chars,
+               length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t != '')) AS n_tok
+        FROM documents) AS t)
+SELECT cl.id, cl.cluster_id, qual.quality,
+       (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY qual.quality DESC, cl.id ASC) = 1) AS keep
+FROM cl JOIN qual USING (id)
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (xxhash64 seeds — no DuckDB twin;
     rows-only check; exactness pinned by pytest property tests)."""
@@ -2501,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_extract": q_exif_extract,
         "exif_tile_join": q_exif_tile_join,
         "embedding_pq": q_embedding_pq,
+        "canonical_pick": q_canonical_pick,
         "bpe_train": q_bpe_train,
         "geojson_roundtrip": q_geojson_roundtrip,
         "decontaminate": q_decontaminate,
@@ -2558,6 +2599,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_extract": _SQL_EXIF_EXTRACT,
         "exif_tile_join": _sql_exif_tile_join(),
         "embedding_pq": _sql_embedding_pq(),
+        "canonical_pick": _sql_canonical_pick(),
         "bpe_train": _sql_bpe_train(),
         "geojson_roundtrip": _sql_geojson_roundtrip(),
         "decontaminate": _SQL_DECONTAMINATE,

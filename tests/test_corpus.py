@@ -167,3 +167,32 @@ class TestPlanShape:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestCanonicalPick:
+    def test_keeps_best_quality_per_cluster(self, spark):
+        from osm2geojson_spark.operators.dedup import canonical_pick
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+            "id long, cluster_id long")
+        docs = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)],
+            "doc_id long, q double")
+        out = {r["id"]: r["keep"] for r in
+               canonical_pick(clusters, docs, F.col("q")).collect()}
+        # cluster 1: ids 2 and 3 tie on quality -> lowest id wins
+        assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+    def test_exactly_one_keeper_per_cluster(self, spark):
+        from osm2geojson_spark.operators import dedup as DD
+        from osm2geojson_spark.functions.text import quality_score_expr
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = DD.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+        clusters = DD.dup_clusters(pairs.select("id_a", "id_b"))
+        out = DD.canonical_pick(
+            clusters, docs, quality_score_expr(F.col("text"), F.col("n_chars")))
+        per = out.groupBy("cluster_id").agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"))
+        assert per.where(F.col("n_keep") != 1).count() == 0
