@@ -147,6 +147,14 @@ class IcebergLikeTable:
         with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
             json.dump({"entries": entries}, f)
 
+        return self._commit_snapshot(
+            manifest_name, len(entries), summary, overwrite,
+            json.loads(df.schema.json()), partition_by, commit_id)
+
+    def _commit_snapshot(self, manifest_name: str, added: int,
+                         summary: dict | None, overwrite: bool,
+                         schema_json: dict, partition_by: str | None,
+                         commit_id: str) -> dict:
         # optimistic concurrency (ADVICE round-2 fix): the metadata file
         # is created with O_EXCL, so two writers racing to the same
         # version N cannot both succeed — the loser re-reads the winner's
@@ -166,7 +174,7 @@ class IcebergLikeTable:
                 "snapshot_id": (prev["snapshots"][-1]["snapshot_id"] + 1
                                 if prev and prev["snapshots"] else 1),
                 "manifests": prev_manifests + [manifest_name],
-                "added_files": len(entries),
+                "added_files": added,
                 "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "summary": summary or {},
             }
@@ -174,7 +182,7 @@ class IcebergLikeTable:
                 "format_version": 2,
                 "table_uuid": prev["table_uuid"] if prev else uuid.uuid4().hex,
                 "location": self.root,
-                "schema": json.loads(df.schema.json()),
+                "schema": schema_json,
                 "partition_by": partition_by,
                 "snapshots": (prev["snapshots"] if prev else []) + [snap],
             }
@@ -260,6 +268,9 @@ class IcebergLikeTable:
                 schema = StructType.fromJson(self._metadata()["schema"])
                 return spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        return self._read_paths(spark, files)
+
+    def _read_paths(self, spark: SparkSession, files: list[str]) -> DataFrame:
         by_commit: dict[str, list[str]] = {}
         for p in files:
             rel = os.path.relpath(p, self.root).split(os.sep)
@@ -333,6 +344,80 @@ class IcebergLikeTable:
                     overwrite=True, stats_cols=stats_cols)
         return {"files_before": before, "files_after": len(self._files()),
                 "stats_cols": stats_cols}
+
+    def upsert(self, spark: SparkSession, updates: DataFrame,
+               key_col: str, stats_cols: list[str] | None = None) -> dict:
+        """Copy-on-write MERGE by key (Iceberg v2 `MERGE INTO` COW
+        strategy): rows in ``updates`` replace same-key rows; new keys
+        insert. Only data files whose manifest ``key_col`` range could
+        contain an updated key are rewritten — every other file carries
+        over into the new snapshot BY REFERENCE (its manifest entry is
+        copied, the parquet bytes are never read or moved). One atomic
+        REPLACE commit: readers see the whole merge or none of it, and
+        prior snapshots stay time-travelable.
+
+        Why this is the 100 TB shape: a day's corrections touch a few
+        keys; with clustered files + footer stats the rewrite set is
+        O(files overlapping the update keys), not O(table). The affected
+        test is metadata × a broadcast of per-file ranges against the
+        updates — one tiny Spark job whose result is a per-file boolean,
+        O(files) to the driver, never row data. Files with no recorded
+        ``key_col`` stats are conservatively rewritten (superset-safe,
+        same rule as plan_files).
+
+        Returns {files_rewritten, files_carried, rows_upserted}."""
+        from pyspark.sql import functions as F
+
+        md = self._metadata()
+        if md and md.get("partition_by"):
+            raise ValueError("upsert supports unpartitioned tables; "
+                             "compact/cluster first")
+        entries = self._entries()
+        ranged = [(i, e["stats"][key_col][0], e["stats"][key_col][1])
+                  for i, e in enumerate(entries)
+                  if key_col in (e.get("stats") or {})]
+        affected_idx = {i for i, e in enumerate(entries)
+                        if key_col not in (e.get("stats") or {})}
+        if ranged:
+            rng = spark.createDataFrame(
+                ranged, f"idx int, lo {updates.schema[key_col].dataType.simpleString()}, "
+                        f"hi {updates.schema[key_col].dataType.simpleString()}")
+            hit = (updates.select(F.col(key_col).alias("k")).distinct()
+                   .join(F.broadcast(rng),
+                         (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")))
+                   .select("idx").distinct().collect())
+            affected_idx |= {r["idx"] for r in hit}
+
+        rewrite = [os.path.join(self.root, entries[i]["path"])
+                   for i in sorted(affected_idx)]
+        carried = [e for i, e in enumerate(entries) if i not in affected_idx]
+
+        stats_cols = list(dict.fromkeys([key_col] + list(stats_cols or [])))
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        merged = updates
+        if rewrite:
+            kept_rows = self._read_paths(spark, rewrite).join(
+                updates.select(key_col), key_col, "left_anti")
+            merged = kept_rows.unionByName(updates)
+        merged.write.mode("overwrite").parquet(data_dir)
+
+        new_entries = []
+        for p in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
+            new_entries.append({
+                "path": os.path.relpath(p, self.root), "partition": {},
+                "stats": self._footer_stats(p, stats_cols)})
+        manifest_name = f"manifest-{commit_id}.json"
+        with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
+            json.dump({"entries": carried + new_entries}, f)
+        n_up = updates.count()
+        self._commit_snapshot(
+            manifest_name, len(new_entries),
+            {"operation": "upsert", "files_rewritten": len(rewrite),
+             "files_carried": len(carried)},
+            True, json.loads(merged.schema.json()), None, commit_id)
+        return {"files_rewritten": len(rewrite),
+                "files_carried": len(carried), "rows_upserted": n_up}
 
     def expire_snapshots(self, keep_last: int = 1,
                          orphan_grace_sec: float = 3600.0) -> dict:
