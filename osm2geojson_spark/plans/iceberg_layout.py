@@ -203,18 +203,59 @@ class IcebergLikeTable:
             f"{self.meta_dir}")
 
     # ---------------------------------------------------------------- reads
-    def _entries(self, snapshot_id: int | None = None) -> list[dict]:
+    def _snapshot(self, snapshot_id: int | None = None) -> dict | None:
         md = self._metadata()
         if not md or not md["snapshots"]:
-            return []
+            return None
         snaps = md["snapshots"]
-        snap = (snaps[-1] if snapshot_id is None else
+        return (snaps[-1] if snapshot_id is None else
                 next(s for s in snaps if s["snapshot_id"] == snapshot_id))
+
+    def _entries(self, snapshot_id: int | None = None,
+                 content: str | None = "data") -> list[dict]:
+        """Manifest entries of a snapshot; ``content`` filters by entry
+        kind ('data' / 'equality-deletes' / None = all). Entries without
+        a content field are data (pre-MOR manifests)."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return []
         entries = []
         for mf in snap["manifests"]:
             with open(os.path.join(self.meta_dir, mf)) as f:
                 entries.extend(json.load(f)["entries"])
+        if content is not None:
+            entries = [e for e in entries
+                       if e.get("content", "data") == content]
         return entries
+
+    def _entry_seqs(self, snapshot_id: int | None = None) -> dict[str, int]:
+        """path → sequence number. A manifest's sequence is the id of
+        the FIRST snapshot that included it (Iceberg's data sequence
+        numbers, derived instead of stored — writers stay unchanged):
+        equality deletes apply only to rows whose file sequence is
+        strictly older than the delete's."""
+        md = self._metadata()
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return {}
+        first_seen: dict[str, int] = {}
+        for s in md["snapshots"]:
+            for mf in s["manifests"]:
+                first_seen.setdefault(mf, s["snapshot_id"])
+        seqs: dict[str, int] = {}
+        for mf in snap["manifests"]:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                for e in json.load(f)["entries"]:
+                    seqs[e["path"]] = first_seen[mf]
+        return seqs
+
+    def _delete_specs(self, snapshot_id: int | None = None) \
+            -> list[tuple[str, str, int]]:
+        """Outstanding equality-delete files: [(key_col, abs_path, seq)]."""
+        seqs = self._entry_seqs(snapshot_id)
+        return [(e["key"], os.path.join(self.root, e["path"]),
+                 seqs[e["path"]])
+                for e in self._entries(snapshot_id, "equality-deletes")]
 
     def _files(self, snapshot_id: int | None = None) -> list[str]:
         return [os.path.join(self.root, e["path"])
@@ -268,7 +309,26 @@ class IcebergLikeTable:
                 schema = StructType.fromJson(self._metadata()["schema"])
                 return spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return self._read_paths(spark, files)
+        specs = self._delete_specs(snapshot_id)
+        if not specs:
+            return self._read_paths(spark, files)
+        # merge-on-read: group data files by sequence number; each
+        # equality-delete spec anti-joins only the groups strictly older
+        # than it (a key re-added after the delete survives)
+        seqs = self._entry_seqs(snapshot_id)
+        by_seq: dict[int, list[str]] = {}
+        for p in files:
+            by_seq.setdefault(seqs[os.path.relpath(p, self.root)], []) \
+                .append(p)
+        out = None
+        for gseq, fs in sorted(by_seq.items()):
+            d = self._read_paths(spark, fs)
+            for key, dpath, dseq in specs:
+                if dseq > gseq:
+                    keys = spark.read.parquet(dpath).select(key).distinct()
+                    d = d.join(keys, key, "left_anti")
+            out = d if out is None else out.unionByName(d)
+        return out
 
     def _read_paths(self, spark: SparkSession, files: list[str]) -> DataFrame:
         by_commit: dict[str, list[str]] = {}
@@ -345,6 +405,41 @@ class IcebergLikeTable:
         return {"files_before": before, "files_after": len(self._files()),
                 "stats_cols": stats_cols}
 
+    def delete_keys(self, spark: SparkSession, keys: DataFrame,
+                    key_col: str) -> dict:
+        """Merge-on-read EQUALITY DELETE (Iceberg v2 delete files): the
+        keys land as a tiny parquet + an `equality-deletes` manifest
+        entry — NO data file is read, rewritten, or moved; the delete is
+        metadata-speed regardless of table size. Readers anti-join
+        delete keys against data files with an OLDER sequence number
+        (so re-appending a deleted key later works, per the v2 spec),
+        and ``compact()`` materializes outstanding deletes away.
+
+        The COW/MOR split this completes: `upsert` pays the rewrite at
+        write time (read-optimized), `delete_keys` defers it to read
+        time (write-optimized) — the same trade real Iceberg exposes
+        per-operation. Returns {keys_deleted}."""
+        md = self._metadata()
+        if not md:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        dk = keys.select(key_col).distinct()
+        n = dk.count()
+        dk.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        entries = [{"path": os.path.relpath(p, self.root), "partition": {},
+                    "content": "equality-deletes", "key": key_col}
+                   for p in sorted(glob.glob(
+                       os.path.join(data_dir, "*.parquet")))]
+        manifest_name = f"manifest-{commit_id}.json"
+        with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
+            json.dump({"entries": entries}, f)
+        self._commit_snapshot(
+            manifest_name, 0,
+            {"operation": "delete", "keys_deleted": n},
+            False, md["schema"], md.get("partition_by"), commit_id)
+        return {"keys_deleted": n}
+
     def upsert(self, spark: SparkSession, updates: DataFrame,
                key_col: str, stats_cols: list[str] | None = None) -> dict:
         """Copy-on-write MERGE by key (Iceberg v2 `MERGE INTO` COW
@@ -372,6 +467,12 @@ class IcebergLikeTable:
         if md and md.get("partition_by"):
             raise ValueError("upsert supports unpartitioned tables; "
                              "compact/cluster first")
+        if self._delete_specs():
+            # carried-by-reference files would jump to the merge commit's
+            # sequence and escape older equality deletes — materialize
+            # them first
+            raise ValueError("outstanding equality deletes; compact() "
+                             "before upsert")
         entries = self._entries()
         ranged = [(i, e["stats"][key_col][0], e["stats"][key_col][1])
                   for i, e in enumerate(entries)

@@ -102,3 +102,57 @@ def test_upsert_then_prune_reads_updated_values(spark, table):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_mor_delete_hides_rows_without_rewrite(spark, table):
+    files_before = set(table._files())
+    res = table.delete_keys(spark, _keys(spark, [5, 6, 250]), "id")
+    assert res["keys_deleted"] == 3
+    assert set(table._files()) == files_before     # zero data files touched
+    got = {r["id"] for r in table.read(spark).collect()}
+    assert len(got) == 297 and not {5, 6, 250} & got
+
+
+def test_mor_delete_time_travel(spark, table):
+    before = table.snapshots()[-1]["snapshot_id"]
+    table.delete_keys(spark, _keys(spark, [7]), "id")
+    assert 7 in {r["id"] for r in
+                 table.read(spark, snapshot_id=before).collect()}
+    assert 7 not in {r["id"] for r in table.read(spark).collect()}
+
+
+def test_mor_readd_after_delete_survives(spark, table):
+    """Sequence-number rule: a key appended AFTER the delete is newer
+    than the delete file and must not be suppressed."""
+    table.delete_keys(spark, _keys(spark, [42]), "id")
+    assert 42 not in {r["id"] for r in table.read(spark).collect()}
+    table.append(_rows(spark, 42, 43, "readd-").coalesce(1),
+                 stats_cols=["id"])
+    got = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert got[42] == "readd-42"
+
+
+def test_compact_materializes_deletes(spark, table):
+    table.delete_keys(spark, _keys(spark, [1, 2, 3]), "id")
+    assert table._delete_specs()
+    table.compact(spark, files_per_partition=2)
+    assert not table._delete_specs()
+    got = {r["id"] for r in table.read(spark).collect()}
+    assert len(got) == 297 and not {1, 2, 3} & got
+
+
+def test_upsert_blocked_by_outstanding_deletes(spark, table):
+    table.delete_keys(spark, _keys(spark, [9]), "id")
+    with pytest.raises(ValueError, match="outstanding equality deletes"):
+        table.upsert(spark, _rows(spark, 0, 1, "x-"), "id")
+    table.compact(spark)
+    res = table.upsert(spark, _rows(spark, 0, 1, "x-"), "id")
+    assert res["rows_upserted"] == 1
+    got = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert got[0] == "x-0" and 9 not in got
