@@ -170,3 +170,36 @@ def doc_term_salience(df, top_n: int = 3, id_col: str = "doc_id",
         .select(F.col("id").alias("doc_id"), "tok", "tf", "doc_freq",
                 "salience", F.col("rn").alias("rank"))
     )
+
+
+# ----------------------------------------------------- HTML extraction
+
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_title_expr(html: Column) -> Column:
+    """<title> text (first match), entity-decoded. Codegen regex."""
+    t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
+def html_to_text_expr(html: Column) -> Column:
+    """HTML → visible text: drop <script>/<style> BLOCKS (non-greedy,
+    case-insensitive, dotall — a script string containing '</div>' must
+    not eat the document), strip remaining tags to spaces, THEN decode
+    entities (the order matters: decoding first would turn a literal
+    ``&lt;ok&gt;`` into a strippable tag — the classic extractor bug,
+    pinned in tests), collapse whitespace. Pure codegen regex chain —
+    zero Python, zero shuffle; the DuckDB twin runs the byte-identical
+    patterns. Real corpus extraction (trafilatura-class readability) is
+    a quality upgrade on top; this is the C4-grade baseline."""
+    s = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?is)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

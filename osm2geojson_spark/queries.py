@@ -2377,6 +2377,57 @@ FROM red
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → visible text (the C4-grade extraction baseline): every
+    document is wrapped in a deterministic HTML shell (head/title,
+    style+script blocks — the script contains a '</div>' STRING, the
+    classic non-greedy trap — a comment, and trailing entities), then
+    functions/text.html_to_text_expr recovers the visible text. The
+    oracle computes the expected text DIRECTLY from (doc_id, text) via
+    the construction identity — so the hash proves the whole regex
+    chain (block removal, tag strip, decode-after-strip order,
+    whitespace collapse) against ground truth, not against another
+    regex engine."""
+    from osm2geojson_spark.functions.text import (
+        html_title_expr,
+        html_to_text_expr,
+    )
+
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>t"), did,
+        F.lit('</title><style>.a{color:red}</style></head>'
+              '<body><script type="text/javascript">'
+              'if (1<2) { x("</div>"); }</script>'
+              '<!-- hidden comment --><div class="c">'),
+        F.col("text"),
+        F.lit('</div><p>tail&nbsp;&amp;&nbsp;entities &lt;ok&gt;</p>'
+              "</body></html>"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    txt = html_to_text_expr(F.col("html"))
+    return docs.select(
+        "doc_id",
+        html_title_expr(F.col("html")).alias("title"),
+        F.length(txt).cast("int").alias("n_chars"),
+        F.md5(txt).alias("txt_md5"),
+    )
+
+
+_SQL_HTML_EXTRACT = """
+WITH e AS (
+  SELECT doc_id,
+         ('t' || CAST(doc_id AS VARCHAR)) AS title,
+         (('t' || CAST(doc_id AS VARCHAR)) || ' '
+          || regexp_replace(trim(text), '\\s+', ' ', 'g')
+          || ' tail & entities <ok>') AS body
+  FROM documents)
+SELECT doc_id, title, CAST(length(body) AS INT) AS n_chars,
+       md5(body) AS txt_md5
+FROM e
+"""
+
+
 def q_sample_threshold(spark, sf_dir):
     """Consistent (hash-threshold) sampling: keep rows whose
     md5(doc_id) hex sorts below a per-stratum prefix (even-numbered
@@ -2545,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "geojson_roundtrip": q_geojson_roundtrip,
         "decontaminate": q_decontaminate,
+        "html_extract": q_html_extract,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2603,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _sql_bpe_train(),
         "geojson_roundtrip": _sql_geojson_roundtrip(),
         "decontaminate": _SQL_DECONTAMINATE,
+        "html_extract": _SQL_HTML_EXTRACT,
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

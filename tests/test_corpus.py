@@ -196,3 +196,38 @@ class TestCanonicalPick:
         per = out.groupBy("cluster_id").agg(
             F.sum(F.col("keep").cast("int")).alias("n_keep"))
         assert per.where(F.col("n_keep") != 1).count() == 0
+
+
+class TestHtmlExtract:
+    CASES = [
+        ("basic", "<p>hello <b>world</b></p>", "hello world"),
+        ("script-trap",
+         '<script>var s = "</div>";</script><div>kept</div>', "kept"),
+        ("style", "<style>p {color: red}</style><p>txt</p>", "txt"),
+        ("comment", "a<!-- <p>gone</p> -->b", "a b"),
+        ("decode-after-strip",
+         "real &lt;div&gt; literal<div>tag</div>", "real <div> literal tag"),
+        ("entities", "a&nbsp;&amp;&nbsp;b &quot;q&apos;", "a & b \"q'"),
+        ("case", "<SCRIPT>x</SCRIPT><P>ok</P>", "ok"),
+        ("multiline script", "<script>\nline1\nline2\n</script>yes", "yes"),
+    ]
+
+    def test_pins(self, spark):
+        from osm2geojson_spark.functions.text import html_to_text_expr
+
+        df = spark.createDataFrame(
+            [(n, h) for n, h, _ in self.CASES], "name string, html string")
+        got = {r["name"]: r["t"] for r in df.select(
+            "name", html_to_text_expr(F.col("html")).alias("t")).collect()}
+        for name, _, want in self.CASES:
+            assert got[name] == want, name
+
+    def test_title(self, spark):
+        from osm2geojson_spark.functions.text import html_title_expr
+
+        df = spark.createDataFrame(
+            [("<html><head><title>A &amp; B</title></head></html>",),
+             ("<p>no title</p>",)], "html string")
+        got = [r["t"] for r in
+               df.select(html_title_expr(F.col("html")).alias("t")).collect()]
+        assert got == ["A & B", ""]
