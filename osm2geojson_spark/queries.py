@@ -2377,6 +2377,73 @@ FROM red
 """
 
 
+def q_trajectory_stats(spark, sf_dir):
+    """Per-user trajectory statistics over the events stream (pings
+    ordered by (ts, event_id), coords int-derived from event_id):
+    fold-exact path length (left-to-right ``F.aggregate`` ==
+    ``list_reduce`` in the oracle — a parallel sum would reorder IEEE
+    additions), net displacement, straightness, step max, bbox. One
+    shuffle."""
+    from osm2geojson_spark.spatial.trajectory import trajectory_stats
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    return trajectory_stats(pts)
+
+
+def _sql_trajectory_stats() -> str:
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ({lon_sql('event_id')}) AS x, ({lat_sql('event_id')}) AS y
+  FROM events),
+paths AS (
+  SELECT user_id,
+         list(struct_pack(x := x, y := y) ORDER BY ts ASC, event_id ASC)
+           AS path
+  FROM pts GROUP BY user_id),
+st AS (
+  SELECT user_id, path,
+         (CASE WHEN (len(path) >= 2) THEN
+            list_transform(range(1, len(path)), i ->
+              sqrt((((path[(i + 1)]).x - (path[i]).x)
+                    * ((path[(i + 1)]).x - (path[i]).x))
+                 + (((path[(i + 1)]).y - (path[i]).y)
+                    * ((path[(i + 1)]).y - (path[i]).y))))
+          ELSE [] END) AS steps
+  FROM paths),
+agg AS (
+  SELECT user_id, path, steps,
+         (CASE WHEN (len(steps) > 0)
+               THEN CAST(list_reduce(steps, (a, b) -> (a + b)) AS DOUBLE)
+               ELSE 0.0 END) AS path_len,
+         sqrt((((path[len(path)]).x - (path[1]).x)
+               * ((path[len(path)]).x - (path[1]).x))
+            + (((path[len(path)]).y - (path[1]).y)
+               * ((path[len(path)]).y - (path[1]).y))) AS net_disp
+  FROM st)
+SELECT user_id, CAST(len(path) AS INT) AS n_pts, path_len, net_disp,
+       (CASE WHEN (path_len > 0.0) THEN (net_disp / path_len)
+             ELSE 0.0 END) AS straightness,
+       (CASE WHEN (len(steps) > 0)
+             THEN CAST(list_aggregate(steps, 'max') AS DOUBLE)
+             ELSE 0.0 END) AS max_step,
+       CAST(list_aggregate(list_transform(path, p -> (p).x), 'min')
+            AS DOUBLE) AS min_x,
+       CAST(list_aggregate(list_transform(path, p -> (p).y), 'min')
+            AS DOUBLE) AS min_y,
+       CAST(list_aggregate(list_transform(path, p -> (p).x), 'max')
+            AS DOUBLE) AS max_x,
+       CAST(list_aggregate(list_transform(path, p -> (p).y), 'max')
+            AS DOUBLE) AS max_y
+FROM agg
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2597,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "decontaminate": q_decontaminate,
         "html_extract": q_html_extract,
+        "trajectory_stats": q_trajectory_stats,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2656,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _sql_geojson_roundtrip(),
         "decontaminate": _SQL_DECONTAMINATE,
         "html_extract": _SQL_HTML_EXTRACT,
+        "trajectory_stats": _sql_trajectory_stats(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

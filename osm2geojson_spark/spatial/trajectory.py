@@ -1,0 +1,84 @@
+"""Trajectory analytics over point streams: per-entity ordered path
+reconstruction and movement statistics (path length, displacement,
+straightness, step extremes, bbox).
+
+The GPS-trace / fleet-telemetry shape: billions of (entity, ts, lon,
+lat) pings → one row per entity. ONE shuffle (the groupBy on the
+entity key); everything after the ordered collect is array expressions
+inside codegen.
+
+Cross-engine exactness (the catalog twin is value-exact, not
+approximate): segment lengths are IEEE doubles — identical in any
+engine — but a parallel SUM would reorder them. Both sides therefore
+fold the ordered step list LEFT-TO-RIGHT (``F.aggregate`` here,
+``list_reduce`` in the oracle), the same trick as
+``similarity.dot_expr``/``pyref.dot_fold``. Planar metric (sqrt of
+exact squared deltas) per the repo determinism rules — no trig.
+
+Scale note: ``collect_list`` bounds state by the longest single
+trajectory (fine for real traces, 10^3..10^5 pings); a multi-day
+mega-trajectory should be time-bucketed first (``F.window`` on ts)
+and the per-bucket stats summed — same operators, one more group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def trajectory_stats(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-entity movement statistics over the (ts, order_col)-ordered
+    ping sequence: (id, n_pts, path_len, net_disp, straightness,
+    max_step, min_x, min_y, max_x, max_y)."""
+    pt = F.struct(
+        F.col(ts_col).alias("ts"), F.col(order_col).alias("o"),
+        F.col(lon_col).alias("x"), F.col(lat_col).alias("y"),
+    )
+    g = df.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(pt)).alias("path"))
+
+    path = F.col("path")
+
+    def seg(i: Column) -> Column:
+        a, b = F.element_at(path, i), F.element_at(path, i + 1)
+        dx, dy = b["x"] - a["x"], b["y"] - a["y"]
+        return F.sqrt(dx * dx + dy * dy)
+
+    # materialize steps in its own projection: referencing the builder
+    # inside later lambdas would re-evaluate it per element (the
+    # HOF-no-CSE pitfall)
+    steps = F.when(
+        F.size(path) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(path) - 1), seg),
+    ).otherwise(F.array().cast("array<double>"))
+    staged = g.select(id_col, "path", steps.alias("steps"))
+
+    st = F.col("steps")
+    first, last = F.element_at(path, 1), F.element_at(path, F.size(path))
+    ndx, ndy = last["x"] - first["x"], last["y"] - first["y"]
+    net = F.sqrt(ndx * ndx + ndy * ndy)
+    path_len = F.aggregate(st, F.lit(0.0), lambda acc, s: acc + s)
+    xs = F.transform(path, lambda p: p["x"])
+    ys = F.transform(path, lambda p: p["y"])
+    return staged.select(
+        F.col(id_col),
+        F.size(path).cast("int").alias("n_pts"),
+        path_len.alias("path_len"),
+        net.alias("net_disp"),
+        F.when(path_len > 0.0, net / path_len).otherwise(F.lit(0.0))
+        .alias("straightness"),
+        F.when(F.size(st) > 0, F.array_max(st)).otherwise(F.lit(0.0))
+        .alias("max_step"),
+        F.array_min(xs).alias("min_x"),
+        F.array_min(ys).alias("min_y"),
+        F.array_max(xs).alias("max_x"),
+        F.array_max(ys).alias("max_y"),
+    )

@@ -1,0 +1,83 @@
+"""Trajectory statistics (spatial/trajectory.py) vs hand values and a
+pure-Python left-fold reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.spatial.trajectory import trajectory_stats
+
+SCHEMA = ("user_id long, ts timestamp_ntz, event_id long, "
+          "lon double, lat double")
+
+
+def _t(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def test_right_triangle_hand_values(spark):
+    rows = [(1, _t(0), 0, 0.0, 0.0), (1, _t(1), 1, 3.0, 0.0),
+            (1, _t(2), 2, 3.0, 4.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    r = trajectory_stats(df).first()
+    assert (r["n_pts"], r["path_len"], r["net_disp"], r["max_step"]) == \
+        (3, 7.0, 5.0, 4.0)
+    assert r["straightness"] == 5.0 / 7.0
+    assert (r["min_x"], r["min_y"], r["max_x"], r["max_y"]) == \
+        (0.0, 0.0, 3.0, 4.0)
+
+
+def test_single_point(spark):
+    df = spark.createDataFrame([(1, _t(0), 0, 2.0, 3.0)], SCHEMA)
+    r = trajectory_stats(df).first()
+    assert (r["n_pts"], r["path_len"], r["net_disp"], r["straightness"],
+            r["max_step"]) == (1, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_input_order_irrelevant(spark):
+    rows = [(1, _t(i), i, float(i % 7), float((i * 3) % 5))
+            for i in range(20)]
+    shuffled = rows[::-1][3:] + rows[::-1][:3]
+    a = trajectory_stats(spark.createDataFrame(rows, SCHEMA)).first()
+    b = trajectory_stats(
+        spark.createDataFrame(shuffled, SCHEMA).repartition(5)).first()
+    assert a == b
+
+
+def test_matches_python_left_fold(spark):
+    rng = random.Random(7)
+    rows, ref = [], {}
+    for uid in range(5):
+        pts = [(rng.uniform(-10, 10), rng.uniform(-10, 10))
+               for _ in range(rng.randint(1, 30))]
+        for i, (x, y) in enumerate(pts):
+            rows.append((uid, _t(i), i, x, y))
+        acc, mx = 0.0, 0.0
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            s = math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+            acc += s            # left-to-right, same order as F.aggregate
+            mx = max(mx, s)
+        ref[uid] = (len(pts), acc, mx)
+    got = {r["user_id"]: r for r in
+           trajectory_stats(spark.createDataFrame(rows, SCHEMA)).collect()}
+    for uid, (n, acc, mx) in ref.items():
+        r = got[uid]
+        assert r["n_pts"] == n
+        assert r["path_len"] == acc, uid     # bit-exact: same fold order
+        assert r["max_step"] == mx
+
+
+def test_ts_tie_breaks_on_order_col(spark):
+    rows = [(1, _t(0), 2, 1.0, 0.0), (1, _t(0), 1, 0.0, 0.0),
+            (1, _t(0), 3, 1.0, 1.0)]
+    r = trajectory_stats(spark.createDataFrame(rows, SCHEMA)).first()
+    assert r["path_len"] == 2.0             # 0,0 -> 1,0 -> 1,1
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
