@@ -185,9 +185,12 @@ BENCH_QUERIES = {
     "asof_join": Q.q_asof_join,
     "zonal_stats": zonal_stats_full,
     # round-3 additions: corpus hygiene (broadcast bench-gram join over
-    # the full documents table) and the GeoJSON emit→parse round trip
+    # the full documents table), the GeoJSON emit→parse round trip,
+    # PQ compressed-domain ANN, and per-user trajectory reconstruction
     "decontaminate": Q.q_decontaminate,
     "geojson_roundtrip": Q.q_geojson_roundtrip,
+    "embedding_pq": Q.q_embedding_pq,
+    "trajectory_stats": Q.q_trajectory_stats,
 }
 
 
