@@ -170,3 +170,95 @@ def osm_to_geojson(
         if "relations" in out:
             write_jsonlines(out["relations"], f"{out_dir}/osm-relations.gz")
     return out
+
+
+def curate_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.2,
+    decontam_ngram: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """One-call TRAINING-DATA CURATION pipeline over a document corpus —
+    the corpus twin of :func:`osm_to_geojson`'s one-call shape, chaining
+    the engine's hygiene operators in the order real pipelines run them
+    (C4/Dolma lineage):
+
+      1. PII redaction (regexp chain, zero shuffle)
+      2. quality filter (length/word-shape/punctuation score)
+      3. exact dedup (normalized-fingerprint groups, min-id keeper)
+      4. near-dup clustering (n-gram Jaccard pairs → distributed
+         connected components) + quality-ranked canonical selection
+      5. benchmark decontamination (drop docs sharing word n-grams
+         with the eval set), skipped when ``bench`` is None
+
+    Returns every intermediate stream (quarantine discipline — filtered
+    rows are returned, never silently dropped):
+    {"clean", "low_quality", "exact_dups", "near_dups", "contaminated",
+    "metrics"} where ``metrics`` is a 1-row DataFrame of stage counts.
+
+    Scale: stages 1-2 are map-only; stage 3 is one shuffle; stage 4 is
+    the bucketed pair join + O(rounds) CC; stage 5 broadcasts the eval
+    grams. Nothing here collects row data to the driver."""
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.functions.text import quality_score_expr
+    from osm2geojson_spark.operators import corpus as CP
+    from osm2geojson_spark.operators import dedup as DD
+
+    # 1. PII scrub — replaces the text column, preserves the rest
+    red = CP.pii_redact(docs, id_col=id_col, text_col=text_col)
+    base = docs.drop(text_col).join(
+        red.select(id_col, F.col("redacted").alias(text_col),
+                   (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
+                   .alias("_n_pii")),
+        id_col)
+
+    # 2. quality filter
+    q = base.withColumn(
+        "_q", quality_score_expr(F.col(text_col), F.length(text_col)))
+    good = q.where(F.col("_q") >= min_quality)
+    low_quality = q.where(F.col("_q") < min_quality)
+
+    # 3. exact dedup
+    keep = DD.exact_dedup(good, text_col=text_col, id_col=id_col) \
+        .select(F.col("keep_id").alias(id_col))
+    exact_kept = good.join(keep, id_col)
+    exact_dups = good.join(keep, id_col, "left_anti")
+
+    # 4. near-dup clusters + canonical pick
+    pairs = DD.ngram_jaccard_pairs(
+        exact_kept, shingle_n=3, threshold=near_dup_threshold,
+        id_col=id_col, text_col=text_col)
+    clusters = DD.dup_clusters(pairs.select("id_a", "id_b"))
+    pick = DD.canonical_pick(clusters, exact_kept, F.col("_q"),
+                             id_col=id_col)
+    near_dup_ids = pick.where(~F.col("keep")).select(
+        F.col("id").alias(id_col))
+    near_kept = exact_kept.join(near_dup_ids, id_col, "left_anti")
+    near_dups = exact_kept.join(near_dup_ids, id_col)
+
+    # 5. decontamination
+    if bench is not None:
+        dec = CP.decontaminate(near_kept, bench, n=decontam_ngram,
+                               id_col=id_col, text_col=text_col)
+        bad_ids = dec.where(F.col("contaminated")).select(id_col)
+        clean = near_kept.join(bad_ids, id_col, "left_anti")
+        contaminated = near_kept.join(bad_ids, id_col)
+    else:
+        clean, contaminated = near_kept, near_kept.limit(0)
+
+    metrics = spark.createDataFrame(
+        [(docs.count(), low_quality.count(), exact_dups.count(),
+          near_dups.count(), contaminated.count(), clean.count())],
+        "n_input long, n_low_quality long, n_exact_dups long, "
+        "n_near_dups long, n_contaminated long, n_clean long")
+    return {"clean": clean.drop("_q", "_n_pii"),
+            "low_quality": low_quality.drop("_q", "_n_pii"),
+            "exact_dups": exact_dups.drop("_q", "_n_pii"),
+            "near_dups": near_dups.drop("_q", "_n_pii"),
+            "contaminated": contaminated.drop("_q", "_n_pii"),
+            "metrics": metrics}
