@@ -191,6 +191,7 @@ BENCH_QUERIES = {
     "geojson_roundtrip": Q.q_geojson_roundtrip,
     "embedding_pq": Q.q_embedding_pq,
     "trajectory_stats": Q.q_trajectory_stats,
+    "trip_segmentation": Q.q_trip_segmentation,
 }
 
 

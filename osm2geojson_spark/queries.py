@@ -2444,6 +2444,88 @@ FROM agg
 """
 
 
+def q_trip_segmentation(spark, sf_dir):
+    """Trip segmentation + per-trip trajectory rollup: gap-based movement
+    sessionization (``segment_trips``, 1-day gap — the GPS-trace analog
+    of SURVEY §2.5 sessionize) feeding the compound-key
+    ``trajectory_stats``. Both the window pass and the path groupBy key
+    on user_id, so AQE coalesces them onto ONE shuffle of the ping
+    stream. Gap uses truncated epoch seconds (timestampdiff over
+    TIMESTAMP_NTZ == DuckDB floor(epoch()) — determinism rules)."""
+    from osm2geojson_spark.spatial.trajectory import (
+        segment_trips,
+        trajectory_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    seg = segment_trips(pts, max_gap_sec=86400)
+    return trajectory_stats(seg, id_col=["user_id", "trip_id"])
+
+
+def _sql_trip_segmentation() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         ({lon_sql('event_id')}) AS x, ({lat_sql('event_id')}) AS y
+  FROM events),
+flagged AS (
+  SELECT *, (CASE WHEN ((sec - LAG(sec) OVER w) IS NULL)
+                    OR ((sec - LAG(sec) OVER w) > 86400)
+             THEN 1 ELSE 0 END) AS new_t
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+trips AS (
+  SELECT *, CAST(SUM(new_t) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS INT) AS trip_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, trip_id,
+         list(struct_pack(x := x, y := y) ORDER BY ts ASC, event_id ASC)
+           AS path
+  FROM trips GROUP BY user_id, trip_id),
+st AS (
+  SELECT user_id, trip_id, path,
+         (CASE WHEN (len(path) >= 2) THEN
+            list_transform(range(1, len(path)), i ->
+              sqrt((((path[(i + 1)]).x - (path[i]).x)
+                    * ((path[(i + 1)]).x - (path[i]).x))
+                 + (((path[(i + 1)]).y - (path[i]).y)
+                    * ((path[(i + 1)]).y - (path[i]).y))))
+          ELSE [] END) AS steps
+  FROM paths),
+agg AS (
+  SELECT user_id, trip_id, path, steps,
+         (CASE WHEN (len(steps) > 0)
+               THEN CAST(list_reduce(steps, (a, b) -> (a + b)) AS DOUBLE)
+               ELSE 0.0 END) AS path_len,
+         sqrt((((path[len(path)]).x - (path[1]).x)
+               * ((path[len(path)]).x - (path[1]).x))
+            + (((path[len(path)]).y - (path[1]).y)
+               * ((path[len(path)]).y - (path[1]).y))) AS net_disp
+  FROM st)
+SELECT user_id, trip_id, CAST(len(path) AS INT) AS n_pts, path_len, net_disp,
+       (CASE WHEN (path_len > 0.0) THEN (net_disp / path_len)
+             ELSE 0.0 END) AS straightness,
+       (CASE WHEN (len(steps) > 0)
+             THEN CAST(list_aggregate(steps, 'max') AS DOUBLE)
+             ELSE 0.0 END) AS max_step,
+       CAST(list_aggregate(list_transform(path, p -> (p).x), 'min')
+            AS DOUBLE) AS min_x,
+       CAST(list_aggregate(list_transform(path, p -> (p).y), 'min')
+            AS DOUBLE) AS min_y,
+       CAST(list_aggregate(list_transform(path, p -> (p).x), 'max')
+            AS DOUBLE) AS max_x,
+       CAST(list_aggregate(list_transform(path, p -> (p).y), 'max')
+            AS DOUBLE) AS max_y
+FROM agg
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2665,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "html_extract": q_html_extract,
         "trajectory_stats": q_trajectory_stats,
+        "trip_segmentation": q_trip_segmentation,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2725,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "html_extract": _SQL_HTML_EXTRACT,
         "trajectory_stats": _sql_trajectory_stats(),
+        "trip_segmentation": _sql_trip_segmentation(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

@@ -29,20 +29,22 @@ from pyspark.sql import functions as F
 
 def trajectory_stats(
     df: DataFrame,
-    id_col: str = "user_id",
+    id_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> DataFrame:
     """Per-entity movement statistics over the (ts, order_col)-ordered
-    ping sequence: (id, n_pts, path_len, net_disp, straightness,
-    max_step, min_x, min_y, max_x, max_y)."""
+    ping sequence: (*ids, n_pts, path_len, net_disp, straightness,
+    max_step, min_x, min_y, max_x, max_y). ``id_col`` may be a list for
+    compound keys (e.g. (user_id, trip_id) after :func:`segment_trips`)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     pt = F.struct(
         F.col(ts_col).alias("ts"), F.col(order_col).alias("o"),
         F.col(lon_col).alias("x"), F.col(lat_col).alias("y"),
     )
-    g = df.groupBy(id_col).agg(
+    g = df.groupBy(*ids).agg(
         F.array_sort(F.collect_list(pt)).alias("path"))
 
     path = F.col("path")
@@ -59,7 +61,7 @@ def trajectory_stats(
         F.size(path) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(path) - 1), seg),
     ).otherwise(F.array().cast("array<double>"))
-    staged = g.select(id_col, "path", steps.alias("steps"))
+    staged = g.select(*ids, "path", steps.alias("steps"))
 
     st = F.col("steps")
     first, last = F.element_at(path, 1), F.element_at(path, F.size(path))
@@ -69,7 +71,7 @@ def trajectory_stats(
     xs = F.transform(path, lambda p: p["x"])
     ys = F.transform(path, lambda p: p["y"])
     return staged.select(
-        F.col(id_col),
+        *[F.col(c) for c in ids],
         F.size(path).cast("int").alias("n_pts"),
         path_len.alias("path_len"),
         net.alias("net_disp"),
@@ -82,3 +84,32 @@ def trajectory_stats(
         F.array_max(xs).alias("max_x"),
         F.array_max(ys).alias("max_y"),
     )
+
+
+def segment_trips(
+    df: DataFrame,
+    max_gap_sec: int = 1800,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Trip segmentation (movement sessionization): a new ``trip_id``
+    starts whenever consecutive pings of an entity are more than
+    ``max_gap_sec`` apart — the GPS-trace analog of the event
+    sessionizer (SURVEY §2.5 sessionize), expressed as one window pass:
+    lag → gap flag → running sum. One shuffle on the entity key, shared
+    with the downstream :func:`trajectory_stats` groupBy.
+
+    ``ts`` is normalized through TIMESTAMP_NTZ (the testdata parquet
+    convention) before the epoch diff."""
+    from pyspark.sql import Window
+
+    ep = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ))")
+    w = Window.partitionBy(id_col).orderBy(ts_col, order_col)
+    gap = ep - F.lag(ep).over(w)
+    new_trip = (gap.isNull() | (gap > max_gap_sec)).cast("int")
+    trip = F.sum(new_trip).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("trip_id", trip.cast("int"))

@@ -10,7 +10,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from osm2geojson_spark.spatial.trajectory import trajectory_stats
+from osm2geojson_spark.spatial.trajectory import segment_trips, trajectory_stats
 
 SCHEMA = ("user_id long, ts timestamp_ntz, event_id long, "
           "lon double, lat double")
@@ -77,6 +77,65 @@ def test_ts_tie_breaks_on_order_col(spark):
             (1, _t(0), 3, 1.0, 1.0)]
     r = trajectory_stats(spark.createDataFrame(rows, SCHEMA)).first()
     assert r["path_len"] == 2.0             # 0,0 -> 1,0 -> 1,1
+
+
+def test_segment_trips_gap_boundaries(spark):
+    # gaps of exactly max_gap_sec do NOT split; gap+1 does; trip ids
+    # start at 1 and are per-user counters.
+    rows = [(1, _t(0), 0, 0.0, 0.0),
+            (1, _t(600), 1, 1.0, 0.0),      # gap == max_gap -> same trip
+            (1, _t(1201), 2, 2.0, 0.0),     # gap == max_gap+1 -> new trip
+            (2, _t(50), 0, 5.0, 5.0)]
+    out = segment_trips(spark.createDataFrame(rows, SCHEMA),
+                        max_gap_sec=600)
+    got = {(r["user_id"], r["event_id"]): r["trip_id"]
+           for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 0): 1}
+
+
+def test_segment_trips_python_reference(spark):
+    rng = random.Random(11)
+    rows = []
+    ref = {}
+    for uid in range(4):
+        sec = 0
+        trip, prev = 0, None
+        for i in range(rng.randint(1, 40)):
+            sec += rng.choice([10, 100, 2000, 5000])
+            if prev is None or sec - prev > 1800:
+                trip += 1
+            prev = sec
+            rows.append((uid, _t(sec), i, float(i), 0.0))
+            ref[(uid, i)] = trip
+    out = segment_trips(spark.createDataFrame(rows, SCHEMA).repartition(7),
+                        max_gap_sec=1800)
+    got = {(r["user_id"], r["event_id"]): r["trip_id"]
+           for r in out.collect()}
+    assert got == ref
+
+
+def test_compound_key_trajectory_equals_per_trip_slices(spark):
+    # trajectory_stats over (user_id, trip_id) must equal running
+    # trajectory_stats on each trip's rows separately.
+    rng = random.Random(23)
+    rows = []
+    sec = 0
+    for i in range(60):
+        sec += rng.choice([30, 4000])
+        rows.append((1, _t(sec), i, rng.uniform(-5, 5), rng.uniform(-5, 5)))
+    df = spark.createDataFrame(rows, SCHEMA)
+    seg = segment_trips(df, max_gap_sec=1800)
+    combined = {(r["user_id"], r["trip_id"]): r for r in
+                trajectory_stats(seg, id_col=["user_id", "trip_id"])
+                .collect()}
+    trips = sorted({r["trip_id"] for r in seg.collect()})
+    assert len(trips) >= 2
+    for t in trips:
+        solo = trajectory_stats(seg.where(F.col("trip_id") == t)).first()
+        comb = combined[(1, t)]
+        for c in ("n_pts", "path_len", "net_disp", "straightness",
+                  "max_step", "min_x", "min_y", "max_x", "max_y"):
+            assert comb[c] == solo[c], (t, c)
 
 
 if __name__ == "__main__":
