@@ -2526,6 +2526,57 @@ FROM agg
 """
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin→destination flow matrix: trips (1-day gap sessionization)
+    → first/last ping per trip via lexicographic struct min/max (whole
+    row, map-side combinable — no path arrays through the shuffle) →
+    Morton zone pair at res 3 → exact integer flow counts. The transit
+    OD rollup composed from segment_trips + cell_expr."""
+    from osm2geojson_spark.spatial.trajectory import od_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    return od_matrix(pts, res=3, max_gap_sec=86400)
+
+
+def _sql_od_matrix() -> str:
+    o_cell = C.cell_sql("((path[1]).x)", "((path[1]).y)", 3)
+    d_cell = C.cell_sql("((path[len(path)]).x)", "((path[len(path)]).y)", 3)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         ({lon_sql('event_id')}) AS x, ({lat_sql('event_id')}) AS y
+  FROM events),
+flagged AS (
+  SELECT *, (CASE WHEN ((sec - LAG(sec) OVER w) IS NULL)
+                    OR ((sec - LAG(sec) OVER w) > 86400)
+             THEN 1 ELSE 0 END) AS new_t
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+trips AS (
+  SELECT *, CAST(SUM(new_t) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS INT) AS trip_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, trip_id,
+         list(struct_pack(x := x, y := y) ORDER BY ts ASC, event_id ASC)
+           AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_pings
+  FROM trips GROUP BY user_id, trip_id),
+od AS (
+  SELECT user_id, ({o_cell}) AS o_cell, ({d_cell}) AS d_cell, n_pings
+  FROM paths)
+SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(n_pings) AS BIGINT) AS n_pings
+FROM od GROUP BY o_cell, d_cell
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2748,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "trajectory_stats": q_trajectory_stats,
         "trip_segmentation": q_trip_segmentation,
+        "od_matrix": q_od_matrix,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2809,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _SQL_HTML_EXTRACT,
         "trajectory_stats": _sql_trajectory_stats(),
         "trip_segmentation": _sql_trip_segmentation(),
+        "od_matrix": _sql_od_matrix(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

@@ -113,3 +113,48 @@ def segment_trips(
     trip = F.sum(new_trip).over(
         w.rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn("trip_id", trip.cast("int"))
+
+
+def od_matrix(
+    df: DataFrame,
+    res: int = 3,
+    max_gap_sec: int = 86400,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Origin→destination flow matrix: segment pings into trips
+    (:func:`segment_trips`), take each trip's first/last ping, assign
+    both to Morton cells at resolution ``res`` and count flows per
+    (o_cell, d_cell) zone pair — the transit-planning rollup over raw
+    GPS traces.
+
+    Scale shape: the trip endpoints come from ``min``/``max`` over a
+    ``(ts, order, lon, lat)`` struct — lexicographic struct min with the
+    unique (ts, order) prefix picks the whole first/last ROW in one
+    map-side-combinable aggregation (no per-trip path arrays through
+    the shuffle). The window pass, the trip groupBy, and the final OD
+    groupBy are the only exchanges; the first two share the entity key.
+    All output measures are exact integers (counts), so the result is
+    bit-stable under any partitioning."""
+    from osm2geojson_spark.functions import cells as C
+
+    seg = segment_trips(df, max_gap_sec, id_col, ts_col, order_col)
+    key = F.struct(
+        F.col(ts_col).alias("ts"), F.col(order_col).alias("o"),
+        F.col(lon_col).alias("x"), F.col(lat_col).alias("y"),
+    )
+    trips = seg.groupBy(id_col, "trip_id").agg(
+        F.min(key).alias("o_pt"), F.max(key).alias("d_pt"),
+        F.count("*").alias("n_pings"))
+    labelled = trips.select(
+        F.col(id_col),
+        C.cell_expr(F.col("o_pt.x"), F.col("o_pt.y"), res).alias("o_cell"),
+        C.cell_expr(F.col("d_pt.x"), F.col("d_pt.y"), res).alias("d_cell"),
+        "n_pings")
+    return labelled.groupBy("o_cell", "d_cell").agg(
+        F.count("*").alias("n_trips"),
+        F.countDistinct(id_col).alias("n_users"),
+        F.sum("n_pings").alias("n_pings"))

@@ -138,5 +138,39 @@ def test_compound_key_trajectory_equals_per_trip_slices(spark):
             assert comb[c] == solo[c], (t, c)
 
 
+def test_od_matrix_hand_case(spark):
+    from osm2geojson_spark.spatial.trajectory import od_matrix
+    # res=1: world is a 2x2 grid -> cells 0 (SW) 1 (SE) 2 (NW) 3 (NE)
+    rows = [
+        (1, _t(0), 0, -90.0, -45.0),     # trip 1: SW -> ... -> NE
+        (1, _t(10), 1, 10.0, 10.0),
+        (1, _t(20), 2, 90.0, 45.0),
+        (1, _t(2000), 3, 90.0, -45.0),   # trip 2 (gap>600): SE -> NW
+        (1, _t(2010), 4, -90.0, 45.0),
+        (2, _t(5), 0, -90.0, -45.0),     # single-ping trip: o == d
+    ]
+    out = od_matrix(spark.createDataFrame(rows, SCHEMA),
+                    res=1, max_gap_sec=600)
+    got = {(r["o_cell"], r["d_cell"]): (r["n_trips"], r["n_users"],
+                                        r["n_pings"])
+           for r in out.collect()}
+    assert got == {(0, 3): (1, 1, 3), (1, 2): (1, 1, 2), (0, 0): (1, 1, 1)}
+
+
+def test_od_matrix_endpoint_is_whole_row(spark):
+    from osm2geojson_spark.functions.cells import encode_np
+    from osm2geojson_spark.spatial.trajectory import od_matrix
+    import numpy as np
+    # struct min must select the first ROW's (lon, lat) pair, not the
+    # column-wise minimum across the trip.
+    rows = [(1, _t(0), 0, 50.0, 80.0),   # origin: large lon AND lat
+            (1, _t(10), 1, -170.0, -80.0)]
+    r = od_matrix(spark.createDataFrame(rows, SCHEMA),
+                  res=4, max_gap_sec=600).first()
+    o = encode_np(np.array([50.0]), np.array([80.0]), 4)[0]
+    d = encode_np(np.array([-170.0]), np.array([-80.0]), 4)[0]
+    assert (r["o_cell"], r["d_cell"]) == (o, d)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
