@@ -98,6 +98,21 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
     return f"({_spread_sql(ix)} | ({_spread_sql(iy)} << 1))"
 
 
+def lon_ix_sql(lon: str, res: int) -> str:
+    """SQL twin of :func:`lon_ix` (grid x coordinate)."""
+    return _axis_sql(lon, -180.0, 360.0, res)
+
+
+def lat_iy_sql(lat: str, res: int) -> str:
+    """SQL twin of :func:`lat_iy` (grid y coordinate)."""
+    return _axis_sql(lat, -90.0, 180.0, res)
+
+
+def cell_from_ixiy_sql(ix: str, iy: str) -> str:
+    """SQL twin of :func:`cell_from_ixiy` (Morton id from grid coords)."""
+    return f"({_spread_sql(f'({ix})')} | ({_spread_sql(f'({iy})')} << 1))"
+
+
 # ---------------------------------------------------------------- numpy side
 def _spread_np(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.int64)

@@ -2577,6 +2577,54 @@ FROM od GROUP BY o_cell, d_cell
 """
 
 
+def q_grid_cluster(spark, sf_dir):
+    """Grid-density spatial clustering (DBSCAN-lite): points → dense
+    Morton cells (>= 5 pts at res 6) → 8-neighbor connected components
+    via the SAME distributed min-label propagation as near-dup
+    clustering. Oracle: grid agg + offset-join adjacency + recursive-CTE
+    closure. Exact integer output (cell, n_pts, cluster_id)."""
+    from osm2geojson_spark.spatial.cluster import grid_cluster
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    return grid_cluster(pts, res=6, min_pts=5)
+
+
+def _sql_grid_cluster() -> str:
+    res, min_pts = 6, 5
+    ix = C.lon_ix_sql(lon_sql("event_id"), res)
+    iy = C.lat_iy_sql(lat_sql("event_id"), res)
+    cell = C.cell_from_ixiy_sql("ix", "iy")
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return f"""
+WITH RECURSIVE grid AS (
+  SELECT ({ix}) AS ix, ({iy}) AS iy, CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM events GROUP BY ix, iy),
+dense AS (
+  SELECT ix, iy, n_pts, ({cell}) AS cell
+  FROM grid WHERE n_pts >= {min_pts}),
+offs(dx, dy) AS (VALUES {offs}),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM dense a, offs o, dense b
+  WHERE (b.ix = (a.ix + o.dx)) AND (b.iy = (a.iy + o.dy))),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r AS r
+  FROM reach JOIN edges e ON (e.src = reach.id)),
+lab AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id)
+SELECT d.cell AS cell, d.n_pts AS n_pts,
+       COALESCE(l.cid, d.cell) AS cluster_id
+FROM dense d LEFT JOIN lab l ON (l.id = d.cell)
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2800,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": q_trajectory_stats,
         "trip_segmentation": q_trip_segmentation,
         "od_matrix": q_od_matrix,
+        "grid_cluster": q_grid_cluster,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2862,6 +2911,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_stats": _sql_trajectory_stats(),
         "trip_segmentation": _sql_trip_segmentation(),
         "od_matrix": _sql_od_matrix(),
+        "grid_cluster": _sql_grid_cluster(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
