@@ -2625,6 +2625,88 @@ FROM dense d LEFT JOIN lab l ON (l.id = d.cell)
 """
 
 
+_MM_EPS = 0.05  # map-match radius, planar degrees
+
+
+def _mm_segments(part):
+    """Synthetic road network: one short segment per sampled part row,
+    endpoints int-derived (endpoint B = A + grid-step deltas so len2 is
+    never 0 and directions vary)."""
+    seg = part.where((F.col("p_partkey") % 4) == 1).select(
+        F.col("p_partkey").alias("seg_id"),
+        lon_col(F.col("p_partkey")).alias("ax"),
+        lat_col(F.col("p_partkey")).alias("ay"),
+        (((F.col("p_partkey") * 13) % 41) - 20).alias("dxi"),
+        (((F.col("p_partkey") * 17) % 36) + 1).alias("dyi"),
+    )
+    return seg.select(
+        "seg_id", "ax", "ay",
+        (F.col("ax") + F.col("dxi").cast("double") * F.lit(0.001)).alias("bx"),
+        (F.col("ay") + F.col("dyi").cast("double") * F.lit(0.001)).alias("by"),
+    )
+
+
+def _mm_points(events):
+    """Synthetic pings: each event jitters (±0.05°) around the anchor
+    endpoint of segment ((event_id % 500) * 4 + 1), so pings cluster on
+    the road network like real GPS traces."""
+    anchor = (F.col("event_id") % 500) * 4 + 1
+    jx = (((F.col("event_id") * 31) % 2001) - 1000).cast("double") * F.lit(5e-5)
+    jy = (((F.col("event_id") * 43) % 2001) - 1000).cast("double") * F.lit(5e-5)
+    return events.select(
+        F.col("event_id").alias("point_id"),
+        (lon_col(anchor) + jx).alias("px"),
+        (lat_col(anchor) + jy).alias("py"),
+    )
+
+
+def q_map_match(spark, sf_dir):
+    """Map matching: snap synthetic GPS pings to the nearest road
+    segment within 0.05° (cell-prefiltered candidate equi-join, one
+    argmin shuffle). The oracle is a brute-force cross join — an
+    independent algorithm, so the value match also PROVES the cell
+    prefilter is complete on this corpus."""
+    from osm2geojson_spark.spatial.match import map_match
+
+    segs = _mm_segments(_t(spark, sf_dir, "part"))
+    pts = _mm_points(_t(spark, sf_dir, "events"))
+    return map_match(pts, segs, eps=_MM_EPS, res=10)
+
+
+def _sql_map_match() -> str:
+    from osm2geojson_spark.spatial.match import match_steps_sql
+
+    anchor = "(((event_id % 500) * 4) + 1)"
+    jx = f"(CAST((((event_id * 31) % 2001) - 1000) AS DOUBLE) * 5e-5)"
+    jy = f"(CAST((((event_id * 43) % 2001) - 1000) AS DOUBLE) * 5e-5)"
+    steps = match_steps_sql("pts", "segs", _MM_EPS)
+    return f"""
+WITH pts AS (
+  SELECT event_id AS point_id,
+         (({lon_sql(anchor)}) + {jx}) AS px,
+         (({lat_sql(anchor)}) + {jy}) AS py
+  FROM events),
+segs0 AS (
+  SELECT p_partkey AS seg_id,
+         ({lon_sql('p_partkey')}) AS ax,
+         ({lat_sql('p_partkey')}) AS ay,
+         (((p_partkey * 13) % 41) - 20) AS dxi,
+         (((p_partkey * 17) % 36) + 1) AS dyi
+  FROM part WHERE ((p_partkey % 4) = 1)),
+segs1 AS (
+  SELECT seg_id, ax, ay,
+         ((ax) + (CAST(dxi AS DOUBLE) * 1e-3)) AS bx,
+         ((ay) + (CAST(dyi AS DOUBLE) * 1e-3)) AS by
+  FROM segs0),
+segs2 AS (
+  SELECT *, ((bx) - (ax)) AS dx, ((by) - (ay)) AS dy FROM segs1),
+segs AS (
+  SELECT *, (((dx) * (dx)) + ((dy) * (dy))) AS len2 FROM segs2),
+{steps}
+SELECT point_id, seg_id, dist2, snap_lon, snap_lat FROM matched
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2849,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_segmentation": q_trip_segmentation,
         "od_matrix": q_od_matrix,
         "grid_cluster": q_grid_cluster,
+        "map_match": q_map_match,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2912,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         "trip_segmentation": _sql_trip_segmentation(),
         "od_matrix": _sql_od_matrix(),
         "grid_cluster": _sql_grid_cluster(),
+        "map_match": _sql_map_match(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
