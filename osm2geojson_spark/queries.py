@@ -2707,6 +2707,67 @@ SELECT point_id, seg_id, dist2, snap_lon, snap_lat FROM matched
 """
 
 
+def _gf_zones(nation):
+    """25 disjoint geofence rectangles on a 5x4 world grid (with gaps —
+    'outside' exists), corners int-derived so every coordinate is an
+    exact double in both engines."""
+    k = F.col("n_nationkey")
+    return nation.select(
+        k.alias("zone_id"),
+        ((k % 5) * 72 - 180).cast("double").alias("x0"),
+        ((k % 5) * 72 - 144).cast("double").alias("x1"),
+        ((k - (k % 5)) / 5 * 34 - 85).cast("double").alias("y0"),
+        ((k - (k % 5)) / 5 * 34 - 68).cast("double").alias("y1"),
+    )
+
+
+def q_geofence(spark, sf_dir):
+    """Geofence enter/exit/hop transitions over the GPS ping stream:
+    broadcast range-join zone assignment (pings never shuffle for it),
+    then one per-user window pass emitting every null-safe zone change.
+    from_zone/to_zone NULL = outside any fence."""
+    from osm2geojson_spark.spatial.geofence import geofence_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    zones = _gf_zones(_t(spark, sf_dir, "nation"))
+    return geofence_transitions(
+        pts, zones, order_cols=("ts", "event_id"))
+
+
+def _sql_geofence() -> str:
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ({lon_sql('event_id')}) AS lon,
+         ({lat_sql('event_id')}) AS lat
+  FROM events),
+zones AS (
+  SELECT n_nationkey AS zone_id,
+         CAST(((n_nationkey % 5) * 72 - 180) AS DOUBLE) AS x0,
+         CAST(((n_nationkey % 5) * 72 - 144) AS DOUBLE) AS x1,
+         CAST(((n_nationkey - (n_nationkey % 5)) / 5 * 34 - 85) AS DOUBLE) AS y0,
+         CAST(((n_nationkey - (n_nationkey % 5)) / 5 * 34 - 68) AS DOUBLE) AS y1
+  FROM nation),
+az AS (
+  SELECT p.user_id, p.ts, p.event_id, z.zone_id
+  FROM pts p LEFT JOIN zones z
+    ON ((p.lon >= z.x0) AND (p.lon < z.x1)
+        AND (p.lat >= z.y0) AND (p.lat < z.y1))),
+seq AS (
+  SELECT user_id, ts, event_id, zone_id,
+         LAG(zone_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM az)
+SELECT user_id, ts, event_id, prev AS from_zone, zone_id AS to_zone
+FROM seq WHERE (zone_id IS DISTINCT FROM prev)
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2932,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "grid_cluster": q_grid_cluster,
         "map_match": q_map_match,
+        "geofence": q_geofence,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -2996,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": _sql_od_matrix(),
         "grid_cluster": _sql_grid_cluster(),
         "map_match": _sql_map_match(),
+        "geofence": _sql_geofence(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

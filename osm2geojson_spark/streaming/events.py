@@ -156,3 +156,55 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+_GEOFENCE_STATE_SCHEMA = "last_zone long"
+_GEOFENCE_OUT_SCHEMA = ("user_id long, sec long, event_id long, "
+                        "from_zone long, to_zone long")
+
+
+def _geofence_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                 state: "GroupState") -> "Iterator[pd.DataFrame]":
+    """Stateful enter/exit kernel: state = the user's last zone (-1 =
+    outside). Contract: per-user pings arrive in nondecreasing (sec,
+    event_id) order ACROSS batches (a Kafka source key-partitioned by
+    user preserves per-key order); within a batch we sort."""
+    rows = []
+    for pdf in pdfs:
+        for sec, eid, z in zip(pdf["sec"], pdf["event_id"], pdf["zone_id"]):
+            rows.append((int(sec), int(eid),
+                         -1 if pd.isna(z) else int(z)))
+    rows.sort()
+    last = state.get[0] if state.exists else -1
+    out = []
+    for sec, eid, z in rows:
+        if z != last:
+            out.append((key[0], sec, eid,
+                        None if last == -1 else last,
+                        None if z == -1 else z))
+            last = z
+    state.update((last,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "sec", "event_id",
+                          "from_zone", "to_zone"]).astype(
+            {"from_zone": "object", "to_zone": "object"})
+
+
+def geofence_stream(events: DataFrame, zones: DataFrame) -> DataFrame:
+    """Streaming twin of spatial/geofence.geofence_transitions: zone
+    assignment is a stream-static broadcast range join (map-side, no
+    stream shuffle), transitions come from applyInPandasWithState with
+    O(1) state per user (the last zone). Same emission rule as batch:
+    a row per null-safe zone change, first ping emits iff inside."""
+    from osm2geojson_spark.spatial.geofence import assign_zones
+
+    prepared = assign_zones(events, zones).select(
+        "user_id", F.unix_timestamp("ts").alias("sec"),
+        "event_id", "zone_id")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _geofence_fn,
+        outputStructType=_GEOFENCE_OUT_SCHEMA,
+        stateStructType=_GEOFENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
