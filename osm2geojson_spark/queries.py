@@ -2768,6 +2768,38 @@ FROM seq WHERE (zone_id IS DISTINCT FROM prev)
 """
 
 
+def q_geohash_rollup(spark, sf_dir):
+    """Geohash spatial rollup: base-32 geohash of every event point
+    (pure codegen'd integer bit math — the 4th cell-index family next to
+    Morton/S2/hex) aggregated by 3-char prefix: point count + distinct
+    6-char cells per prefix. Prefix truncation IS the parent operation
+    (geohash hierarchy property, pinned in test_geohash)."""
+    from osm2geojson_spark.functions.geohash import geohash_expr
+
+    ev = _t(spark, sf_dir, "events")
+    gh = geohash_expr(
+        lon_col(F.col("event_id")), lat_col(F.col("event_id")), 6)
+    return (
+        ev.select(gh.alias("gh"))
+        .groupBy(F.substring("gh", 1, 3).alias("gh3"))
+        .agg(F.count("*").alias("n_pts"),
+             F.countDistinct("gh").alias("n_cells"))
+    )
+
+
+def _sql_geohash_rollup() -> str:
+    from osm2geojson_spark.functions.geohash import geohash_sql
+
+    gh = geohash_sql(lon_sql("event_id"), lat_sql("event_id"), 6)
+    return f"""
+WITH g AS (SELECT {gh} AS gh FROM events)
+SELECT substr(gh, 1, 3) AS gh3,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells
+FROM g GROUP BY gh3
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -2994,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "map_match": q_map_match,
         "geofence": q_geofence,
+        "geohash_rollup": q_geohash_rollup,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3059,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cluster": _sql_grid_cluster(),
         "map_match": _sql_map_match(),
         "geofence": _sql_geofence(),
+        "geohash_rollup": _sql_geohash_rollup(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
