@@ -628,3 +628,51 @@ def ref_pq_topk(ids: list[int], vecs: list[list[float]],
         for rank, (cos, cid) in enumerate(scored[:k], 1):
             out.append((qid, cid, cos, rank))
     return out
+
+
+# ------------------------------------------------------------- heatmap tiles
+
+def _morton_spread(v: int) -> int:
+    for s, m in ((8, 0x00FF00FF00FF00FF), (4, 0x0F0F0F0F0F0F0F0F),
+                 (2, 0x3333333333333333), (1, 0x5555555555555555)):
+        v = (v << s | v) & m
+    return v
+
+
+def ref_heatmap(pts: "list[tuple]", res: int = 3,
+                tile_px: int = 64) -> "list[tuple]":
+    """Spark-free twin of spatial/heatmap.heatmap_tiles: (lon, lat)
+    pairs -> [(tile, n_pts, png_hex)] with the IDENTICAL floor grid,
+    integer max-normalization, and PNG serialization — the oracle
+    checks the image bytes, not just counts."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import encode_png
+
+    shift = tile_px.bit_length() - 1
+    pix_res = res + shift
+    n = 1 << pix_res
+    cnt = Counter()
+    for lon, lat in pts:
+        ix = min(max(math.floor((lon - (-180.0)) / 360.0 * n), 0), n - 1)
+        iy = min(max(math.floor((lat - (-90.0)) / 180.0 * n), 0), n - 1)
+        cnt[(ix, iy)] += 1
+    tiles: dict = {}
+    for (ix, iy), c in cnt.items():
+        tiles.setdefault(
+            (_morton_spread(ix >> shift)
+             | (_morton_spread(iy >> shift) << 1)), {},
+        )[(ix & (tile_px - 1), iy & (tile_px - 1))] = c
+    out = []
+    for tile, pix in sorted(tiles.items()):
+        dense = np.zeros((tile_px, tile_px), dtype=np.int64)
+        for (px, py), c in pix.items():
+            dense[py, px] = c
+        gray = ((dense * 255) // int(dense.max())).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        out.append((tile, int(dense.sum()),
+                    encode_png(rgb).hex().upper()))
+    return out

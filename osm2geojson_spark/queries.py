@@ -2800,6 +2800,43 @@ FROM g GROUP BY gh3
 """
 
 
+def q_heatmap_tiles(spark, sf_dir):
+    """Density heatmap raster tiles: event pings → per-Morton-tile
+    64×64 grayscale PNGs (vector→raster, the inverse of zonal_stats).
+    Output hexes the png bytes so the oracle — a pyref literal table
+    that re-bins and RE-ENCODES the same pings Spark-free — checks the
+    image bytes themselves, not just counts."""
+    from osm2geojson_spark.spatial.heatmap import heatmap_tiles
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    out = heatmap_tiles(pts, res=3, tile_px=64)
+    return out.select(
+        "tile", "n_pts", F.hex("png").alias("png_hex"))
+
+
+def _py_lon(k: int) -> float:
+    return float((k * _LON_MUL) % 360_000_000) / 1_000_000.0 - 180.0
+
+
+def _py_lat(k: int) -> float:
+    return float((k * _LAT_MUL + _LAT_OFF) % 170_000_000) / 1_000_000.0 - 85.0
+
+
+def _sql_heatmap_tiles() -> str:
+    from osm2geojson_spark import pyref
+
+    ids = [r[0] for r in _oracle_parquet("events", ["event_id"])]
+    rows = pyref.ref_heatmap(
+        [(_py_lon(k), _py_lat(k)) for k in ids], res=3, tile_px=64)
+    return pyref.values_sql(
+        rows, [("tile", "BIGINT"), ("n_pts", "BIGINT"),
+               ("png_hex", "VARCHAR")])
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -3027,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "geofence": q_geofence,
         "geohash_rollup": q_geohash_rollup,
+        "heatmap_tiles": q_heatmap_tiles,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3093,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _sql_map_match(),
         "geofence": _sql_geofence(),
         "geohash_rollup": _sql_geohash_rollup(),
+        "heatmap_tiles": _sql_heatmap_tiles(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
