@@ -192,6 +192,10 @@ BENCH_QUERIES = {
     "embedding_pq": Q.q_embedding_pq,
     "trajectory_stats": Q.q_trajectory_stats,
     "trip_segmentation": Q.q_trip_segmentation,
+    # late round 3: ping→segment map matching (cell-prefiltered candidate
+    # join) and vector→raster PNG tile rendering
+    "map_match": Q.q_map_match,
+    "heatmap_tiles": Q.q_heatmap_tiles,
 }
 
 

@@ -2837,6 +2837,57 @@ def _sql_heatmap_tiles() -> str:
                ("png_hex", "VARCHAR")])
 
 
+def q_contours(spark, sf_dir):
+    """Density isolines: event pings → res-6 occupancy grid → marching-
+    squares contour segments at levels 2 and 5 (raster→vector, the
+    converse of heatmap_tiles). Integer-exact end to end — the oracle
+    replays the corner-mask aggregation and the 16-case table in pure
+    SQL."""
+    from osm2geojson_spark.spatial.contour import contour_segments
+
+    ev = _t(spark, sf_dir, "events")
+    res = 6
+    grid = (
+        ev.select(
+            C.lon_ix(lon_col(F.col("event_id")), res).alias("ix"),
+            C.lat_iy(lat_col(F.col("event_id")), res).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("v"))
+    )
+    return contour_segments(grid, thresholds=[2, 5])
+
+
+def _sql_contours() -> str:
+    from osm2geojson_spark.spatial.contour import case_values_sql
+
+    res = 6
+    ix = C.lon_ix_sql(lon_sql("event_id"), res)
+    iy = C.lat_iy_sql(lat_sql("event_id"), res)
+    return f"""
+WITH grid AS (
+  SELECT ({ix}) AS ix, ({iy}) AS iy, COUNT(*) AS v
+  FROM events GROUP BY ix, iy),
+lv(level) AS (VALUES (2), (5)),
+above AS (
+  SELECT l.level, g.ix, g.iy FROM grid g, lv l WHERE (g.v >= l.level)),
+corners(dx, dy, w) AS (VALUES (0,0,1), (1,0,2), (0,1,4), (1,1,8)),
+masks AS (
+  SELECT a.level, (a.ix - c.dx) AS bxx, (a.iy - c.dy) AS byy,
+         CAST(SUM(c.w) AS INT) AS mask
+  FROM above a, corners c
+  GROUP BY a.level, bxx, byy
+  HAVING (CAST(SUM(c.w) AS INT) != 15)),
+cases AS ({case_values_sql()})
+SELECT m.level AS level,
+       CAST(((m.bxx * 2) + s.x1o) AS BIGINT) AS x1,
+       CAST(((m.byy * 2) + s.y1o) AS BIGINT) AS y1,
+       CAST(((m.bxx * 2) + s.x2o) AS BIGINT) AS x2,
+       CAST(((m.byy * 2) + s.y2o) AS BIGINT) AS y2
+FROM masks m JOIN cases s ON (s.mask = m.mask)
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -3065,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence": q_geofence,
         "geohash_rollup": q_geohash_rollup,
         "heatmap_tiles": q_heatmap_tiles,
+        "contours": q_contours,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3132,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence": _sql_geofence(),
         "geohash_rollup": _sql_geohash_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
+        "contours": _sql_contours(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
