@@ -164,3 +164,79 @@ def disk_np(cell: np.ndarray, res: int, k: int) -> np.ndarray:
     valid = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
     out = np.where(valid, _spread_np(np.clip(nx, 0, n - 1)) | (_spread_np(np.clip(ny, 0, n - 1)) << 1), -1)
     return out
+
+
+# ------------------------------------------------------- cell-set algebra
+def compact_cells(cells, res: int, min_res: int = 0,
+                  cell_col: str = "cell"):
+    """H3-style ``compact``: replace every complete sibling quad with
+    its parent, recursively, yielding the minimal multi-resolution
+    covering of the input cell set. Input: cells at resolution ``res``
+    (deduped internally). Output: ``(cell, res)`` rows.
+
+    Scale shape: one groupBy + equi-join per level, each on the CURRENT
+    level's cells only (shrinking 4x per promoted level); the driver
+    loops over at most ``res - min_res`` levels and never sees row
+    data. Engine-new (SURVEY §2.4 has no cell-set ops); semantics match
+    the public H3 compactCells contract on a quadtree."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct()
+    levels = []
+    for lvl in range(res, min_res, -1):
+        with_p = cur.withColumn("pcell", F.shiftright("cell", 2))
+        quads = with_p.groupBy("pcell").agg(F.count("*").alias("k"))
+        joined = with_p.join(quads, "pcell")
+        levels.append(
+            joined.where(F.col("k") < 4)
+            .select("cell", F.lit(lvl).alias("res")))
+        cur = (joined.where(F.col("k") == 4)
+               .select(F.col("pcell").alias("cell")).distinct())
+    levels.append(cur.select("cell", F.lit(min_res).alias("res")))
+    return reduce(lambda a, b: a.unionByName(b), levels)
+
+
+def uncompact_cells(compacted, target_res: int,
+                    cell_col: str = "cell", res_col: str = "res"):
+    """Inverse of :func:`compact_cells`: expand every (cell, res) row to
+    its 4^(target_res - res) descendants at ``target_res``. The child id
+    range is contiguous under Morton order (base = cell * 4^k), so the
+    fan-out is one broadcast join against a 16-row multiplier table plus
+    a JVM ``sequence`` explode — no Python, no skew."""
+    from pyspark.sql import functions as F
+
+    spark = compacted.sparkSession
+    mult = spark.createDataFrame(
+        [(r, 1 << (2 * (target_res - r))) for r in range(target_res + 1)],
+        f"{res_col} int, _m long")
+    return (
+        compacted.withColumn(res_col, F.col(res_col).cast("int"))
+        .join(F.broadcast(mult), res_col)
+        .select(
+            F.explode(F.sequence(
+                F.col(cell_col) * F.col("_m"),
+                F.col(cell_col) * F.col("_m") + F.col("_m") - 1,
+            )).alias(cell_col))
+    )
+
+
+def compact_sql(cells_cte: str, res: int, min_res: int = 0) -> str:
+    """SQL twin of :func:`compact_cells` as unrolled per-level CTEs over
+    a one-column CTE ``(cell)``; ends in CTE ``compacted(cell, res)``."""
+    parts = [f"l{res} AS (SELECT DISTINCT cell FROM {cells_cte})"]
+    outs = []
+    for lvl in range(res, min_res, -1):
+        parts.append(
+            f"q{lvl} AS (SELECT (cell >> 2) AS pcell, COUNT(*) AS k "
+            f"FROM l{lvl} GROUP BY pcell)")
+        outs.append(
+            f"SELECT c.cell AS cell, {lvl} AS res FROM l{lvl} c "
+            f"JOIN q{lvl} q ON (q.pcell = (c.cell >> 2)) WHERE (q.k < 4)")
+        parts.append(
+            f"l{lvl - 1} AS (SELECT pcell AS cell FROM q{lvl} "
+            f"WHERE (k = 4))")
+    outs.append(f"SELECT cell, {min_res} AS res FROM l{min_res}")
+    body = "\nUNION ALL\n".join(outs)
+    return ",\n".join(parts) + f",\ncompacted AS (\n{body}\n)"

@@ -2888,6 +2888,35 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+def q_compact_cover(spark, sf_dir):
+    """Minimal multi-resolution cell covering (H3-style compact): the
+    distinct res-6 cells occupied by events collapse complete sibling
+    quads into parents recursively — the cell-set algebra behind
+    polyfill storage and viewport culling. Driver loops over ≤6 levels,
+    each level one groupBy+join on a 4×-shrinking set."""
+    from osm2geojson_spark.functions.cells import compact_cells
+
+    ev = _t(spark, sf_dir, "events")
+    res = 6
+    cells = ev.select(
+        C.cell_expr(
+            lon_col(F.col("event_id")), lat_col(F.col("event_id")), res
+        ).alias("cell"))
+    return compact_cells(cells, res=res)
+
+
+def _sql_compact_cover() -> str:
+    from osm2geojson_spark.functions.cells import compact_sql
+
+    res = 6
+    cell = C.cell_sql(lon_sql("event_id"), lat_sql("event_id"), res)
+    return f"""
+WITH occ AS (SELECT ({cell}) AS cell FROM events),
+{compact_sql('occ', res)}
+SELECT cell, CAST(res AS INT) AS res FROM compacted
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → visible text (the C4-grade extraction baseline): every
     document is wrapped in a deterministic HTML shell (head/title,
@@ -3117,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": q_geohash_rollup,
         "heatmap_tiles": q_heatmap_tiles,
         "contours": q_contours,
+        "compact_cover": q_compact_cover,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3185,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _sql_geohash_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
         "contours": _sql_contours(),
+        "compact_cover": _sql_compact_cover(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

@@ -208,3 +208,28 @@ def geofence_stream(events: DataFrame, zones: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tile_counts_stream(points: DataFrame, res: int = 6,
+                       watermark: str = "2 hours",
+                       window: str = "1 hour") -> DataFrame:
+    """Streaming heatmap feed: watermarked tumbling-window ping counts
+    per Morton tile — the incremental twin of the batch occupancy grid
+    that feeds spatial/heatmap + spatial/contour. State is bounded by
+    (watermark horizon / window) x occupied tiles; the tile id is the
+    same codegen'd cell expression as batch, so a streaming row equals
+    its batch-twin row exactly."""
+    from osm2geojson_spark.functions import cells as C
+
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            C.cell_expr(F.col("lon"), F.col("lat"), res).alias("tile"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH").alias("hour"),
+            "tile", "n",
+        )
+    )

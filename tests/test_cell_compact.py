@@ -1,0 +1,75 @@
+"""Cell-set compaction (functions/cells.compact_cells) vs a pure-Python
+reference plus the uncompact roundtrip identity."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions.cells import (
+    compact_cells,
+    uncompact_cells,
+)
+
+
+def _ref_compact(cells: set, res: int, min_res: int = 0) -> set:
+    cur, out = set(cells), set()
+    for lvl in range(res, min_res, -1):
+        parents = {c >> 2 for c in cur}
+        full = {p for p in parents
+                if all((p << 2) + i in cur for i in range(4))}
+        out |= {(c, lvl) for c in cur if (c >> 2) not in full}
+        cur = full
+    return out | {(c, min_res) for c in cur}
+
+
+def _ref_uncompact(rows: set, target: int) -> set:
+    out = set()
+    for c, r in rows:
+        k = 1 << (2 * (target - r))
+        out |= set(range(c * k, c * k + k))
+    return out
+
+
+def test_hand_quad(spark):
+    # cells 4,5,6,7 form the complete quad of parent 1; cell 9 is loose
+    df = spark.createDataFrame([(4,), (5,), (6,), (7,), (9,)], "cell long")
+    got = {(r.cell, r.res) for r in compact_cells(df, res=2).collect()}
+    assert got == {(1, 1), (9, 2)}
+
+
+def test_matches_reference_and_roundtrip(spark):
+    rng = random.Random(41)
+    for trial in range(3):
+        cells = set(rng.sample(range(4 ** 4), rng.randint(20, 180)))
+        df = spark.createDataFrame([(c,) for c in cells], "cell long") \
+            .repartition(5)
+        comp = compact_cells(df, res=4)
+        got = {(r.cell, r.res) for r in comp.collect()}
+        assert got == _ref_compact(cells, 4), trial
+        # no complete quad survives at any level (minimality)
+        by_parent = {}
+        for c, r in got:
+            by_parent.setdefault((c >> 2, r), set()).add(c & 3)
+        assert all(len(v) < 4 for v in by_parent.values())
+        # uncompact inverts exactly
+        back = {r.cell for r in uncompact_cells(comp, target_res=4).collect()}
+        assert back == cells
+
+
+def test_full_grid_collapses_to_root(spark):
+    df = spark.createDataFrame([(c,) for c in range(64)], "cell long")
+    got = {(r.cell, r.res) for r in compact_cells(df, res=3).collect()}
+    assert got == {(0, 0)}
+
+
+def test_min_res_floor(spark):
+    df = spark.createDataFrame([(c,) for c in range(16)], "cell long")
+    got = {(r.cell, r.res) for r in compact_cells(df, res=2, min_res=1).collect()}
+    assert got == {(0, 1), (1, 1), (2, 1), (3, 1)}
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -72,3 +72,31 @@ def test_dedup_stream_matches_batch_distinct(spark):
     want = {(r["user_id"], r["event_type"])
             for r in ev.select("user_id", "event_type").distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_tile_counts_stream_matches_batch(spark):
+    from osm2geojson_spark.functions import cells as C
+    from osm2geojson_spark.queries import lat_col, lon_col
+    from osm2geojson_spark.streaming.events import tile_counts_stream
+
+    def with_coords(df):
+        return df.select(
+            "ts",
+            lon_col(F.col("event_id")).alias("lon"),
+            lat_col(F.col("event_id")).alias("lat"),
+        )
+
+    stream = with_coords(stream_events_from_parquet(spark, SF))
+    run_stream_to_memory(tile_counts_stream(stream, res=6),
+                         "tiles_t", "complete")
+    got = {(r["hour"], r["tile"]): r["n"]
+           for r in spark.sql("SELECT * FROM tiles_t").collect()}
+
+    ev = with_coords(spark.read.parquet(f"{SF}/events.parquet"))
+    want = {(r["hour"], r["tile"]): r["n"]
+            for r in ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH").alias("hour"),
+                C.cell_expr(F.col("lon"), F.col("lat"), 6).alias("tile"))
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and len(got) > 50
