@@ -676,3 +676,71 @@ def ref_heatmap(pts: "list[tuple]", res: int = 3,
         out.append((tile, int(dense.sum()),
                     encode_png(rgb).hex().upper()))
     return out
+
+
+# ------------------------------------------------------------------ routing
+
+def grid_graph(n: int) -> "list[tuple]":
+    """Spark-free twin of spatial/route.grid_edges: the deterministic
+    n x n 4-neighbor grid road network with asymmetric integer weights
+    w(u,v) = 1 + (u*73856093 + v*19349663) % 9 — bit-for-bit the graph
+    the Spark builder emits."""
+    edges = []
+    for node in range(n * n):
+        ix, iy = node % n, node // n
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = ix + dx, iy + dy
+            if 0 <= jx < n and 0 <= jy < n:
+                dst = jy * n + jx
+                edges.append(
+                    (node, dst, 1 + (node * 73856093 + dst * 19349663) % 9))
+    return edges
+
+
+def dijkstra(edges: "list[tuple]", source: int) -> "dict[int, int]":
+    """Heap Dijkstra over integer weights — an INDEPENDENT algorithm
+    from the Spark frontier Bellman-Ford, so a value match is evidence,
+    not replay."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        if w < 0:
+            raise ValueError("non-negative weights only")
+        adj[u].append((v, w))
+    dist: dict = {}
+    heap = [(0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = d
+        for v, w in adj[u]:
+            if v not in dist:
+                heapq.heappush(heap, (d + w, v))
+    return dist
+
+
+def ref_shortest_paths(n: int, source: int = 0) -> "list[tuple]":
+    """(node_id, dist) rows for the n x n grid network."""
+    dist = dijkstra(grid_graph(n), source)
+    return sorted(dist.items())
+
+
+def ref_route(n: int, source: int, target: int) -> "list[tuple]":
+    """(pos, node_id) rows of the deterministic shortest route
+    target -> source on the grid network: pred[v] = smallest u with
+    dist[u] + w(u,v) == dist[v] (the same OUTPUT-level tie rule
+    route_predecessors applies, so any correct SSSP yields this path)."""
+    edges = grid_graph(n)
+    dist = dijkstra(edges, source)
+    pred: dict = {}
+    for u, v, w in edges:
+        if u in dist and v in dist and dist[u] + w == dist[v]:
+            if v not in pred or u < pred[v]:
+                pred[v] = u
+    path = [target]
+    while path[-1] != source:
+        path.append(pred[path[-1]])
+    return list(enumerate(path))

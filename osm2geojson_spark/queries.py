@@ -2888,6 +2888,84 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+_ROUTE_N = 24  # grid road network side; 576 nodes / 2,208 directed edges
+_ROUTE_TARGET = _ROUTE_N * _ROUTE_N - 1  # far corner
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Distributed single-source shortest paths (routing) over the
+    deterministic 24×24 grid road network: frontier Bellman-Ford —
+    one frontier⋈edges join + min partial-agg per round, localCheckpoint
+    lineage truncation, driver sees one count per round. Exact integer
+    distances; oracle = heap Dijkstra (pyref, an INDEPENDENT algorithm)
+    inlined as a literal table. Graph size is fixed by the oracle, so
+    sf_dir is unused (routing cost scales with the road graph, not the
+    fact tables)."""
+    from osm2geojson_spark.spatial.route import grid_edges, shortest_paths
+
+    return shortest_paths(grid_edges(spark, _ROUTE_N), 0)
+
+
+def _sql_shortest_paths() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_shortest_paths(_ROUTE_N)
+    return pyref.values_sql(rows, [("node_id", "BIGINT"), ("dist", "BIGINT")])
+
+
+def q_route_path(spark, sf_dir):
+    """Route reconstruction: SSSP → deterministic predecessor tree
+    (pred[v] = MIN u with dist[u]+w == dist[v], a property of the OUTPUT
+    so any correct SSSP agrees) → pointer-doubling path materialization
+    (O(log L) rounds: jump table squares, known prefix doubles — never a
+    driver loop over path rows). Output (pos, node_id) target→source."""
+    from osm2geojson_spark.spatial.route import (
+        grid_edges,
+        reconstruct_route,
+        route_predecessors,
+        shortest_paths,
+    )
+
+    e = grid_edges(spark, _ROUTE_N)
+    dist = shortest_paths(e, 0)
+    pred = route_predecessors(e, dist)
+    return reconstruct_route(pred, 0, _ROUTE_TARGET)
+
+
+def _sql_route_path() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_route(_ROUTE_N, 0, _ROUTE_TARGET)
+    return pyref.values_sql(rows, [("pos", "BIGINT"), ("node_id", "BIGINT")])
+
+
+def q_isochrone(spark, sf_dir):
+    """Isochrone rollup: SSSP distances bucketed into travel-cost bands
+    (band = dist // 10) with node counts and band extents — the
+    reachability summary a routing service renders. One map-side
+    partial agg over the converged dist table."""
+    from osm2geojson_spark.spatial.route import (
+        grid_edges,
+        isochrone_bands,
+        shortest_paths,
+    )
+
+    return isochrone_bands(shortest_paths(grid_edges(spark, _ROUTE_N), 0), 10)
+
+
+def _sql_isochrone() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_shortest_paths(_ROUTE_N)
+    return f"""
+WITH d(node_id, dist) AS ({pyref.values_sql(rows, [("node_id", "BIGINT"), ("dist", "BIGINT")])})
+SELECT CAST(dist // 10 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(dist) AS min_dist, MAX(dist) AS max_dist
+FROM d GROUP BY band
+"""
+
+
 def q_compact_cover(spark, sf_dir):
     """Minimal multi-resolution cell covering (H3-style compact): the
     distinct res-6 cells occupied by events collapse complete sibling
@@ -3147,6 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap_tiles": q_heatmap_tiles,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
+        "shortest_paths": q_shortest_paths,
+        "route_path": q_route_path,
+        "isochrone": q_isochrone,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3216,6 +3297,9 @@ def oracle_sql() -> dict[str, str]:
         "heatmap_tiles": _sql_heatmap_tiles(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
+        "shortest_paths": _sql_shortest_paths(),
+        "route_path": _sql_route_path(),
+        "isochrone": _sql_isochrone(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

@@ -1,0 +1,135 @@
+"""Distributed routing (spatial/route): SSSP == heap Dijkstra
+(independent algorithm), deterministic predecessor tree, pointer-
+doubling route reconstruction, isochrone rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark import pyref
+from osm2geojson_spark.spatial.route import (
+    grid_edges,
+    isochrone_bands,
+    reconstruct_route,
+    route_predecessors,
+    shortest_paths,
+)
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_hand_line_graph(spark):
+    # 0 -5-> 1 -2-> 2, plus a worse direct 0 -9-> 2
+    e = _edges_df(spark, [(0, 1, 5), (1, 2, 2), (0, 2, 9)])
+    got = dict(
+        (r.node_id, r.dist) for r in shortest_paths(e, 0).collect())
+    assert got == {0: 0, 1: 5, 2: 7}
+
+
+def test_unreachable_absent_and_directedness(spark):
+    # 3 is upstream of the source (edge INTO 0 only) -> absent
+    e = _edges_df(spark, [(0, 1, 1), (3, 0, 1)])
+    got = dict(
+        (r.node_id, r.dist) for r in shortest_paths(e, 0).collect())
+    assert got == {0: 0, 1: 1}
+
+
+def test_later_improvement_reexpands(spark):
+    # the 1-hop path to 2 (w=10) must be beaten by the 3-hop path (w=3),
+    # and 2's improvement must re-relax the edge 2->4
+    e = _edges_df(
+        spark,
+        [(0, 2, 10), (0, 1, 1), (1, 3, 1), (3, 2, 1), (2, 4, 1)],
+    )
+    got = dict(
+        (r.node_id, r.dist) for r in shortest_paths(e, 0).collect())
+    assert got[2] == 3 and got[4] == 4
+
+
+def test_negative_weight_rejected(spark):
+    with pytest.raises(ValueError):
+        shortest_paths(_edges_df(spark, [(0, 1, -1)]), 0)
+
+
+def test_nonconvergence_raises(spark):
+    e = _edges_df(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        shortest_paths(e, 0, max_iters=2)
+
+
+def test_grid_equals_dijkstra(spark):
+    n = 12
+    got = sorted(
+        (r.node_id, r.dist)
+        for r in shortest_paths(grid_edges(spark, n), 0).collect())
+    assert got == pyref.ref_shortest_paths(n)
+
+
+def test_grid_edges_match_pyref_graph(spark):
+    n = 7
+    got = sorted(
+        (r.src, r.dst, r.w) for r in grid_edges(spark, n).collect())
+    assert got == sorted(pyref.grid_graph(n))
+
+
+def test_random_graphs_equal_dijkstra(spark):
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        nv = 30
+        rows = []
+        for _ in range(140):
+            u, v = rng.randrange(nv), rng.randrange(nv)
+            if u != v:
+                rows.append((u, v, rng.randrange(0, 12)))
+        got = sorted(
+            (r.node_id, r.dist)
+            for r in shortest_paths(_edges_df(spark, rows), 0).collect())
+        assert got == sorted(pyref.dijkstra(rows, 0).items()), f"trial {trial}"
+
+
+def test_route_reconstruction_grid(spark):
+    n, target = 12, 12 * 12 - 1
+    e = grid_edges(spark, n)
+    dist = shortest_paths(e, 0).localCheckpoint(eager=True)
+    pred = route_predecessors(e, dist)
+    path = sorted(
+        (r.pos, r.node_id)
+        for r in reconstruct_route(pred, 0, target).collect())
+    assert path == pyref.ref_route(n, 0, target)
+    # positions contiguous, endpoints right
+    assert [p for p, _ in path] == list(range(len(path)))
+    assert path[0][1] == target and path[-1][1] == 0
+    # consecutive hops are real edges and their weights sum to dist
+    w = {(u, v): wt for u, v, wt in pyref.grid_graph(n)}
+    hops = [(path[i + 1][1], path[i][1]) for i in range(len(path) - 1)]
+    assert all(h in w for h in hops)
+    d = dict((r.node_id, r.dist) for r in dist.collect())
+    assert sum(w[h] for h in hops) == d[target]
+
+
+def test_route_source_is_target(spark):
+    e = grid_edges(spark, 4)
+    dist = shortest_paths(e, 0)
+    pred = route_predecessors(e, dist)
+    assert [(r.pos, r.node_id) for r in
+            reconstruct_route(pred, 0, 0).collect()] == [(0, 0)]
+
+
+def test_isochrone_bands(spark):
+    e = grid_edges(spark, 8)
+    dist = shortest_paths(e, 0)
+    got = {
+        r.band: (r.n_nodes, r.min_dist, r.max_dist)
+        for r in isochrone_bands(dist, 10).collect()
+    }
+    ref: dict = {}
+    for _, d in pyref.ref_shortest_paths(8):
+        b = d // 10
+        n0, lo, hi = ref.get(b, (0, d, d))
+        ref[b] = (n0 + 1, min(lo, d), max(hi, d))
+    assert got == ref
