@@ -744,3 +744,36 @@ def ref_route(n: int, source: int, target: int) -> "list[tuple]":
     while path[-1] != source:
         path.append(pred[path[-1]])
     return list(enumerate(path))
+
+
+def ref_vector_tiles(pts: "list[tuple]", res: int = 3,
+                     extent: int = 4096) -> "list[tuple]":
+    """Spark-free twin of spatial/mvt.vector_tiles: (lon, lat) pairs ->
+    [(tile, n_features, n_pts, mvt_hex)] with the identical floor grid
+    and the identical deterministic layer serialization — the oracle
+    checks the protobuf TILE BYTES, not just counts."""
+    import math
+    from collections import Counter
+
+    from osm2geojson_spark.spatial.mvt import point_layer_bytes
+
+    shift = extent.bit_length() - 1
+    pix_res = res + shift
+    n = 1 << pix_res
+    cnt = Counter()
+    for lon, lat in pts:
+        ix = min(max(math.floor((lon - (-180.0)) / 360.0 * n), 0), n - 1)
+        iy = min(max(math.floor((lat - (-90.0)) / 180.0 * n), 0), n - 1)
+        cnt[(ix, iy)] += 1
+    tiles: dict = {}
+    for (ix, iy), c in cnt.items():
+        tile = (_morton_spread(ix >> shift)
+                | (_morton_spread(iy >> shift) << 1))
+        tiles.setdefault(tile, []).append(
+            (ix & (extent - 1), iy & (extent - 1), c))
+    out = []
+    for tile, pixels in sorted(tiles.items()):
+        buf = point_layer_bytes(pixels, extent=extent)
+        out.append((tile, len(pixels), sum(c for _, _, c in pixels),
+                    buf.hex().upper()))
+    return out

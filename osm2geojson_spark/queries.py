@@ -2837,6 +2837,38 @@ def _sql_heatmap_tiles() -> str:
                ("png_hex", "VARCHAR")])
 
 
+def q_vector_tiles(spark, sf_dir):
+    """Mapbox Vector Tiles: event pings → per-Morton-tile MVT protobuf
+    (vector-tile-spec 2.1 — zigzag-delta command geometry, tag-indexed
+    properties), the vector twin of heatmap_tiles' PNG rasters. Pings
+    collapse map-side to (tile, pixel, count) partials before the one
+    shuffle; per-tile Arrow applyInPandas serializes deterministically
+    (row-major features, sorted value table). Output hexes the tile so
+    the oracle — a pyref literal table that re-bins and RE-ENCODES the
+    pings Spark-free — checks the protobuf bytes themselves."""
+    from osm2geojson_spark.spatial.mvt import vector_tiles
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    out = vector_tiles(pts, res=3, extent=4096)
+    return out.select(
+        "tile", "n_features", "n_pts", F.hex("mvt").alias("mvt_hex"))
+
+
+def _sql_vector_tiles() -> str:
+    from osm2geojson_spark import pyref
+
+    ids = [r[0] for r in _oracle_parquet("events", ["event_id"])]
+    rows = pyref.ref_vector_tiles(
+        [(_py_lon(k), _py_lat(k)) for k in ids], res=3, extent=4096)
+    return pyref.values_sql(
+        rows, [("tile", "BIGINT"), ("n_features", "BIGINT"),
+               ("n_pts", "BIGINT"), ("mvt_hex", "VARCHAR")])
+
+
 def q_contours(spark, sf_dir):
     """Density isolines: event pings → res-6 occupancy grid → marching-
     squares contour segments at levels 2 and 5 (raster→vector, the
@@ -3223,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence": q_geofence,
         "geohash_rollup": q_geohash_rollup,
         "heatmap_tiles": q_heatmap_tiles,
+        "vector_tiles": q_vector_tiles,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
@@ -3295,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence": _sql_geofence(),
         "geohash_rollup": _sql_geohash_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
+        "vector_tiles": _sql_vector_tiles(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),

@@ -1,0 +1,340 @@
+"""Mapbox Vector Tile (MVT) encoding — geometries in, REAL protobuf
+tiles out.
+
+The vector twin of `spatial/heatmap.py`: that operator rasterizes pings
+into PNG tiles; this one quantizes them into the Mapbox Vector Tile
+wire format (vector-tile-spec 2.1 — protobuf Tile/Layer/Feature
+messages, zigzag-delta command geometry, tag-indexed properties), the
+format every slippy-map client consumes. The encoder and decoder are
+pure stdlib (hand-rolled protobuf wire writer/reader, same discipline
+as the repo's PNG/JPEG codecs), so the bytes are reproducible
+Spark-free and the oracle can check the TILES, not just the counts.
+
+Scale shape (identical to the heatmap): pings collapse map-side to
+(tile, pixel, count) partials — the first shuffle carries at most
+``tiles × extent²`` rows, never raw pings — then one more shuffle keyed
+by tile feeds an Arrow ``applyInPandas`` whose per-group state is the
+tile's sparse feature list. Feature order inside a tile is pinned
+(row-major by (py, px)) so output bytes are partition-invariant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions import cells as C
+
+# geometry types (vector-tile-spec 2.1 §4.3.4)
+POINT, LINESTRING, POLYGON = 1, 2, 3
+_MOVE_TO, _LINE_TO, _CLOSE_PATH = 1, 2, 7
+
+
+# ------------------------------------------------------------------ wire
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("varint is unsigned; zigzag first")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _packed(field: int, ints: Iterable[int]) -> bytes:
+    body = b"".join(_varint(i) for i in ints)
+    return _len_delim(field, body)
+
+
+# ------------------------------------------------------------------ encode
+
+def encode_geometry(parts: list[list[tuple]], geom_type: int) -> list[int]:
+    """Command-stream geometry (spec §4.3.5): per part MoveTo the first
+    vertex then LineTo the rest, cursor-relative zigzag deltas;
+    polygons close with ClosePath (the closing vertex is implicit and
+    must NOT be repeated in the input ring)."""
+    cmds: list[int] = []
+    cx = cy = 0
+    for part in parts:
+        if not part:
+            raise ValueError("empty geometry part")
+        if geom_type == POINT and len(part) != 1:
+            raise ValueError("POINT parts carry exactly one vertex")
+        x0, y0 = part[0]
+        cmds.append((_MOVE_TO) | (1 << 3))
+        cmds.append(_zigzag(int(x0) - cx))
+        cmds.append(_zigzag(int(y0) - cy))
+        cx, cy = int(x0), int(y0)
+        rest = part[1:]
+        if rest:
+            cmds.append((_LINE_TO) | (len(rest) << 3))
+            for x, y in rest:
+                cmds.append(_zigzag(int(x) - cx))
+                cmds.append(_zigzag(int(y) - cy))
+                cx, cy = int(x), int(y)
+        if geom_type == POLYGON:
+            cmds.append((_CLOSE_PATH) | (1 << 3))
+    return cmds
+
+
+def _value_msg(v) -> bytes:
+    """Value message (spec §4.1): strings and ints cover this engine's
+    property surface; ints use the int_value (field 4) varint."""
+    if isinstance(v, str):
+        return _len_delim(1, v.encode("utf-8"))
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(int(v))
+    if isinstance(v, int):
+        if v < 0:
+            return _tag(6, 0) + _varint(_zigzag(v))
+        return _tag(4, 0) + _varint(v)
+    raise TypeError(f"unsupported MVT value type {type(v)!r}")
+
+
+def encode_feature(fid: int, geom_type: int, geometry: list[int],
+                   tags: list[int]) -> bytes:
+    body = _tag(1, 0) + _varint(fid)
+    if tags:
+        body += _packed(2, tags)
+    body += _tag(3, 0) + _varint(geom_type)
+    body += _packed(4, geometry)
+    return body
+
+
+def encode_layer(name: str, features: list[bytes], keys: list[str],
+                 values: list, extent: int = 4096) -> bytes:
+    body = _tag(15, 0) + _varint(2)  # version=2 first, per spec examples
+    body += _len_delim(1, name.encode("utf-8"))
+    for f in features:
+        body += _len_delim(2, f)
+    for k in keys:
+        body += _len_delim(3, k.encode("utf-8"))
+    for v in values:
+        body += _len_delim(4, _value_msg(v))
+    body += _tag(5, 0) + _varint(extent)
+    return body
+
+
+def encode_tile(layers: list[bytes]) -> bytes:
+    return b"".join(_len_delim(3, lay) for lay in layers)
+
+
+def point_layer_bytes(pixels: list[tuple], name: str = "points",
+                      extent: int = 4096) -> bytes:
+    """One POINT feature per occupied pixel: ``pixels`` =
+    [(px, py, n)]; feature id = py*extent + px; property ``n`` = count.
+    Features row-major by (py, px); the value table is the tile's
+    distinct counts ascending — both pinned so bytes are deterministic.
+    """
+    pixels = sorted(pixels, key=lambda p: (p[1], p[0]))
+    counts = sorted({int(n) for _, _, n in pixels})
+    vidx = {n: i for i, n in enumerate(counts)}
+    feats = [
+        encode_feature(
+            int(py) * extent + int(px), POINT,
+            encode_geometry([[(px, py)]], POINT), [0, vidx[int(n)]])
+        for px, py, n in pixels
+    ]
+    return encode_tile(
+        [encode_layer(name, feats, ["n"], counts, extent=extent)])
+
+
+# ------------------------------------------------------------------ decode
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def varint(self) -> int:
+        n = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def bytes_(self) -> bytes:
+        ln = self.varint()
+        out = self.buf[self.pos:self.pos + ln]
+        if len(out) != ln:
+            raise ValueError("truncated length-delimited field")
+        self.pos += ln
+        return out
+
+    def fields(self):
+        while self.pos < len(self.buf):
+            key = self.varint()
+            field, wire = key >> 3, key & 0x7
+            if wire == 0:
+                yield field, self.varint()
+            elif wire == 2:
+                yield field, self.bytes_()
+            elif wire == 5:
+                out = self.buf[self.pos:self.pos + 4]
+                self.pos += 4
+                yield field, out
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+
+
+def _decode_packed(buf: bytes) -> list[int]:
+    r = _Reader(buf)
+    out = []
+    while r.pos < len(buf):
+        out.append(r.varint())
+    return out
+
+
+def _decode_value(buf: bytes):
+    for field, v in _Reader(buf).fields():
+        if field == 1:
+            return v.decode("utf-8")
+        if field == 4:
+            return v
+        if field == 6:
+            return _unzigzag(v)
+        if field == 7:
+            return bool(v)
+    raise ValueError("empty Value message")
+
+
+def decode_geometry(cmds: list[int]) -> list[tuple]:
+    """Command stream → list of (closed, [(x, y), ...]) parts with
+    absolute coordinates."""
+    parts: list[tuple] = []
+    cur: list[tuple] = []
+    closed = False
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cmd, count = cmds[i] & 0x7, cmds[i] >> 3
+        i += 1
+        if cmd == _MOVE_TO:
+            for _ in range(count):
+                if cur:
+                    parts.append((closed, cur))
+                cx += _unzigzag(cmds[i]); cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur, closed = [(cx, cy)], False
+        elif cmd == _LINE_TO:
+            for _ in range(count):
+                cx += _unzigzag(cmds[i]); cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cmd == _CLOSE_PATH:
+            closed = True
+        else:
+            raise ValueError(f"unknown geometry command {cmd}")
+    if cur:
+        parts.append((closed, cur))
+    return parts
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """Full tile parse → [{name, version, extent, keys, values,
+    features: [{id, type, tags, parts}]}] — the independent read side
+    the tests round-trip through."""
+    layers = []
+    for field, payload in _Reader(buf).fields():
+        if field != 3:
+            continue
+        lay = {"name": None, "version": None, "extent": 4096,
+               "keys": [], "values": [], "features": []}
+        for lf, lv in _Reader(payload).fields():
+            if lf == 15:
+                lay["version"] = lv
+            elif lf == 1:
+                lay["name"] = lv.decode("utf-8")
+            elif lf == 3:
+                lay["keys"].append(lv.decode("utf-8"))
+            elif lf == 4:
+                lay["values"].append(_decode_value(lv))
+            elif lf == 5:
+                lay["extent"] = lv
+            elif lf == 2:
+                feat = {"id": None, "type": None, "tags": [], "parts": []}
+                for ff, fv in _Reader(lv).fields():
+                    if ff == 1:
+                        feat["id"] = fv
+                    elif ff == 2:
+                        feat["tags"] = _decode_packed(fv)
+                    elif ff == 3:
+                        feat["type"] = fv
+                    elif ff == 4:
+                        feat["parts"] = decode_geometry(_decode_packed(fv))
+                lay["features"].append(feat)
+        layers.append(lay)
+    return layers
+
+
+# ------------------------------------------------------------------ Spark
+
+def vector_tiles(
+    points: DataFrame,
+    res: int = 3,
+    extent: int = 4096,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    layer: str = "points",
+) -> DataFrame:
+    """Render one MVT per occupied Morton tile at resolution ``res``:
+    each occupied quantized pixel becomes a POINT feature carrying its
+    ping count as property ``n``. Returns ``(tile, n_features, n_pts,
+    mvt)`` with byte-deterministic tiles (feature order row-major,
+    value table sorted)."""
+    shift = (extent - 1).bit_length()
+    if 1 << shift != extent:
+        raise ValueError("extent must be a power of two")
+    pix_res = res + shift
+    if pix_res > C.MAX_RES:
+        raise ValueError(f"res + log2(extent) must be <= {C.MAX_RES}")
+
+    ix = C.lon_ix(F.col(lon_col), pix_res)
+    iy = C.lat_iy(F.col(lat_col), pix_res)
+    binned = points.select(
+        C.cell_from_ixiy(
+            F.shiftright(ix, shift), F.shiftright(iy, shift)).alias("tile"),
+        ix.bitwiseAND(F.lit(extent - 1)).alias("pxl"),
+        iy.bitwiseAND(F.lit(extent - 1)).alias("pyl"),
+    )
+    counts = binned.groupBy("tile", "pxl", "pyl").agg(
+        F.count("*").alias("n"))
+
+    import pandas as pd
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iloc[0])
+        pixels = list(zip(pdf["pxl"].astype(int), pdf["pyl"].astype(int),
+                          pdf["n"].astype(int)))
+        buf = point_layer_bytes(pixels, name=layer, extent=extent)
+        return pd.DataFrame(
+            [(tile, len(pixels), int(pdf["n"].sum()), buf)],
+            columns=["tile", "n_features", "n_pts", "mvt"])
+
+    return counts.groupBy("tile").applyInPandas(
+        render, schema="tile long, n_features long, n_pts long, mvt binary")
