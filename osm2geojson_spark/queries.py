@@ -1733,11 +1733,14 @@ def q_image_validate(spark, sf_dir):
     SEVENTH format: HEIF with the standard JPEG coding item
     (synth/heif.py — real ftyp/meta/pitm/iinf/iloc/ispe walk; hvc1/av01
     payloads codec-gate → quarantine). Every format in the rotation is
-    a real codec; no blind stubs remain."""
+    a real codec; no blind stubs remain. Late round 3 adds an EIGHTH:
+    GIF (synth/gif.py — real variable-width LZW both directions,
+    interlace, animation compositing; the deterministic 3-3-2 palette
+    quantization is idempotent, so re-encode PSNR is inf)."""
     from osm2geojson_spark.operators.images import validate_images
-    from osm2geojson_spark.synth.images import FMTS_HEIF, images_table
+    from osm2geojson_spark.synth.images import FMTS_GIF, images_table
 
-    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_HEIF)
+    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_GIF)
     v = validate_images(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1749,9 +1752,9 @@ def q_image_validate(spark, sf_dir):
 
 _SQL_IMAGE_VALIDATE = """
 WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
-SELECT CASE ((i + 21) % 7) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+SELECT CASE ((i + 21) % 8) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' WHEN 4 THEN 'jpg'
-            WHEN 5 THEN 'webp' ELSE 'heif' END AS fmt,
+            WHEN 5 THEN 'webp' WHEN 6 THEN 'heif' ELSE 'gif' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        CAST(COUNT(*) AS BIGINT) AS n_phash_match,

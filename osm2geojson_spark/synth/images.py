@@ -42,6 +42,11 @@ FMTS_ALL = FMTS_JPEG + ("webp",)
 # 7-format rotation: + HEIF with the standard JPEG coding item
 # (synth/heif.py — real ISO-BMFF meta/iinf/iloc walk; hvc1/av01 gate).
 FMTS_HEIF = FMTS_ALL + ("heif",)
+# 8-format rotation: + GIF (synth/gif.py — real variable-width LZW both
+# directions, interlace, local palettes, GCE transparency, animation
+# compositing; encoder quantizes to the deterministic 3-3-2 palette so
+# like jpg it is lossy-by-format and idempotent on re-encode).
+FMTS_GIF = FMTS_HEIF + ("gif",)
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -259,12 +264,24 @@ def _decode_heif(buf: bytes) -> np.ndarray:
     return decode_heif(buf)
 
 
+def _encode_gif(px: np.ndarray) -> bytes:
+    from .gif import encode_gif
+
+    return encode_gif(px)
+
+
+def _decode_gif(buf: bytes) -> np.ndarray:
+    from .gif import decode_gif
+
+    return decode_gif(buf)
+
+
 ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
             "png": encode_png, "jpg": _encode_jpg, "webp": _encode_webp,
-            "heif": _encode_heif}
+            "heif": _encode_heif, "gif": _encode_gif}
 DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
             "png": decode_png, "jpg": _decode_jpg, "webp": _decode_webp,
-            "heif": _decode_heif}
+            "heif": _decode_heif, "gif": _decode_gif}
 
 
 # ------------------------------------------------------------------ pixels
