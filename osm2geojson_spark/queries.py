@@ -1736,11 +1736,15 @@ def q_image_validate(spark, sf_dir):
     a real codec; no blind stubs remain. Late round 3 adds an EIGHTH:
     GIF (synth/gif.py — real variable-width LZW both directions,
     interlace, animation compositing; the deterministic 3-3-2 palette
-    quantization is idempotent, so re-encode PSNR is inf)."""
+    quantization is idempotent, so re-encode PSNR is inf) and a NINTH:
+    baseline TIFF (synth/tiff.py — II/MM IFD walk, strips, PackBits +
+    TIFF-flavor LZW with predictor 2; lossless, and the encoder
+    round-robins compression/byte-order from pixel content so every
+    decode path runs in this very query)."""
     from osm2geojson_spark.operators.images import validate_images
-    from osm2geojson_spark.synth.images import FMTS_GIF, images_table
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
 
-    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_GIF)
+    imgs = images_table(spark, n=500, seed=42, fmts=FMTS_TIFF)
     v = validate_images(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1752,9 +1756,10 @@ def q_image_validate(spark, sf_dir):
 
 _SQL_IMAGE_VALIDATE = """
 WITH seeds AS (SELECT i FROM generate_series(0, 499) AS t(i))
-SELECT CASE ((i + 21) % 8) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+SELECT CASE ((i + 21) % 9) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'qz6' WHEN 3 THEN 'png' WHEN 4 THEN 'jpg'
-            WHEN 5 THEN 'webp' WHEN 6 THEN 'heif' ELSE 'gif' END AS fmt,
+            WHEN 5 THEN 'webp' WHEN 6 THEN 'heif' WHEN 7 THEN 'gif'
+            ELSE 'tiff' END AS fmt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_ok,
        CAST(COUNT(*) AS BIGINT) AS n_phash_match,

@@ -47,6 +47,10 @@ FMTS_HEIF = FMTS_ALL + ("heif",)
 # compositing; encoder quantizes to the deterministic 3-3-2 palette so
 # like jpg it is lossy-by-format and idempotent on re-encode).
 FMTS_GIF = FMTS_HEIF + ("gif",)
+# 9-format rotation: + baseline TIFF (synth/tiff.py — II/MM IFD walk,
+# strips, PackBits + TIFF-flavor LZW w/ predictor 2; lossless, encoder
+# round-robins compression/byte-order from pixel content).
+FMTS_TIFF = FMTS_GIF + ("tiff",)
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -276,12 +280,26 @@ def _decode_gif(buf: bytes) -> np.ndarray:
     return decode_gif(buf)
 
 
+def _encode_tiff(px: np.ndarray) -> bytes:
+    from .tiff import encode_tiff
+
+    return encode_tiff(px)
+
+
+def _decode_tiff(buf: bytes) -> np.ndarray:
+    from .tiff import decode_tiff
+
+    return decode_tiff(buf)
+
+
 ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "qz6": encode_qz6,
             "png": encode_png, "jpg": _encode_jpg, "webp": _encode_webp,
-            "heif": _encode_heif, "gif": _encode_gif}
+            "heif": _encode_heif, "gif": _encode_gif,
+            "tiff": _encode_tiff}
 DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "qz6": decode_qz6,
             "png": decode_png, "jpg": _decode_jpg, "webp": _decode_webp,
-            "heif": _decode_heif, "gif": _decode_gif}
+            "heif": _decode_heif, "gif": _decode_gif,
+            "tiff": _decode_tiff}
 
 
 # ------------------------------------------------------------------ pixels
