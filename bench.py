@@ -196,6 +196,12 @@ BENCH_QUERIES = {
     # join) and vector→raster PNG tile rendering
     "map_match": Q.q_map_match,
     "heatmap_tiles": Q.q_heatmap_tiles,
+    # late round 3 (2nd half): protobuf vector-tile rendering (the MVT
+    # twin of heatmap_tiles — same map-side pixel collapse, different
+    # serializer). Routing stays out of the headline (driver-round
+    # latency on a 576-node grid measures nothing); its scale evidence
+    # lives in tools/route_scale_bench.py + BENCH.md.
+    "vector_tiles": Q.q_vector_tiles,
 }
 
 

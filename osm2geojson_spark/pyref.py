@@ -777,3 +777,12 @@ def ref_vector_tiles(pts: "list[tuple]", res: int = 3,
         out.append((tile, len(pixels), sum(c for _, _, c in pixels),
                     buf.hex().upper()))
     return out
+
+
+def ref_convex_hull(pts: "list[tuple]") -> "list[tuple]":
+    """(pos, x, y) canonical CCW hull rows — single-pass Spark-free twin
+    of spatial/hull.convex_hull (same monotone chain, applied once to
+    the full set instead of partial-then-merge)."""
+    from osm2geojson_spark.spatial.hull import monotone_chain
+
+    return [(i, x, y) for i, (x, y) in enumerate(monotone_chain(pts))]

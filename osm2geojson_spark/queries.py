@@ -2928,6 +2928,37 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+def q_convex_hull(spark, sf_dir):
+    """Distributed convex hull (coverage footprint): event pings in
+    integer microdegrees → per-partition partial hulls (mapInPandas, a
+    few dozen vertices out of the whole partition) → one merge of the
+    tiny partials. Hull-of-hulls == hull-of-all is exact because every
+    turn predicate is an int64 cross product — no floats anywhere — and
+    the oracle is the SINGLE-PASS pyref hull over the same ints, so a
+    value match also proves the algebraic-aggregate decomposition."""
+    from osm2geojson_spark.spatial.hull import convex_hull
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(360_000_000))
+        .alias("x"),
+        ((F.col("event_id") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF))
+         % F.lit(170_000_000)).alias("y"),
+    )
+    return convex_hull(pts)
+
+
+def _sql_convex_hull() -> str:
+    from osm2geojson_spark import pyref
+
+    ids = [r[0] for r in _oracle_parquet("events", ["event_id"])]
+    pts = [((k * _LON_MUL) % 360_000_000,
+            (k * _LAT_MUL + _LAT_OFF) % 170_000_000) for k in ids]
+    rows = pyref.ref_convex_hull(pts)
+    return pyref.values_sql(
+        rows, [("pos", "INT"), ("x", "BIGINT"), ("y", "BIGINT")])
+
+
 _ROUTE_N = 24  # grid road network side; 576 nodes / 2,208 directed edges
 _ROUTE_TARGET = _ROUTE_N * _ROUTE_N - 1  # far corner
 
@@ -3267,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": q_contours,
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
+        "convex_hull": q_convex_hull,
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "pii_redact": q_pii_redact,
@@ -3340,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),
+        "convex_hull": _sql_convex_hull(),
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "pii_redact": _SQL_PII_REDACT,
