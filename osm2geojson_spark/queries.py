@@ -2928,6 +2928,81 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+_IDW_RES = 6
+
+
+def q_idw_smooth(spark, sf_dir):
+    """IDW spatial interpolation: event samples (value = deterministic
+    int-derived field) → per-occupied-cell inverse-distance-weighted
+    estimate of the cell center from the 3×3 neighborhood. Constant
+    9× explode + one equi-join + ONE grouping shuffle; float weight
+    sums are made engine-exact by folding in sample-id order
+    (F.aggregate == DuckDB list_reduce — the trajectory_stats
+    discipline), so this oracle is a TRUE cross-engine double-precision
+    replay, not a literal table."""
+    from osm2geojson_spark.spatial.interpolate import idw_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("sample_id"),
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+        ((F.col("event_id") * 13) % 1000).cast("double").alias("v"),
+    )
+    return idw_smooth(pts, value_col="v", res=_IDW_RES)
+
+
+def _sql_idw_smooth() -> str:
+    res = _IDW_RES
+    n = 1 << res
+    six = C.lon_ix_sql(lon_sql("event_id"), res)
+    siy = C.lat_iy_sql(lat_sql("event_id"), res)
+    cell = C.cell_from_ixiy_sql("tix", "tiy")
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1))
+    return f"""
+WITH samples AS (
+  SELECT event_id AS o,
+         ({lon_sql('event_id')}) AS x, ({lat_sql('event_id')}) AS y,
+         CAST(((event_id * 13) % 1000) AS DOUBLE) AS v,
+         ({six}) AS six, ({siy}) AS siy
+  FROM events),
+occupied AS (SELECT DISTINCT six AS tix, siy AS tiy FROM samples),
+offs(dx, dy) AS (VALUES {offs}),
+cand AS (
+  SELECT s.o, s.x, s.y, s.v,
+         (s.six + f.dx) AS tix, (s.siy + f.dy) AS tiy
+  FROM samples s, offs f
+  WHERE ((s.six + f.dx) >= 0) AND ((s.six + f.dx) < {n})
+    AND ((s.siy + f.dy) >= 0) AND ((s.siy + f.dy) < {n})),
+hit AS (
+  SELECT c.* FROM cand c
+  JOIN occupied t ON ((c.tix = t.tix) AND (c.tiy = t.tiy))),
+wts AS (
+  SELECT tix, tiy, o, v,
+         (1.0 / ((((x - ((((CAST(tix AS DOUBLE) + 0.5) / {float(n)!r}) * 360.0) - 180.0))
+                   * (x - ((((CAST(tix AS DOUBLE) + 0.5) / {float(n)!r}) * 360.0) - 180.0)))
+                  + ((y - ((((CAST(tiy AS DOUBLE) + 0.5) / {float(n)!r}) * 180.0) - 90.0))
+                     * (y - ((((CAST(tiy AS DOUBLE) + 0.5) / {float(n)!r}) * 180.0) - 90.0))))
+                 + 1e-12)) AS w
+  FROM hit),
+arrs AS (
+  SELECT tix, tiy,
+         list(struct_pack(w := w, wv := (w * v)) ORDER BY o ASC) AS arr,
+         COUNT(*) AS n_samples
+  FROM wts GROUP BY tix, tiy),
+folded AS (
+  SELECT tix, tiy, n_samples,
+         list_reduce(arr, (a, b) -> struct_pack(
+             w := ((a).w + (b).w), wv := ((a).wv + (b).wv))) AS f
+  FROM arrs)
+SELECT ({cell}) AS cell, tix, tiy,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       ((f).wv / (f).w) AS idw
+FROM folded
+"""
+
+
 def q_convex_hull(spark, sf_dir):
     """Distributed convex hull (coverage footprint): event pings in
     integer microdegrees → per-partition partial hulls (mapInPandas, a
@@ -3299,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
         "convex_hull": q_convex_hull,
+        "idw_smooth": q_idw_smooth,
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "pii_redact": q_pii_redact,
@@ -3373,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),
         "convex_hull": _sql_convex_hull(),
+        "idw_smooth": _sql_idw_smooth(),
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "pii_redact": _SQL_PII_REDACT,
