@@ -786,3 +786,23 @@ def ref_convex_hull(pts: "list[tuple]") -> "list[tuple]":
     from osm2geojson_spark.spatial.hull import monotone_chain
 
     return [(i, x, y) for i, (x, y) in enumerate(monotone_chain(pts))]
+
+
+def ref_travel_matrix(n: int, sources: "list[int]") -> "list[tuple]":
+    """(src, node_id, dist) rows — per-source heap Dijkstra over the
+    grid network (independent of the batched frontier algorithm)."""
+    edges = grid_graph(n)
+    out = []
+    for s in sources:
+        for node, d in sorted(dijkstra(edges, s).items()):
+            out.append((s, node, d))
+    return out
+
+
+def ref_catchment(n: int, sources: "list[int]") -> "list[tuple]":
+    """(node_id, nearest_src, dist) with the min(dist, src) tie rule."""
+    best: dict = {}
+    for s, node, d in ref_travel_matrix(n, sources):
+        if node not in best or (d, s) < best[node]:
+            best[node] = (d, s)
+    return sorted((node, s, d) for node, (d, s) in best.items())

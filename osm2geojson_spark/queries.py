@@ -3112,6 +3112,34 @@ FROM d GROUP BY band
 """
 
 
+_ROUTE_DEPOTS = [0, 23, 552, 575]  # the four grid corners
+
+
+def q_catchment(spark, sf_dir):
+    """Nearest-facility catchment: batched multi-source SSSP (all four
+    depots expand in the SAME rounds/shuffles, keyed (src, node) — one
+    traversal, not four) → per-node argmin over sources as a single
+    struct-min aggregate (map-side combinable, no window). Oracle =
+    per-source heap Dijkstra + the same min(dist, src) tie rule."""
+    from osm2geojson_spark.spatial.route import (
+        catchment_assign,
+        grid_edges,
+        travel_time_matrix,
+    )
+
+    m = travel_time_matrix(grid_edges(spark, _ROUTE_N), _ROUTE_DEPOTS)
+    return catchment_assign(m)
+
+
+def _sql_catchment() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_catchment(_ROUTE_N, _ROUTE_DEPOTS)
+    return pyref.values_sql(
+        rows, [("node_id", "BIGINT"), ("nearest_src", "BIGINT"),
+               ("dist", "BIGINT")])
+
+
 def q_compact_cover(spark, sf_dir):
     """Minimal multi-resolution cell covering (H3-style compact): the
     distinct res-6 cells occupied by events collapse complete sibling
@@ -3377,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_smooth": q_idw_smooth,
         "route_path": q_route_path,
         "isochrone": q_isochrone,
+        "catchment": q_catchment,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3452,6 +3481,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_smooth": _sql_idw_smooth(),
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
+        "catchment": _sql_catchment(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

@@ -247,6 +247,89 @@ def reconstruct_route(
     return p.where(F.col("pos") <= first_src).select("pos", "node_id")
 
 
+def travel_time_matrix(
+    edges: DataFrame,
+    sources: list[int],
+    max_iters: int = 64,
+) -> DataFrame:
+    """Multi-source shortest paths → ``(src, node_id, dist)`` for every
+    (source, reachable node) pair — the travel-time matrix behind
+    catchment/coverage products.
+
+    Same frontier Bellman-Ford as :func:`shortest_paths` but keyed by
+    the composite (src, node): ALL sources expand in the SAME rounds and
+    the SAME shuffles, so k sources cost one traversal with k× frontier
+    rows, not k traversals — the standard batched-SSSP trick.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("travel_time_matrix requires non-negative weights")
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "src long, id long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    changed = 1
+    for _ in range(max_iters):
+        cand = (
+            frontier.join(e, frontier.id == e.e_src)
+            .groupBy("src", F.col("e_dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        merged = (
+            dist.join(cand, ["src", "id"], "full")
+            .select(
+                "src",
+                "id",
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("nd") < F.col("dist"))
+                ).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where("_imp").select("src", "id", "dist")
+        changed = frontier.count()
+        dist = merged.select("src", "id", "dist")
+        if changed == 0:
+            break
+    e.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"travel_time_matrix did not converge in {max_iters} rounds "
+            f"({changed} entries still improving); raise max_iters"
+        )
+    return dist.select("src", F.col("id").alias("node_id"), "dist")
+
+
+def catchment_assign(matrix: DataFrame) -> DataFrame:
+    """Nearest-facility assignment over a travel-time matrix:
+    ``(node_id, nearest_src, dist)`` with the deterministic tie rule
+    min(dist, src) — one struct-min aggregate (map-side combinable,
+    whole-row argmin without a window)."""
+    best = F.min(F.struct(F.col("dist"), F.col("src"))).alias("b")
+    return (
+        matrix.groupBy("node_id")
+        .agg(best)
+        .select(
+            "node_id",
+            F.col("b.src").alias("nearest_src"),
+            F.col("b.dist").alias("dist"),
+        )
+    )
+
+
 def isochrone_bands(dist: DataFrame, band_width: int) -> DataFrame:
     """Reachability bands over an SSSP result: ``(band, n_nodes,
     min_dist, max_dist)`` with band = dist // band_width — the

@@ -133,3 +133,49 @@ def test_isochrone_bands(spark):
         n0, lo, hi = ref.get(b, (0, d, d))
         ref[b] = (n0 + 1, min(lo, d), max(hi, d))
     assert got == ref
+
+
+def test_travel_matrix_equals_per_source_dijkstra(spark):
+    from osm2geojson_spark.spatial.route import travel_time_matrix
+
+    n, sources = 10, [0, 99, 45]
+    got = sorted(
+        (r.src, r.node_id, r.dist)
+        for r in travel_time_matrix(grid_edges(spark, n), sources).collect())
+    assert got == sorted(pyref.ref_travel_matrix(n, sources))
+
+
+def test_travel_matrix_row_equals_single_source(spark):
+    from osm2geojson_spark.spatial.route import travel_time_matrix
+
+    e = grid_edges(spark, 8)
+    single = sorted(
+        (r.node_id, r.dist) for r in shortest_paths(e, 7).collect())
+    multi = sorted(
+        (r.node_id, r.dist)
+        for r in travel_time_matrix(e, [7, 56]).where("src = 7").collect())
+    assert multi == single
+
+
+def test_catchment_assignment(spark):
+    from osm2geojson_spark.spatial.route import (
+        catchment_assign,
+        travel_time_matrix,
+    )
+
+    n, sources = 8, [0, 63]
+    m = travel_time_matrix(grid_edges(spark, n), sources)
+    got = sorted(
+        (r.node_id, r.nearest_src, r.dist)
+        for r in catchment_assign(m).collect())
+    assert got == pyref.ref_catchment(n, sources)
+    # every node assigned exactly once, sources assign to themselves
+    assert len(got) == n * n
+    assert (0, 0, 0) in got and (63, 63, 0) in got
+
+
+def test_travel_matrix_negative_weight_rejected(spark):
+    from osm2geojson_spark.spatial.route import travel_time_matrix
+
+    with pytest.raises(ValueError):
+        travel_time_matrix(_edges_df(spark, [(0, 1, -2)]), [0])
