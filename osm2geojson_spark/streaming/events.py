@@ -233,3 +233,81 @@ def tile_counts_stream(points: DataFrame, res: int = 6,
             "tile", "n",
         )
     )
+
+
+def mvt_pixel_counts_stream(points: DataFrame, res: int = 3,
+                            extent: int = 4096,
+                            watermark: str = "2 hours",
+                            window: str = "1 hour") -> DataFrame:
+    """Streaming vector-tile substrate: watermarked tumbling-window ping
+    counts per (tile, pixel) at MVT quantization — the incremental twin
+    of spatial/mvt.vector_tiles' map-side pixel collapse. State is
+    bounded by (watermark horizon / window) × occupied pixels. Same
+    codegen cell/pixel expressions as batch ⇒ row-exact twin."""
+    from osm2geojson_spark.functions import cells as C
+
+    shift = (extent - 1).bit_length()
+    if 1 << shift != extent:
+        raise ValueError("extent must be a power of two")
+    pix_res = res + shift
+    ix = C.lon_ix(F.col("lon"), pix_res)
+    iy = C.lat_iy(F.col("lat"), pix_res)
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            C.cell_from_ixiy(
+                F.shiftright(ix, shift),
+                F.shiftright(iy, shift)).alias("tile"),
+            ix.bitwiseAND(F.lit(extent - 1)).alias("pxl"),
+            iy.bitwiseAND(F.lit(extent - 1)).alias("pyl"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH").alias("hour"),
+            "tile", "pxl", "pyl", "n",
+        )
+    )
+
+
+def render_mvt_tiles(pixel_counts: DataFrame,
+                     extent: int = 4096) -> DataFrame:
+    """BATCH renderer for the pixel-count substrate: one MVT per
+    (hour, tile) via Arrow applyInPandas — reused inside foreachBatch so
+    streaming micro-batches render DISTRIBUTED, not on the driver."""
+    import pandas as pd
+
+    from osm2geojson_spark.spatial.mvt import point_layer_bytes
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        hour = pdf["hour"].iloc[0]
+        tile = int(pdf["tile"].iloc[0])
+        pixels = list(zip(pdf["pxl"].astype(int), pdf["pyl"].astype(int),
+                          pdf["n"].astype(int)))
+        buf = point_layer_bytes(pixels, extent=extent)
+        return pd.DataFrame(
+            [(hour, tile, len(pixels), int(pdf["n"].sum()), buf)],
+            columns=["hour", "tile", "n_features", "n_pts", "mvt"])
+
+    return pixel_counts.groupBy("hour", "tile").applyInPandas(
+        render,
+        schema="hour string, tile long, n_features long, n_pts long, "
+               "mvt binary")
+
+
+def mvt_stream_to_memory(pixel_counts_stream: DataFrame, name: str,
+                         extent: int = 4096) -> None:
+    """foreachBatch sink: grouped-map pandas is not stream-capable, so
+    each micro-batch's finalized windows render through the BATCH
+    ``render_mvt_tiles`` (still Arrow-distributed within the batch) and
+    land in a global temp view for the test/consumer to read."""
+
+    def handle(bdf: DataFrame, batch_id: int) -> None:
+        # eager localCheckpoint materializes the rendered tiles so the
+        # view outlives the micro-batch's source frame
+        out = render_mvt_tiles(bdf, extent=extent).localCheckpoint(eager=True)
+        out.createOrReplaceGlobalTempView(name)
+
+    q = (pixel_counts_stream.writeStream.foreachBatch(handle)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()

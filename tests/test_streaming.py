@@ -100,3 +100,54 @@ def test_tile_counts_stream_matches_batch(spark):
                 C.cell_expr(F.col("lon"), F.col("lat"), 6).alias("tile"))
             .agg(F.count("*").alias("n")).collect()}
     assert got == want and len(got) > 50
+
+
+def test_mvt_stream_matches_batch(spark):
+    from osm2geojson_spark.queries import lat_col, lon_col
+    from osm2geojson_spark.streaming.events import (
+        mvt_pixel_counts_stream,
+        mvt_stream_to_memory,
+        render_mvt_tiles,
+    )
+
+    def with_coords(df):
+        return df.select(
+            "ts",
+            lon_col(F.col("event_id")).alias("lon"),
+            lat_col(F.col("event_id")).alias("lat"),
+        )
+
+    stream = with_coords(stream_events_from_parquet(spark, SF))
+    mvt_stream_to_memory(
+        mvt_pixel_counts_stream(stream, res=3), "mvt_t")
+    got = {(r["hour"], r["tile"]):
+           (r["n_features"], r["n_pts"], bytes(r["mvt"]).hex())
+           for r in spark.table("global_temp.mvt_t").collect()}
+
+    # batch twin: the SAME windowed pixel counts from a static read,
+    # rendered by the same (independently oracle-checked) serializer
+    ev = with_coords(spark.read.parquet(f"{SF}/events.parquet"))
+    from osm2geojson_spark.functions import cells as C
+
+    pix_res = 3 + 12
+    ix = C.lon_ix(F.col("lon"), pix_res)
+    iy = C.lat_iy(F.col("lat"), pix_res)
+    batch_pc = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH").alias("hour"),
+        C.cell_from_ixiy(
+            F.shiftright(ix, 12), F.shiftright(iy, 12)).alias("tile"),
+        ix.bitwiseAND(F.lit(4095)).alias("pxl"),
+        iy.bitwiseAND(F.lit(4095)).alias("pyl"),
+    ).agg(F.count("*").alias("n"))
+    want = {(r["hour"], r["tile"]):
+            (r["n_features"], r["n_pts"], bytes(r["mvt"]).hex())
+            for r in render_mvt_tiles(batch_pc).collect()}
+    assert got == want and len(got) > 20
+    # decoded tile counts are self-consistent
+    from osm2geojson_spark.spatial.mvt import decode_tile
+
+    any_tile = next(iter(got.values()))
+    lay = decode_tile(bytes.fromhex(any_tile[2]))[0]
+    assert sum(lay["values"][f["tags"][1]]
+               for f in lay["features"]) == any_tile[1]
