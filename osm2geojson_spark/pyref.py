@@ -806,3 +806,30 @@ def ref_catchment(n: int, sources: "list[int]") -> "list[tuple]":
         if node not in best or (d, s) < best[node]:
             best[node] = (d, s)
     return sorted((node, s, d) for node, (d, s) in best.items())
+
+
+def ref_simplify_paths(rows: "list[tuple]", eps: float) -> "list[tuple]":
+    """(user_id, pos, x, y) rows of the RDP-simplified per-user ordered
+    path — Spark-free replay: per-user sort by (ts, event_id), int-
+    derived coords, the same vectorized rdp_mask kernel applied without
+    any Spark plumbing (kernel correctness itself is pinned separately
+    by the hypothesis property tests in tests/test_simplify.py)."""
+    import numpy as np
+
+    from osm2geojson_spark.spatial.simplify import rdp_mask
+
+    LON_MUL, LAT_MUL, LAT_OFF = 2654435761, 2246822519, 1013904223
+    by_user: dict = {}
+    for user_id, event_id, ts in rows:
+        by_user.setdefault(user_id, []).append((ts, event_id))
+    out = []
+    for user_id, evs in sorted(by_user.items()):
+        evs.sort()
+        pts = np.array(
+            [[float((e * LON_MUL) % 360_000_000) / 1e6 - 180.0,
+              float((e * LAT_MUL + LAT_OFF) % 170_000_000) / 1e6 - 85.0]
+             for _, e in evs], dtype=np.float64)
+        m = rdp_mask(pts, eps)
+        for pos, (x, y) in enumerate(pts[m]):
+            out.append((user_id, pos, float(x), float(y)))
+    return out

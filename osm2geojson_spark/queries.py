@@ -2928,6 +2928,56 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+_RDP_EPS = 20.0
+
+
+def q_simplify_paths(spark, sf_dir):
+    """Per-zoom geometry simplification made driver-visible: per-user
+    ordered GPS paths → RDP keep-mask (vectorized span kernel, Arrow
+    UDF — simplify runs WHERE the geometry already is, no extra
+    shuffle after the path groupBy) → exploded (user_id, pos, x, y)
+    vertices. Oracle = the same kernel applied Spark-free per user
+    (pyref literal table — the heatmap/zonal reuse pattern; kernel
+    correctness itself is pinned by the hypothesis property tests in
+    tests/test_simplify.py)."""
+    from osm2geojson_spark.spatial.simplify import simplified_nodes_udf
+
+    ev = _t(spark, sf_dir, "events")
+    pt = F.struct(
+        F.col("ts").alias("ts"), F.col("event_id").alias("o"),
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    paths = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(pt)).alias("path"))
+        .select(
+            "user_id",
+            F.transform(
+                F.col("path"),
+                lambda p: F.struct(p["lon"].alias("lon"),
+                                   p["lat"].alias("lat"))).alias("nodes"),
+        )
+    )
+    simp = simplified_nodes_udf(_RDP_EPS)
+    out = paths.select("user_id", simp(F.col("nodes")).alias("sn"))
+    return out.select(
+        "user_id", F.posexplode("sn").alias("pos", "p")
+    ).select(
+        "user_id", F.col("pos").cast("int").alias("pos"),
+        F.col("p.lon").alias("x"), F.col("p.lat").alias("y"))
+
+
+def _sql_simplify_paths() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = _oracle_parquet("events", ["user_id", "event_id", "ts"])
+    ref = pyref.ref_simplify_paths(rows, _RDP_EPS)
+    return pyref.values_sql(
+        ref, [("user_id", "BIGINT"), ("pos", "INT"),
+              ("x", "DOUBLE"), ("y", "DOUBLE")])
+
+
 _IDW_RES = 6
 
 
@@ -3403,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "convex_hull": q_convex_hull,
         "idw_smooth": q_idw_smooth,
+        "simplify_paths": q_simplify_paths,
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "catchment": q_catchment,
@@ -3479,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _sql_shortest_paths(),
         "convex_hull": _sql_convex_hull(),
         "idw_smooth": _sql_idw_smooth(),
+        "simplify_paths": _sql_simplify_paths(),
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "catchment": _sql_catchment(),

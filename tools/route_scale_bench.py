@@ -35,6 +35,7 @@ from osm2geojson_spark.session import get_spark
 from osm2geojson_spark.spatial.route import shortest_paths
 
 cores = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
+wmax = int(sys.argv[4])
 spark = get_spark("route-scale-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=cores)
 
@@ -56,7 +57,7 @@ def edges():
         .select(
             "src", "dst",
             (1 + (F.col("src") * 73856093 + F.col("dst") * 19349663)
-             % 9).cast("long").alias("w"))
+             % wmax).cast("long").alias("w"))
     )
 
 
@@ -73,10 +74,11 @@ print(json.dumps({"cores": cores, "times": times, "best": min(times),
 """
 
 
-def run_level(cores: int, n: int, reps: int) -> dict:
+def run_level(cores: int, n: int, reps: int, wmax: int) -> dict:
     child = _CHILD.replace("@REPO@", REPO)
     out = subprocess.run(
-        [sys.executable, "-c", child, str(cores), str(n), str(reps)],
+        [sys.executable, "-c", child, str(cores), str(n), str(reps),
+         str(wmax)],
         capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -84,10 +86,11 @@ def run_level(cores: int, n: int, reps: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     reps = int(os.environ.get("SCALE_REPS", "3"))
+    wmax = int(os.environ.get("SCALE_WMAX", "3"))
     levels = [int(x) for x in
               os.environ.get("SCALE_LEVELS", "8,32").split(",")]
-    results = {lv: run_level(lv, n, reps) for lv in levels}
-    report = {"n_nodes": n, "n_edges": n * 8}
+    results = {lv: run_level(lv, n, reps, wmax) for lv in levels}
+    report = {"n_nodes": n, "n_edges": n * 8, "w_range": [1, wmax]}
     for lv, r in results.items():
         report[f"local{lv}"] = {
             "best_sec": round(r["best"], 3),
