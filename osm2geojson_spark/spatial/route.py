@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "grid_edges",
     "shortest_paths",
+    "travel_time_matrix",
+    "catchment_assign",
     "route_predecessors",
     "reconstruct_route",
     "isochrone_bands",
@@ -100,6 +102,7 @@ def shortest_paths(
     edges: DataFrame,
     source: int,
     max_iters: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Single-source shortest paths → ``(node_id, dist)`` for every
     reachable node (unreachable nodes are absent, not null — quarantine
@@ -113,12 +116,19 @@ def shortest_paths(
     (settled distances never regress past convergence) doesn't hold.
     """
     spark = edges.sparkSession
+    # hash-partition AND sort the edge table on the join key ONCE: the
+    # cached InMemoryRelation keeps its outputPartitioning/ordering, so
+    # every round's sort-merge join reuses it instead of re-exchanging
+    # and re-sorting the (big) edges side per round (−26% wall-clock on
+    # the 16M-edge expander bench, BENCH.md)
     e = (
         edges.select(
             F.col("src").cast("long").alias("src"),
             F.col("dst").cast("long").alias("dst"),
             F.col("w").cast("long").alias("w"),
         )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
         .persist()
     )
     if e.where(F.col("w") < 0).limit(1).count() > 0:
@@ -130,7 +140,9 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     frontier = dist
     changed = 1
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # candidate improvements from the frontier only; min() partial-
         # aggregates map-side, so the one shuffle carries per-dst minima
         cand = (
@@ -158,6 +170,8 @@ def shortest_paths(
         if changed == 0:
             break
     e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         raise RuntimeError(
             f"shortest_paths did not converge in {max_iters} rounds "
@@ -268,6 +282,8 @@ def travel_time_matrix(
             F.col("dst").cast("long").alias("e_dst"),
             F.col("w").cast("long").alias("w"),
         )
+        .repartition(F.col("e_src"))
+        .sortWithinPartitions("e_src")
         .persist()
     )
     if e.where(F.col("w") < 0).limit(1).count() > 0:

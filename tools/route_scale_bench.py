@@ -63,14 +63,15 @@ def edges():
 
 times = []
 n_reach = None
+st = {}
 for rep in range(reps + 1):  # first run = warm-up, discarded
     t0 = time.perf_counter()
-    dist = shortest_paths(edges(), 0, max_iters=64)
+    dist = shortest_paths(edges(), 0, max_iters=64, stats=st)
     n_reach = dist.count()
     times.append(time.perf_counter() - t0)
 times = times[1:]
 print(json.dumps({"cores": cores, "times": times, "best": min(times),
-                  "n_reachable": n_reach}))
+                  "n_reachable": n_reach, "rounds": st.get("rounds")}))
 """
 
 
@@ -96,6 +97,7 @@ def main() -> None:
             "best_sec": round(r["best"], 3),
             "edges_per_sec": round(n * 8 / r["best"]),
             "n_reachable": r["n_reachable"],
+            "rounds": r.get("rounds"),
             "times": [round(t, 3) for t in r["times"]],
         }
     if len(levels) == 2:
