@@ -833,3 +833,59 @@ def ref_simplify_paths(rows: "list[tuple]", eps: float) -> "list[tuple]":
         for pos, (x, y) in enumerate(pts[m]):
             out.append((user_id, pos, float(x), float(y)))
     return out
+
+
+# star polygon shared by q_polyfill and its oracle: non-convex, with a
+# rectangular hole — literal vertices (no trig), closed rings
+POLYFILL_STAR = [(100.0, 10.0), (110.0, 40.0), (118.0, 18.0),
+                 (126.0, 40.0), (134.0, 12.0), (140.0, 35.0),
+                 (145.0, 5.0), (120.0, -5.0), (100.0, 10.0)]
+POLYFILL_HOLE = [(115.0, 8.0), (125.0, 8.0), (125.0, 16.0),
+                 (115.0, 16.0), (115.0, 8.0)]
+
+
+def ref_polyfill(region_keys: "list[int]", res: int = 6) -> "list[tuple]":
+    """(poly_id, cell, ix, iy) rows — Spark-free polyfill replay: bbox
+    lattice per polygon, cell-center even-odd test via the same
+    vectorized ray-cast kernel the PIP join broadcasts."""
+    import math
+
+    import numpy as np
+
+    from osm2geojson_spark.spatial.pip import _pip_many
+
+    n = 1 << res
+
+    def clamp_ix(lon):
+        return min(max(math.floor((lon + 180.0) / 360.0 * n), 0), n - 1)
+
+    def clamp_iy(lat):
+        return min(max(math.floor((lat + 90.0) / 180.0 * n), 0), n - 1)
+
+    polys = []
+    for rk in region_keys:
+        x0, x1 = rk * 60 - 170.0000005, rk * 60 - 140.0000005
+        y0, y1 = rk * 25 - 60.0000005, rk * 25 - 40.0000005
+        polys.append((rk, [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                      []))
+    polys.append((100, POLYFILL_STAR, [POLYFILL_HOLE]))
+
+    out = []
+    for pid, ring, holes in polys:
+        r = np.asarray(ring, dtype=np.float64)
+        hs = [np.asarray(h, dtype=np.float64) for h in holes]
+        lons = [p[0] for p in ring]
+        lats = [p[1] for p in ring]
+        for ix in range(clamp_ix(min(lons)), clamp_ix(max(lons)) + 1):
+            cx = ((float(ix) + 0.5) / float(n)) * 360.0 - 180.0
+            for iy in range(clamp_iy(min(lats)), clamp_iy(max(lats)) + 1):
+                cy = ((float(iy) + 0.5) / float(n)) * 180.0 - 90.0
+                px, py = np.array([cx]), np.array([cy])
+                hit = bool(_pip_many(px, py, r)[0])
+                for h in hs:
+                    if hit:
+                        hit = hit and not bool(_pip_many(px, py, h)[0])
+                if hit:
+                    cell = (_morton_spread(ix) | (_morton_spread(iy) << 1))
+                    out.append((pid, cell, ix, iy))
+    return sorted(out)

@@ -2928,6 +2928,40 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+def q_polyfill(spark, sf_dir):
+    """Polygon → covering cell set (H3-polyfill shape): the five region
+    boxes PLUS a non-convex star polygon with a hole, filled at res 6 —
+    cells whose CENTER is inside (even-odd, holes subtracted). The bbox
+    lattice explodes as nested JVM sequences (no driver loop, no join —
+    each candidate tests against its own polygon via the broadcast
+    Arrow ray-cast). Oracle = the same kernel replayed Spark-free."""
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.pip import polyfill
+
+    boxes = region_boxes(_t(spark, sf_dir, "region"))
+    star_ring = [{"lon": x, "lat": y} for x, y in pyref.POLYFILL_STAR]
+    star_hole = [[{"lon": x, "lat": y} for x, y in pyref.POLYFILL_HOLE]]
+    star = spark.createDataFrame(
+        [(100, star_ring, star_hole)],
+        "poly_id long, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>")
+    polys = boxes.withColumn(
+        "holes",
+        F.lit(None).cast("array<array<struct<lon:double,lat:double>>>"),
+    ).unionByName(star)
+    return polyfill(polys, res=6).select(
+        F.col("poly_id").cast("long").alias("poly_id"), "cell", "ix", "iy")
+
+
+def _sql_polyfill() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_polyfill([0, 1, 2, 3, 4], res=6)
+    return pyref.values_sql(
+        rows, [("poly_id", "BIGINT"), ("cell", "BIGINT"),
+               ("ix", "BIGINT"), ("iy", "BIGINT")])
+
+
 _RDP_EPS = 20.0
 
 
@@ -3454,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "idw_smooth": q_idw_smooth,
         "simplify_paths": q_simplify_paths,
+        "polyfill": q_polyfill,
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "catchment": q_catchment,
@@ -3531,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _sql_convex_hull(),
         "idw_smooth": _sql_idw_smooth(),
         "simplify_paths": _sql_simplify_paths(),
+        "polyfill": _sql_polyfill(),
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "catchment": _sql_catchment(),

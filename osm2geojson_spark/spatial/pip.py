@@ -206,3 +206,81 @@ def point_in_polygon_join_partitioned(
         .filter(F.col("_hit"))
         .drop("_hit", "cell", "ring", "holes")
     )
+
+
+def polyfill(
+    polygons: DataFrame, res: int,
+    max_broadcast_polygons: int = MAX_BROADCAST_POLYGONS,
+) -> DataFrame:
+    """Polygon → covering cell set (H3-polyfill shape): every res-``res``
+    Morton cell whose CENTER lies inside the polygon (even-odd, holes
+    subtracted) → ``(poly_id, cell, ix, iy)``.
+
+    The bbox (ix, iy) lattice explodes per polygon as two nested
+    JVM ``sequence``s (never a driver loop), centers are pure column
+    arithmetic, and the inside test is the same broadcast-compiled
+    Arrow ray-cast the PIP join uses — each candidate cell is tested
+    against ITS OWN polygon only, so there is no join at all, just a
+    map-side explode + filter. Cost is O(Σ bbox cells); same broadcast
+    contract/guard as :func:`point_in_polygon_join`.
+    """
+    polygons = _with_holes(polygons)
+    n_poly = polygons.count()
+    if n_poly > max_broadcast_polygons:
+        raise ValueError(
+            f"{n_poly} polygons exceeds the broadcast contract "
+            f"({max_broadcast_polygons})")
+    poly_rows = polygons.select("poly_id", "ring", "holes").collect()
+    spark = polygons.sparkSession
+    bc = spark.sparkContext.broadcast(_compile_polygons(poly_rows))
+
+    n = 1 << res
+    lons = F.transform(F.col("ring"), lambda p: p["lon"])
+    lats = F.transform(F.col("ring"), lambda p: p["lat"])
+    cov = (
+        polygons.select(
+            "poly_id",
+            F.explode(F.sequence(
+                C.lon_ix(F.array_min(lons), res),
+                C.lon_ix(F.array_max(lons), res))).alias("ix"),
+            C.lat_iy(F.array_min(lats), res).alias("iy0"),
+            C.lat_iy(F.array_max(lats), res).alias("iy1"),
+        )
+        .select(
+            "poly_id", "ix",
+            F.explode(F.sequence(F.col("iy0"), F.col("iy1"))).alias("iy"),
+        )
+    )
+    cx = ((F.col("ix").cast("double") + F.lit(0.5)) / F.lit(float(n))) \
+        * F.lit(360.0) - F.lit(180.0)
+    cy = ((F.col("iy").cast("double") + F.lit(0.5)) / F.lit(float(n))) \
+        * F.lit(180.0) - F.lit(90.0)
+    cov = cov.select("poly_id", "ix", "iy", cx.alias("cx"), cy.alias("cy"))
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        compiled = bc.value
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        for p in np.unique(pid):
+            m = pid == p
+            outer, holes = compiled[p]
+            hit = _pip_many(px[m], py[m], outer)
+            for h in holes:
+                if not hit.any():
+                    break
+                hit &= ~_pip_many(px[m], py[m], h)
+            out[m] = hit
+        return pd.Series(out)
+
+    return (
+        cov.withColumn("_in", inside(F.col("cx"), F.col("cy"), F.col("poly_id")))
+        .filter(F.col("_in"))
+        .select(
+            "poly_id",
+            C.cell_from_ixiy(F.col("ix"), F.col("iy")).alias("cell"),
+            "ix", "iy",
+        )
+    )

@@ -104,3 +104,43 @@ def test_pip_50k_polygons_both_paths(spark):
     assert b == p
     polys.unpersist()
     pts.unpersist()
+
+
+def test_polyfill_hand_box_and_hole(spark):
+    from osm2geojson_spark.spatial.pip import polyfill
+
+    # res 4: cells are 22.5 x 11.25 deg; a box covering x in [0,45),
+    # y in [0, 22.5) holds exactly the 4 cell centers of (ix 8..9, iy 8..9)
+    ring = [{"lon": -0.1, "lat": -0.1}, {"lon": 45.1, "lat": -0.1},
+            {"lon": 45.1, "lat": 22.6}, {"lon": -0.1, "lat": 22.6},
+            {"lon": -0.1, "lat": -0.1}]
+    df = spark.createDataFrame(
+        [(1, ring, None)],
+        "poly_id long, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>")
+    got = sorted((r.ix, r.iy) for r in polyfill(df, res=4).collect())
+    assert got == [(8, 8), (8, 9), (9, 8), (9, 9)]
+    # a hole over the lower-left cell center removes exactly that cell
+    hole = [[{"lon": 5.0, "lat": 2.0}, {"lon": 20.0, "lat": 2.0},
+             {"lon": 20.0, "lat": 9.0}, {"lon": 5.0, "lat": 9.0},
+             {"lon": 5.0, "lat": 2.0}]]
+    df2 = spark.createDataFrame(
+        [(1, ring, hole)],
+        "poly_id long, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>")
+    got2 = sorted((r.ix, r.iy) for r in polyfill(df2, res=4).collect())
+    assert got2 == [(8, 9), (9, 8), (9, 9)]
+
+
+SF_POLYFILL = "/root/testdata/sf0.001"
+
+
+def test_polyfill_star_matches_pyref(spark):
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.queries import q_polyfill
+
+    got = sorted((r.poly_id, r.cell, r.ix, r.iy)
+                 for r in q_polyfill(spark, SF_POLYFILL).collect())
+    assert got == pyref.ref_polyfill([0, 1, 2, 3, 4], res=6)
+    # the star (non-convex, holed) contributed a non-trivial cover
+    assert sum(1 for p, *_ in got if p == 100) > 50
