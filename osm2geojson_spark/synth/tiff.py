@@ -262,9 +262,8 @@ def encode_tiff(px: np.ndarray, compression: int | None = None,
 
     def entry(tag: int, ttype: int, count: int, value: int) -> bytes:
         if ttype == _T_SHORT and count == 1:
+            # left-justified in the 4-byte value slot (TIFF 6.0 §2)
             packed = struct.pack(e + "H", value) + b"\x00\x00"
-            if e == ">":
-                packed = struct.pack(">H", value) + b"\x00\x00"
         else:
             packed = struct.pack(e + "I", value)
         return struct.pack(e + "HHI", tag, ttype, count) + packed
