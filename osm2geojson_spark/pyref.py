@@ -889,3 +889,30 @@ def ref_polyfill(region_keys: "list[int]", res: int = 6) -> "list[tuple]":
                     cell = (_morton_spread(ix) | (_morton_spread(iy) << 1))
                     out.append((pid, cell, ix, iy))
     return sorted(out)
+
+
+def ref_heatmap_overview(pts: "list[tuple]", res: int = 3,
+                         tile_px: int = 64) -> "list[tuple]":
+    """Spark-free twin of heatmap_tiles → overview_tiles: leaf tiles
+    re-binned + rendered, then decoded, 2x2 integer-averaged and placed
+    into parent quadrants. [(tile, n_children, n_pts, png_hex)]."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import decode_png, encode_png
+
+    half = tile_px // 2
+    parents: dict = {}
+    for tile, n_pts, png_hex in ref_heatmap(pts, res=res, tile_px=tile_px):
+        px = decode_png(bytes.fromhex(png_hex)).astype(np.uint32)
+        ds = ((px[0::2, 0::2] + px[1::2, 0::2]
+               + px[0::2, 1::2] + px[1::2, 1::2]) // 4).astype(np.uint8)
+        p = parents.setdefault(tile >> 2, {
+            "canvas": np.zeros((tile_px, tile_px, 3), dtype=np.uint8),
+            "n_children": 0, "n_pts": 0})
+        y0, x0 = ((tile >> 1) & 1) * half, (tile & 1) * half
+        p["canvas"][y0:y0 + half, x0:x0 + half] = ds
+        p["n_children"] += 1
+        p["n_pts"] += n_pts
+    return [(t, p["n_children"], p["n_pts"],
+             encode_png(p["canvas"]).hex().upper())
+            for t, p in sorted(parents.items())]

@@ -2845,6 +2845,38 @@ def _sql_heatmap_tiles() -> str:
                ("png_hex", "VARCHAR")])
 
 
+def q_heatmap_pyramid(spark, sf_dir):
+    """Overview-zoom rendering from ALREADY-RENDERED tiles (the basemap
+    serving path when raw points are gone): res-3 heatmap PNGs → decode
+    → exact integer 2×2 block average → parent-quadrant assembly →
+    re-encoded res-2 PNGs. One groupBy(parent) shuffle of tile blobs;
+    the oracle re-renders AND re-pyramids the same pings Spark-free and
+    checks the parent PNG bytes."""
+    from osm2geojson_spark.spatial.heatmap import heatmap_tiles, overview_tiles
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    leaf = heatmap_tiles(pts, res=3, tile_px=64)
+    out = overview_tiles(leaf, tile_px=64)
+    return out.select(
+        "tile", F.col("n_children").cast("int").alias("n_children"),
+        "n_pts", F.hex("png").alias("png_hex"))
+
+
+def _sql_heatmap_pyramid() -> str:
+    from osm2geojson_spark import pyref
+
+    ids = [r[0] for r in _oracle_parquet("events", ["event_id"])]
+    rows = pyref.ref_heatmap_overview(
+        [(_py_lon(k), _py_lat(k)) for k in ids], res=3, tile_px=64)
+    return pyref.values_sql(
+        rows, [("tile", "BIGINT"), ("n_children", "INT"),
+               ("n_pts", "BIGINT"), ("png_hex", "VARCHAR")])
+
+
 def q_vector_tiles(spark, sf_dir):
     """Mapbox Vector Tiles: event pings → per-Morton-tile MVT protobuf
     (vector-tile-spec 2.1 — zigzag-delta command geometry, tag-indexed
@@ -3482,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": q_geohash_rollup,
         "heatmap_tiles": q_heatmap_tiles,
         "vector_tiles": q_vector_tiles,
+        "heatmap_pyramid": q_heatmap_pyramid,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
@@ -3560,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _sql_geohash_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
         "vector_tiles": _sql_vector_tiles(),
+        "heatmap_pyramid": _sql_heatmap_pyramid(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),

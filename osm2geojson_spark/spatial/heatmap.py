@@ -79,3 +79,46 @@ def heatmap_tiles(
 
     return counts.groupBy("tile").applyInPandas(
         render, schema="tile long, n_pts long, png binary")
+
+
+def overview_tiles(tiles: DataFrame, tile_px: int = 64) -> DataFrame:
+    """Pyramid overview level from RENDERED tiles: each res-r PNG tile
+    is decoded, 2×2 block-averaged (integer ``//4`` — deterministic) to
+    half size, and placed into its parent's quadrant; missing children
+    stay black. → ``(tile, n_children, n_pts, png)`` at res r-1.
+
+    This is the image-space converse of ``tiles.tile_pyramid`` (which
+    rolls up COUNTS): basemap serving pipelines build overview zooms
+    from already-rendered tiles when the raw points are gone. Quadrant
+    = the child cell's low Morton bits (bit0=x, bit1=y — consistent
+    with ``cells.cell_from_ixiy`` by construction), parent = cell>>2.
+    One groupBy(parent) shuffle of tile blobs; Arrow applyInPandas
+    assembles + re-encodes per parent.
+    """
+    from osm2geojson_spark.synth.images import decode_png, encode_png
+
+    half = tile_px // 2
+    children = tiles.select(
+        F.shiftright(F.col("tile"), 2).alias("parent"),
+        F.col("tile").bitwiseAND(F.lit(1)).alias("qx"),
+        F.shiftright(F.col("tile"), 1).bitwiseAND(F.lit(1)).alias("qy"),
+        "n_pts", "png",
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = int(pdf["parent"].iloc[0])
+        canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        for t in pdf.itertuples(index=False):
+            px = decode_png(bytes(t.png)).astype(np.uint32)
+            # integer 2x2 mean, exact: floor(sum/4)
+            ds = ((px[0::2, 0::2] + px[1::2, 0::2]
+                   + px[0::2, 1::2] + px[1::2, 1::2]) // 4).astype(np.uint8)
+            y0, x0 = int(t.qy) * half, int(t.qx) * half
+            canvas[y0:y0 + half, x0:x0 + half] = ds
+        return pd.DataFrame(
+            [(parent, len(pdf), int(pdf["n_pts"].sum()),
+              encode_png(canvas))],
+            columns=["tile", "n_children", "n_pts", "png"])
+
+    return children.groupBy("parent").applyInPandas(
+        assemble, schema="tile long, n_children int, n_pts long, png binary")
