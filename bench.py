@@ -202,6 +202,7 @@ BENCH_QUERIES = {
     # latency on a 576-node grid measures nothing); its scale evidence
     # lives in tools/route_scale_bench.py + BENCH.md.
     "vector_tiles": Q.q_vector_tiles,
+    "heatmap_pyramid": Q.q_heatmap_pyramid,
 }
 
 
