@@ -1,0 +1,104 @@
+"""Graph ranking — deterministic integer PageRank.
+
+Completes the repo's large-graph trio (connected components in
+``operators/dedup.dup_clusters``, shortest paths in ``spatial/route``):
+rank near-dup cluster representatives, road-network hubs, link graphs.
+
+Float PageRank sums contributions in shuffle order, so two runs (or two
+engines) disagree in the last ulps — unacceptable under this repo's
+value-exact oracle discipline. This implementation diffuses INTEGER
+mass instead: ranks are fixed-point integers summing is associative and
+order-free, per-edge contributions are floor divisions, and the damping
+step is integer ``(85 · x) // 100`` — every engine and every
+partitioning produces bit-identical ranks. The float interpretation
+``mass / scale`` converges to standard PageRank as scale → ∞ (pinned
+within 1e-6 of a numpy power iteration in tests).
+
+Scale shape per iteration: one equi-join of the mass table against the
+(pre-partitioned, cached) edge table + one map-side-combinable integer
+sum — the ``dup_clusters``/``shortest_paths`` loop discipline
+(localCheckpoint truncation, the driver sees two scalars per round:
+dangling mass and nothing else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """→ ``(node_id, mass)`` after ``n_iters`` rounds; ``mass/scale`` is
+    the PageRank score. ``damping_pct`` is an integer percentage (the
+    usual 0.85 → 85). Dangling-node mass is redistributed uniformly
+    (the standard convention), in integer arithmetic."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"),
+        )
+        .distinct()
+        .repartition(F.col("e_src"))
+        .sortWithinPartitions("e_src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .unionByName(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("e_src").alias("id")).agg(
+        F.count("*").alias("deg"))
+    base = (
+        nodes.join(outdeg, "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    mass = base.select("id", "deg", F.lit(scale // n).alias("mass"))
+    for _ in range(n_iters):
+        dangling = (
+            mass.where(F.col("deg") == 0)
+            .agg(F.coalesce(F.sum("mass"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        contrib = (
+            mass.where(F.col("deg") > 0)
+            .join(e, mass.id == e.e_src)
+            # `div`, not `/`: long / long is DOUBLE division in Spark
+            # and the truncating cast can disagree with exact floor at
+            # representation boundaries — `div` stays in int64
+            .select(
+                F.col("e_dst").alias("id"),
+                F.expr("mass div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        mass = (
+            base.join(contrib, "id", "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0L) "
+                        f"+ {int(dangling) // n}L)) div 100"
+                    )
+                ).cast("long").alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return mass.select(F.col("id").alias("node_id"), "mass")

@@ -916,3 +916,32 @@ def ref_heatmap_overview(pts: "list[tuple]", res: int = 3,
     return [(t, p["n_children"], p["n_pts"],
              encode_png(p["canvas"]).hex().upper())
             for t, p in sorted(parents.items())]
+
+
+def ref_pagerank(edges: "list[tuple]", n_iters: int = 10,
+                 damping_pct: int = 85, scale: int = 10**12) -> "list[tuple]":
+    """(node_id, mass) — pure-Python twin of operators/graph.pagerank:
+    identical integer floor arithmetic, so bit-exact at any iteration
+    count (edges may carry extra fields; only (src, dst) are used)."""
+    from collections import defaultdict
+
+    e = sorted({(int(r[0]), int(r[1])) for r in edges})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    deg = defaultdict(int)
+    for u, _ in e:
+        deg[u] += 1
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    mass = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        dangling = sum(m for v, m in mass.items() if deg[v] == 0)
+        inflow = defaultdict(int)
+        for u, v in e:
+            if deg[u] > 0:
+                inflow[v] += mass[u] // deg[u]
+        mass = {
+            v: teleport
+            + (damping_pct * (inflow[v] + dangling // n)) // 100
+            for v in nodes
+        }
+    return sorted(mass.items())

@@ -3256,6 +3256,29 @@ def _sql_catchment() -> str:
                ("dist", "BIGINT")])
 
 
+def q_pagerank(spark, sf_dir):
+    """Deterministic integer PageRank over the grid road network —
+    large-graph ranking completing the CC (dup_clusters) + SSSP trio.
+    Integer mass diffusion (floor divisions, `div` not `/`) makes the
+    per-node sums order-independent, so the ranks are bit-identical
+    across engines and partitionings; mass/1e12 == float PageRank to
+    1e-6 (pinned in tests/test_graph.py). One mass⋈edges join + one
+    integer-sum shuffle per iteration, dup_clusters loop discipline."""
+    from osm2geojson_spark.operators.graph import pagerank
+    from osm2geojson_spark.spatial.route import grid_edges
+
+    return pagerank(grid_edges(spark, _ROUTE_N), n_iters=10)
+
+
+def _sql_pagerank() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_pagerank(
+        [(u, v) for u, v, _ in pyref.grid_graph(_ROUTE_N)], n_iters=10)
+    return pyref.values_sql(
+        rows, [("node_id", "BIGINT"), ("mass", "BIGINT")])
+
+
 def q_compact_cover(spark, sf_dir):
     """Minimal multi-resolution cell covering (H3-style compact): the
     distinct res-6 cells occupied by events collapse complete sibling
@@ -3525,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "catchment": q_catchment,
+        "pagerank": q_pagerank,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3604,6 +3628,7 @@ def oracle_sql() -> dict[str, str]:
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "catchment": _sql_catchment(),
+        "pagerank": _sql_pagerank(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
