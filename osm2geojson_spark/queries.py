@@ -2960,6 +2960,66 @@ FROM masks m JOIN cases s ON (s.mask = m.mask)
 """
 
 
+_ISO_BUDGETS = (40, 80, 120)
+
+
+def q_isochrone_contour(spark, sf_dir):
+    """Isochrone POLYGON rings — the composition a routing service
+    actually serves: frontier SSSP over the grid road network →
+    reachability mask per travel budget → marching-squares isolines.
+    One trick makes a multi-budget call single-pass: cells carry
+    v = −dist and the thresholds are −budget, so "v ≥ level" ⟺
+    "dist ≤ budget" and all three rings fall out of ONE
+    contour_segments invocation. Oracle = pyref Dijkstra distances as a
+    literal CTE feeding the same pure-SQL case-table marching squares
+    the contours oracle uses — the geometry side is genuinely
+    cross-engine."""
+    from osm2geojson_spark.spatial.contour import contour_segments
+    from osm2geojson_spark.spatial.route import grid_edges, shortest_paths
+
+    dist = shortest_paths(grid_edges(spark, _ROUTE_N), 0)
+    cells = dist.select(
+        (F.col("node_id") % _ROUTE_N).alias("ix"),
+        (F.col("node_id") / _ROUTE_N).cast("long").alias("iy"),
+        (-F.col("dist")).alias("v"),
+    )
+    return contour_segments(cells, [-b for b in _ISO_BUDGETS])
+
+
+def _sql_isochrone_contour() -> str:
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.contour import case_values_sql
+
+    dist_values = pyref.values_sql(
+        pyref.ref_shortest_paths(_ROUTE_N),
+        [("node_id", "BIGINT"), ("dist", "BIGINT")])
+    lv = ", ".join(f"({-b})" for b in _ISO_BUDGETS)
+    return f"""
+WITH d AS ({dist_values}),
+cells AS (
+  SELECT (node_id % {_ROUTE_N}) AS ix, (node_id // {_ROUTE_N}) AS iy,
+         (0 - dist) AS v
+  FROM d),
+lv(level) AS (VALUES {lv}),
+above AS (
+  SELECT l.level, c.ix, c.iy FROM cells c, lv l WHERE (c.v >= l.level)),
+corners(dx, dy, w) AS (VALUES (0,0,1), (1,0,2), (0,1,4), (1,1,8)),
+masks AS (
+  SELECT a.level, (a.ix - c.dx) AS bxx, (a.iy - c.dy) AS byy,
+         CAST(SUM(c.w) AS INT) AS mask
+  FROM above a, corners c
+  GROUP BY a.level, bxx, byy
+  HAVING (CAST(SUM(c.w) AS INT) != 15)),
+cases AS ({case_values_sql()})
+SELECT m.level AS level,
+       CAST(((m.bxx * 2) + s.x1o) AS BIGINT) AS x1,
+       CAST(((m.byy * 2) + s.y1o) AS BIGINT) AS y1,
+       CAST(((m.bxx * 2) + s.x2o) AS BIGINT) AS x2,
+       CAST(((m.byy * 2) + s.y2o) AS BIGINT) AS y2
+FROM masks m JOIN cases s ON (s.mask = m.mask)
+"""
+
+
 def q_polyfill(spark, sf_dir):
     """Polygon → covering cell set (H3-polyfill shape): the five region
     boxes PLUS a non-convex star polygon with a hole, filled at res 6 —
@@ -3549,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone": q_isochrone,
         "catchment": q_catchment,
         "pagerank": q_pagerank,
+        "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
         "sample_stratified": q_sample_stratified,
@@ -3629,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         "isochrone": _sql_isochrone(),
         "catchment": _sql_catchment(),
         "pagerank": _sql_pagerank(),
+        "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,

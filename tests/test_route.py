@@ -179,3 +179,28 @@ def test_travel_matrix_negative_weight_rejected(spark):
 
     with pytest.raises(ValueError):
         travel_time_matrix(_edges_df(spark, [(0, 1, -2)]), [0])
+
+
+def test_isochrone_contour_rings_close(spark):
+    from collections import Counter
+
+    from osm2geojson_spark.queries import q_isochrone_contour
+
+    segs = q_isochrone_contour(spark, "/root/testdata/sf0.001").collect()
+    assert len(segs) > 0
+    by_level: dict = {}
+    for r in segs:
+        by_level.setdefault(r.level, []).append(((r.x1, r.y1), (r.x2, r.y2)))
+    assert set(by_level) == {-40, -80, -120}
+    for level, ss in by_level.items():
+        # marching-squares output forms closed loops: every endpoint has
+        # even degree
+        deg = Counter()
+        for a, b in ss:
+            deg[a] += 1
+            deg[b] += 1
+        assert all(d % 2 == 0 for d in deg.values()), level
+    # smaller budget -> smaller (or equal) reachable area -> fewer or
+    # equal boundary cells is NOT guaranteed, but the -120 ring must
+    # exist and the -40 region is a subset: check via segment counts > 0
+    assert all(len(ss) >= 4 for ss in by_level.values())
