@@ -212,8 +212,21 @@ def run_once(fn, spark) -> float:
     return time.perf_counter() - t0
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages — stamped into the output JSON at
+    start and end so a contaminated run (noisy-neighbor burst on this
+    host) is distinguishable from a real regression after the fact.
+    Quiet window means 1-min AND 5-min < ~1-2 (BENCH.md discipline)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # non-Linux fallback
+        return list(os.getloadavg())
+
+
 def main() -> None:
     only = set(sys.argv[1:])
+    load_start = _loadavg()
     spark = get_spark("bench")
     # warm the JVM/codegen and the Python UDF worker pool once, so per-query
     # numbers measure the plan, not process spawn
@@ -246,6 +259,8 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "n_points": n_points,
         "spatial_rows_per_sec": round(n_points / spatial_sec) if spatial_sec else None,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     print(json.dumps(out))
 

@@ -230,8 +230,8 @@ def reconstruct_route(
         [(0, int(target))], "pos long, node_id long"
     ).localCheckpoint(eager=True)
     step = 1
+    reached = p.where(F.col("node_id") == source).limit(1).count()
     for _ in range(max_pow):
-        reached = p.where(F.col("node_id") == source).limit(1).count()
         if reached:
             break
         ext = (
@@ -247,7 +247,11 @@ def reconstruct_route(
             .localCheckpoint(eager=True)
         )
         step *= 2
-    else:
+        # check AFTER extending, so the extension performed in the final
+        # round counts — the effective limit is the advertised 2^max_pow
+        # path positions, not 2^(max_pow-1)
+        reached = p.where(F.col("node_id") == source).limit(1).count()
+    if not reached:
         raise RuntimeError(
             f"reconstruct_route: chain from {target} did not reach "
             f"{source} within 2^{max_pow} hops (unreachable target, or "
@@ -349,9 +353,18 @@ def catchment_assign(matrix: DataFrame) -> DataFrame:
 def isochrone_bands(dist: DataFrame, band_width: int) -> DataFrame:
     """Reachability bands over an SSSP result: ``(band, n_nodes,
     min_dist, max_dist)`` with band = dist // band_width — the
-    isochrone rollup (map-side partial agg, one shuffle on the band)."""
+    isochrone rollup (map-side partial agg, one shuffle on the band).
+
+    Banding uses integer division (``div``), not a double divide +
+    truncating cast: long/long in Spark is DOUBLE division, and the
+    double round-trip can disagree with exact floor for distances near
+    2^53 — the same trap documented for ``operators/graph.py``'s
+    pagerank arithmetic, avoided the same way (stay in int64)."""
+    bw = int(band_width)
+    if bw <= 0:
+        raise ValueError("band_width must be a positive integer")
     return (
-        dist.groupBy((F.col("dist") / F.lit(band_width)).cast("long").alias("band"))
+        dist.groupBy(F.expr(f"dist div {bw}").alias("band"))
         .agg(
             F.count("*").alias("n_nodes"),
             F.min("dist").alias("min_dist"),

@@ -296,11 +296,26 @@ def render_mvt_tiles(pixel_counts: DataFrame,
 
 
 def mvt_stream_to_memory(pixel_counts_stream: DataFrame, name: str,
-                         extent: int = 4096) -> None:
+                         extent: int = 4096,
+                         output_mode: str = "complete") -> None:
     """foreachBatch sink: grouped-map pandas is not stream-capable, so
     each micro-batch's finalized windows render through the BATCH
     ``render_mvt_tiles`` (still Arrow-distributed within the batch) and
-    land in a global temp view for the test/consumer to read."""
+    land in a global temp view for the test/consumer to read.
+
+    ``output_mode`` caveat: the default ``complete`` is for the
+    availableNow TEST path only — under complete mode the watermark
+    never evicts aggregation state and every batch re-emits all
+    windows, so state grows without bound on a long-running stream.
+    A production continuous deployment must pass ``"append"`` (emit
+    each window once, when the watermark finalizes it), which restores
+    the bounded-state guarantee ``mvt_pixel_counts_stream`` documents;
+    ``"update"`` is NOT accepted because re-rendering a tile on every
+    partial update would publish non-final MVT bytes downstream."""
+    if output_mode not in ("complete", "append"):
+        raise ValueError(
+            "output_mode must be 'complete' (test/availableNow only) or "
+            "'append' (production; bounded state, final windows only)")
 
     def handle(bdf: DataFrame, batch_id: int) -> None:
         # eager localCheckpoint materializes the rendered tiles so the
@@ -309,5 +324,5 @@ def mvt_stream_to_memory(pixel_counts_stream: DataFrame, name: str,
         out.createOrReplaceGlobalTempView(name)
 
     q = (pixel_counts_stream.writeStream.foreachBatch(handle)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()

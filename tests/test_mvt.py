@@ -134,3 +134,46 @@ def test_extent_guards(spark):
         M.vector_tiles(df, res=3, extent=1000)
     with pytest.raises(ValueError):
         M.vector_tiles(df, res=9, extent=4096)
+
+
+def test_vectorized_point_layer_matches_python_twin():
+    # the numpy batch encoder (point_layer_bytes) must be byte-identical
+    # to the per-feature wire writer (point_layer_bytes_py) across edge
+    # cases: empty tile, corner pixels, multi-byte varint counts
+    import random
+
+    import numpy as np
+
+    random.seed(7)
+    cases = [
+        [],
+        [(3, 5, 2)],
+        [(0, 0, 1)],
+        [(4095, 4095, 1), (0, 0, 1)],
+        [(10, 10, 1 << 40), (11, 10, 3), (10, 11, 1 << 40)],
+    ]
+    for _ in range(20):
+        cases.append([
+            (random.randint(0, 4095), random.randint(0, 4095),
+             random.randint(1, 1 << random.randint(1, 50)))
+            for _ in range(random.randint(1, 300))])
+    for pix in cases:
+        assert M.point_layer_bytes(pix) == M.point_layer_bytes_py(pix)
+    # ndarray input path (what the Spark kernel passes) is identical too
+    arr = np.asarray(cases[4], dtype=np.int64)
+    assert M.point_layer_bytes(arr) == M.point_layer_bytes_py(cases[4])
+
+
+def test_reader_foreign_wire_types():
+    # fixed64 double Value (wire type 1) from foreign MVT writers decodes
+    import struct
+
+    buf = bytes([(3 << 3) | 1]) + struct.pack("<d", 2.5)
+    assert M._decode_value(buf) == 2.5
+    buf32 = bytes([(2 << 3) | 5]) + struct.pack("<f", 1.5)
+    assert M._decode_value(buf32) == 1.5
+    # truncated fixed32/fixed64 raise instead of silently short-slicing
+    with pytest.raises(ValueError):
+        list(M._Reader(bytes([(2 << 3) | 5, 0x01])).fields())
+    with pytest.raises(ValueError):
+        list(M._Reader(bytes([(3 << 3) | 1, 0x01, 0x02])).fields())
