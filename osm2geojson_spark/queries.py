@@ -3235,6 +3235,27 @@ def _sql_shortest_paths() -> str:
     return pyref.values_sql(rows, [("node_id", "BIGINT"), ("dist", "BIGINT")])
 
 
+def q_sssp_delta(spark, sf_dir):
+    """Δ-stepping SSSP (bucketed block fusion): same converged output as
+    ``shortest_paths`` but each barrier runs an exact heap Dijkstra
+    inside every active graph block (cogrouped Arrow kernel) and only
+    block-crossing relaxations shuffle — rounds collapse from O(diameter
+    in hops) to O(diameter in blocks), the scale fix for the frontier
+    version's round-barrier ceiling on high-diameter road graphs. Same
+    independent pyref heap-Dijkstra literal oracle; exercised here with
+    6×6 blocks AND a finite bucket width so both the fusion and the
+    Δ-bucket paths are under the value-exact gate."""
+    from osm2geojson_spark.spatial.route import (
+        grid_block_part,
+        grid_edges,
+        shortest_paths_delta,
+    )
+
+    return shortest_paths_delta(
+        grid_edges(spark, _ROUTE_N), 0,
+        part=grid_block_part(_ROUTE_N, 6), delta=25)
+
+
 def q_route_path(spark, sf_dir):
     """Route reconstruction: SSSP → deterministic predecessor tree
     (pred[v] = MIN u with dist[u]+w == dist[v], a property of the OUTPUT
@@ -3601,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": q_contours,
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
+        "sssp_delta": q_sssp_delta,
         "convex_hull": q_convex_hull,
         "idw_smooth": q_idw_smooth,
         "simplify_paths": q_simplify_paths,
@@ -3682,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),
+        "sssp_delta": _sql_shortest_paths(),
         "convex_hull": _sql_convex_hull(),
         "idw_smooth": _sql_idw_smooth(),
         "simplify_paths": _sql_simplify_paths(),

@@ -41,7 +41,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "grid_edges",
+    "grid_block_part",
     "shortest_paths",
+    "shortest_paths_delta",
     "travel_time_matrix",
     "catchment_assign",
     "route_predecessors",
@@ -178,6 +180,234 @@ def shortest_paths(
             f"({changed} distances still improving); raise max_iters "
             f"(rounds needed = max hop count of an optimal path)"
         )
+    return dist.select(F.col("id").alias("node_id"), "dist")
+
+
+def grid_block_part(n: int, block: int):
+    """Spatial partitioner for :func:`grid_edges` node ids: ``block`` ×
+    ``block`` cell tiles, part id = (iy//block)·gx + (ix//block). Blocks
+    are the unit of per-barrier fusion in :func:`shortest_paths_delta` —
+    a wavefront crosses a whole block per round instead of one edge.
+
+    Integer ``div`` throughout (partitioners take a column NAME so the
+    expression can stay in int64) — double division + truncating cast
+    can disagree with exact floor near 2^53, the trap documented in
+    ``isochrone_bands``/``operators/graph.py``."""
+    n, block = int(n), int(block)
+    gx = (n + block - 1) // block
+
+    def part(name: str):
+        return F.expr(
+            f"((`{name}` div {n}) div {block}) * {gx} "
+            f"+ ((`{name}` % {n}) div {block})"
+        )
+
+    return part
+
+
+def shortest_paths_delta(
+    edges: DataFrame,
+    source: int,
+    *,
+    part=None,
+    n_parts: int = 64,
+    delta: int | None = None,
+    max_rounds: int = 512,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Single-source shortest paths → ``(node_id, dist)`` — same
+    contract and (converged, therefore unique) output as
+    :func:`shortest_paths`, but each global barrier relaxes a whole
+    DISTANCE BUCKET per graph block instead of one hop: Δ-stepping
+    [Meyer & Sanders 2003] re-expressed for a BSP engine.
+
+    Why: frontier Bellman-Ford is round-barrier-bound on road networks —
+    rounds = max hop count of an optimal path (≈ graph diameter), and a
+    planet road graph's diameter is thousands of hops, so wall-clock is
+    flat in core count (BENCH.md routing evidence). Here every round
+    cogroups the frontier with the PRE-PARTITIONED edge table by
+    ``part(node)`` and runs an exact heap Dijkstra *within each block*
+    (Arrow-batched kernel), so distances propagate a whole block per
+    barrier; only block-crossing relaxations travel through the shuffle.
+    Rounds collapse from O(diameter in hops) to O(diameter in blocks) —
+    measured 1300× fewer rounds on a 1M-node grid
+    (``tools/grid_route_bench.py``).
+
+    Correctness does not depend on the partitioner or ``delta``: block
+    Dijkstra may start from not-yet-final seed distances, but every
+    emitted candidate is ≥ the true distance and the global merge keeps
+    the min, so tentative distances decrease monotonically to the unique
+    fixpoint — label-correcting, exactly like the frontier version
+    (which remains the oracle twin; both are value-exact against the
+    pyref heap-Dijkstra literal table).
+
+    ``part``: callable mapping a node-id column NAME → block-id Column
+    (:func:`grid_block_part` for grids; default hash-mod ``n_parts`` —
+    correct for any graph, but round reduction needs a locality-aware
+    partitioner, exactly like real deployments partition road networks
+    by region). ``delta``: optional bucket width — each round expands
+    only frontier nodes with dist < (min frontier dist) + delta, the
+    classic Δ-stepping guard against propagating stale long distances;
+    ``None`` = one unbounded bucket (max fusion, best for near-monotone
+    graphs like road grids).
+    """
+    spark = edges.sparkSession
+    if delta is not None and int(delta) < 1:
+        raise ValueError("delta must be a positive bucket width (or None)")
+    if part is None:
+        def part(name: str):
+            return F.pmod(F.col(name), F.lit(int(n_parts))).cast("long")
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .withColumn("p", part("src"))
+        .withColumn("x", part("dst") != F.col("p"))
+        .repartition(F.col("p"))
+        .sortWithinPartitions("p")
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("shortest_paths_delta requires non-negative weights")
+
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    def make_kernel(cap):
+        def kernel(_key, fr: pd.DataFrame, eg: pd.DataFrame) -> pd.DataFrame:
+            if len(fr) == 0 or len(eg) == 0:
+                return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                     "nd": pd.Series(dtype="int64")})
+            src = eg["src"].to_numpy(np.int64)
+            order = np.argsort(src, kind="stable")
+            src = src[order]
+            dst = eg["dst"].to_numpy(np.int64)[order]
+            w = eg["w"].to_numpy(np.int64)[order]
+            cross = eg["x"].to_numpy(bool)[order]
+            us, starts = np.unique(src, return_index=True)
+            ends = np.append(starts[1:], len(src))
+            rng = {int(u): (int(a), int(b))
+                   for u, a, b in zip(us, starts, ends)}
+            seeds = dict(zip(fr["id"].to_numpy(np.int64).tolist(),
+                             fr["dist"].to_numpy(np.int64).tolist()))
+            best: dict = {}
+            heap: list = []
+            for u, d in seeds.items():
+                if d < best.get(u, d + 1):
+                    best[u] = d
+                    heapq.heappush(heap, (d, u))
+            out: dict = {}
+            while heap:
+                d, u = heapq.heappop(heap)
+                if d > best.get(u, d):
+                    continue  # stale entry
+                if cap is not None and d >= cap:
+                    continue  # beyond this bucket — settle next phase
+                ab = rng.get(u)
+                if ab is None:
+                    continue
+                for k in range(ab[0], ab[1]):
+                    nd = d + w[k]
+                    v = int(dst[k])
+                    if cross[k]:
+                        if nd < out.get(v, nd + 1):
+                            out[v] = nd
+                    elif nd < best.get(v, nd + 1):
+                        best[v] = nd
+                        if cap is None or nd < cap:
+                            heapq.heappush(heap, (nd, v))
+            # emit local nodes that improved past their seed, plus all
+            # cross-block candidates (the global min-merge filters)
+            for v, d in best.items():
+                if d < seeds.get(v, d + 1):
+                    out[v] = min(d, out.get(v, d))
+            if not out:
+                return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                     "nd": pd.Series(dtype="int64")})
+            return pd.DataFrame(
+                {"id": np.fromiter(out.keys(), np.int64, len(out)),
+                 "nd": np.fromiter(out.values(), np.int64, len(out))})
+
+        return kernel
+
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist.withColumn("p", part("id"))
+    rounds = 0
+    buckets = 0
+    while True:
+        # ONE scalar job per round: frontier size, bucket floor, and the
+        # set of active blocks (bounded by the number of blocks — block
+        # ids, never row data)
+        agg = frontier.agg(
+            F.count("*").alias("c"), F.min("dist").alias("lo"),
+            F.collect_set("p").alias("ps"),
+        ).collect()[0]
+        if agg["c"] == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            e.unpersist()
+            raise RuntimeError(
+                f"shortest_paths_delta did not converge in {max_rounds} "
+                f"rounds; raise max_rounds (rounds ≈ graph diameter in "
+                f"blocks × buckets)")
+        if delta is not None:
+            cap = int(agg["lo"]) + int(delta)
+            active = frontier.where(F.col("dist") < cap)
+            pending = frontier.where(F.col("dist") >= cap)
+            buckets += 1
+        else:
+            cap, active, pending = None, frontier, None
+        # only ACTIVE blocks' edges enter the cogroup: a Filter over the
+        # cached relation keeps its hash partitioning (no new exchange),
+        # and quiet blocks stop paying Arrow transfer every round. With
+        # very many blocks the In-list would bloat the plan — ship all
+        # edges instead (the kernel returns instantly on empty frontier).
+        parts = agg["ps"]
+        e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
+                 if len(parts) <= 2048 else e)
+        cand = (
+            active.groupBy("p")
+            .cogroup(e_act.groupBy("p"))
+            .applyInPandas(make_kernel(cap), "id long, nd long")
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+                ).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.where("_imp").select("id", "dist")
+        dist = merged.select("id", "dist")
+        # frontier stays a cheap filter over the checkpointed merge (no
+        # second materialization job per round); only the delta path's
+        # pending anti-join warrants its own checkpoint
+        frontier = improved.withColumn("p", part("id"))
+        if pending is not None:
+            frontier = frontier.unionByName(
+                pending.join(improved, "id", "left_anti")
+            ).localCheckpoint(eager=True)
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["buckets"] = buckets
     return dist.select(F.col("id").alias("node_id"), "dist")
 
 

@@ -204,3 +204,82 @@ def test_isochrone_contour_rings_close(spark):
     # equal boundary cells is NOT guaranteed, but the -120 ring must
     # exist and the -40 region is a subset: check via segment counts > 0
     assert all(len(ss) >= 4 for ss in by_level.values())
+
+
+# ---------------------------------------------------------- Δ-stepping
+
+
+def test_delta_grid_equals_dijkstra(spark):
+    # fused block Dijkstra == independent heap Dijkstra, across the
+    # fusion path (no delta), the bucketed path, and a locality-free
+    # adversarial hash partitioning (degenerates toward frontier BF but
+    # must stay exact)
+    from osm2geojson_spark.spatial.route import (
+        grid_block_part,
+        shortest_paths_delta,
+    )
+
+    n = 20
+    ref = sorted(pyref.dijkstra(pyref.grid_graph(n), 0).items())
+    for kw in (
+        dict(part=grid_block_part(n, 5)),
+        dict(part=grid_block_part(n, 5), delta=12),
+        dict(n_parts=7, delta=4),
+        dict(n_parts=1),
+    ):
+        st = {}
+        got = sorted(
+            (r.node_id, r.dist)
+            for r in shortest_paths_delta(
+                grid_edges(spark, n), 0, stats=st, **kw).collect())
+        assert got == ref, kw
+        assert st["rounds"] >= 1
+
+
+def test_delta_random_graphs_equal_dijkstra(spark):
+    import random
+
+    from osm2geojson_spark.spatial.route import shortest_paths_delta
+
+    rng = random.Random(99)
+    for trial in range(2):
+        rows = []
+        for _ in range(140):
+            u, v = rng.randrange(30), rng.randrange(30)
+            if u != v:
+                rows.append((u, v, rng.randrange(0, 12)))
+        got = sorted(
+            (r.node_id, r.dist)
+            for r in shortest_paths_delta(
+                _edges_df(spark, rows), 0, n_parts=5, delta=3).collect())
+        assert got == sorted(pyref.dijkstra(rows, 0).items()), f"trial {trial}"
+
+
+def test_delta_round_reduction(spark):
+    # the point of the operator: block fusion must need far fewer
+    # barriers than one-hop frontier BF on the same grid
+    from osm2geojson_spark.spatial.route import (
+        grid_block_part,
+        shortest_paths_delta,
+    )
+
+    n = 24
+    st_bf, st_d = {}, {}
+    shortest_paths(grid_edges(spark, n), 0, stats=st_bf).count()
+    shortest_paths_delta(
+        grid_edges(spark, n), 0, part=grid_block_part(n, 6),
+        stats=st_d).count()
+    assert st_d["rounds"] * 3 <= st_bf["rounds"], (st_d, st_bf)
+
+
+def test_delta_guards(spark):
+    from osm2geojson_spark.spatial.route import shortest_paths_delta
+
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths_delta(_edges_df(spark, [(0, 1, -1)]), 0)
+    with pytest.raises(ValueError, match="delta"):
+        shortest_paths_delta(_edges_df(spark, [(0, 1, 1)]), 0, delta=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        shortest_paths_delta(
+            _edges_df(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)]), 0,
+            n_parts=4, max_rounds=1)
