@@ -17,8 +17,9 @@ within 1e-6 of a numpy power iteration in tests).
 Scale shape per iteration: one equi-join of the mass table against the
 (pre-partitioned, cached) edge table + one map-side-combinable integer
 sum — the ``dup_clusters``/``shortest_paths`` loop discipline
-(localCheckpoint truncation, the driver sees two scalars per round:
-dangling mass and nothing else).
+(localCheckpoint truncation). Dangling mass rides along as a one-row
+broadcast aggregate, so each iteration is ONE job and the driver sees
+no row data at all.
 """
 
 from __future__ import annotations
@@ -67,10 +68,14 @@ def pagerank(
     teleport = ((100 - damping_pct) * scale // 100) // n
     mass = base.select("id", "deg", F.lit(scale // n).alias("mass"))
     for _ in range(n_iters):
+        # dangling mass stays a ONE-ROW broadcast DataFrame instead of a
+        # driver collect: both it and contrib re-read the checkpointed
+        # mass table, so the whole update is a single job per iteration
+        # (the localCheckpoint materialization) — the driver never sees
+        # a scalar, halving the per-round job barriers
         dangling = (
             mass.where(F.col("deg") == 0)
-            .agg(F.coalesce(F.sum("mass"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+            .agg(F.coalesce(F.sum("mass"), F.lit(0)).alias("dang"))
         )
         contrib = (
             mass.where(F.col("deg") > 0)
@@ -87,6 +92,7 @@ def pagerank(
         )
         mass = (
             base.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 "deg",
@@ -94,7 +100,7 @@ def pagerank(
                     F.lit(teleport)
                     + F.expr(
                         f"({damping_pct} * (coalesce(inflow, 0L) "
-                        f"+ {int(dangling) // n}L)) div 100"
+                        f"+ (dang div {n}))) div 100"
                     )
                 ).cast("long").alias("mass"),
             )
