@@ -193,11 +193,19 @@ USING (key)
 """
 
 
-def q_way_assembly(spark, sf_dir):
-    """J1+J2 on driver data: 'ways' = orders (ns = parts in linenumber
-    order), 'nodes' = parts with derived coords. Runs the REAL
-    assemble_ways operator, then flattens the ordered chain for the oracle
-    (order-preservation through the shuffle is the property under test)."""
+def _ways_input(spark, sf_dir):
+    """Shared (nodes, ways) synthesis for the way-assembly query family:
+    'ways' = orders (ns = parts in linenumber order), 'nodes' = parts
+    with derived coords.
+
+    The ways agg repartitions by the GROUP KEY first: collect_list has
+    no map-side reduction, so this is the same single shuffle the
+    groupBy would do anyway — but the heavy sort/collect side runs at
+    full parallelism instead of inheriting the scan's task count (the
+    driver regenerated sf0.1 as ONE 10.8 MB parquet file mid-round-3,
+    which cut the scan to 3 tasks and cost way_assembly +35% until this
+    re-base; at 100 TB the scan has thousands of splits and Catalyst
+    collapses the adjacent exchanges)."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     nodes = part.select(
@@ -206,13 +214,27 @@ def q_way_assembly(spark, sf_dir):
         lat_col(F.col("p_partkey")).alias("lat"),
         F.create_map().cast("map<string,string>").alias("tags"),
     )
-    ways = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
-            lambda s: s["l_partkey"],
-        ).alias("ns")
-    ).select(F.col("l_orderkey").alias("id"),
-             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    ways = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            ).alias("ns"))
+        .select(F.col("l_orderkey").alias("id"),
+                F.create_map().cast("map<string,string>").alias("tags"),
+                "ns")
+    )
+    return nodes, ways
+
+
+def q_way_assembly(spark, sf_dir):
+    """J1+J2 on driver data: runs the REAL assemble_ways operator, then
+    flattens the ordered chain for the oracle (order-preservation
+    through the shuffle is the property under test)."""
+    nodes, ways = _ways_input(spark, sf_dir)
     assembled = OJ.assemble_ways(nodes, ways)
     return assembled.select(
         F.col("id").alias("way_id"), F.posexplode("nodes").alias("pos", "n")
@@ -236,21 +258,7 @@ def q_way_bbox(spark, sf_dir):
     extra shuffle past assembly). min/max are order-independent →
     bit-exact oracle; sums/centroids deliberately excluded (double sum
     order is engine-dependent)."""
-    part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    nodes = part.select(
-        F.col("p_partkey").alias("id"),
-        lon_col(F.col("p_partkey")).alias("lon"),
-        lat_col(F.col("p_partkey")).alias("lat"),
-        F.create_map().cast("map<string,string>").alias("tags"),
-    )
-    ways = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
-            lambda s: s["l_partkey"],
-        ).alias("ns")
-    ).select(F.col("l_orderkey").alias("id"),
-             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    nodes, ways = _ways_input(spark, sf_dir)
     assembled = OJ.assemble_ways(nodes, ways)
     lons = F.transform("nodes", lambda n: n["lon"])
     lats = F.transform("nodes", lambda n: n["lat"])
@@ -281,19 +289,7 @@ def q_way_geom_type(spark, sf_dir):
     chain members (arg_min/arg_max by position)."""
     from osm2geojson_spark.functions import geometry as G
 
-    part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    nodes = part.select(
-        F.col("p_partkey").alias("id"),
-        lon_col(F.col("p_partkey")).alias("lon"),
-        lat_col(F.col("p_partkey")).alias("lat"),
-        F.create_map().cast("map<string,string>").alias("tags"))
-    ways = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
-            lambda s: s["l_partkey"]).alias("ns")
-    ).select(F.col("l_orderkey").alias("id"),
-             F.create_map().cast("map<string,string>").alias("tags"), "ns")
+    nodes, ways = _ways_input(spark, sf_dir)
     assembled = OJ.assemble_ways(nodes, ways)
     coords = G.way_coords(F.col("nodes"))
     return assembled.select(
