@@ -3324,6 +3324,27 @@ def q_catchment(spark, sf_dir):
     return catchment_assign(m)
 
 
+def q_catchment_delta(spark, sf_dir):
+    """Catchment over the BLOCK-FUSED multi-source SSSP
+    (travel_time_matrix_delta): all depots expand through per-block heap
+    Dijkstra kernels in the (source, node) product space, so the rounds
+    collapse from O(diameter in hops) to O(diameter in blocks) while the
+    argmin assignment and the per-source Dijkstra oracle stay identical
+    to ``catchment`` — both the batched-frontier and the fused paths are
+    under the same value-exact gate."""
+    from osm2geojson_spark.spatial.route import (
+        catchment_assign,
+        grid_block_part,
+        grid_edges,
+        travel_time_matrix_delta,
+    )
+
+    m = travel_time_matrix_delta(
+        grid_edges(spark, _ROUTE_N), _ROUTE_DEPOTS,
+        part=grid_block_part(_ROUTE_N, 6))
+    return catchment_assign(m)
+
+
 def _sql_catchment() -> str:
     from osm2geojson_spark import pyref
 
@@ -3626,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_path": q_route_path,
         "isochrone": q_isochrone,
         "catchment": q_catchment,
+        "catchment_delta": q_catchment_delta,
         "pagerank": q_pagerank,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
@@ -3708,6 +3730,7 @@ def oracle_sql() -> dict[str, str]:
         "route_path": _sql_route_path(),
         "isochrone": _sql_isochrone(),
         "catchment": _sql_catchment(),
+        "catchment_delta": _sql_catchment(),
         "pagerank": _sql_pagerank(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,

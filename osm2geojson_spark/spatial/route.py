@@ -44,7 +44,9 @@ __all__ = [
     "grid_block_part",
     "shortest_paths",
     "shortest_paths_delta",
+    "sssp_update",
     "travel_time_matrix",
+    "travel_time_matrix_delta",
     "catchment_assign",
     "route_predecessors",
     "reconstruct_route",
@@ -140,7 +142,25 @@ def shortest_paths(
     dist = spark.createDataFrame(
         [(int(source), 0)], "id long, dist long"
     ).localCheckpoint(eager=True)
-    frontier = dist
+    dist, rounds, changed = _frontier_relax(e, dist, dist, max_iters)
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if changed != 0:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_iters} rounds "
+            f"({changed} distances still improving); raise max_iters "
+            f"(rounds needed = max hop count of an optimal path)"
+        )
+    return dist.select(F.col("id").alias("node_id"), "dist")
+
+
+def _frontier_relax(e, dist, frontier, max_iters):
+    """Label-correcting frontier loop shared by :func:`shortest_paths`
+    (cold start: frontier = the source row) and :func:`sssp_update`
+    (incremental reseed: frontier = nodes improved by an edge-update
+    batch). ``e`` must be (src, dst, w) pre-partitioned on src.
+    Returns (dist, rounds, still_changing)."""
     changed = 1
     rounds = 0
     for _ in range(max_iters):
@@ -171,16 +191,77 @@ def shortest_paths(
         dist = merged.select("id", "dist")
         if changed == 0:
             break
+    return dist, rounds, changed
+
+
+def sssp_update(
+    edges: DataFrame,
+    dist: DataFrame,
+    improving_edges: DataFrame,
+    max_iters: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental SSSP maintenance: given a converged ``dist``
+    (``(node_id, dist)``) for ``edges`` MINUS a batch of IMPROVING edge
+    changes (weight decreases or brand-new edges, already merged into
+    ``edges``), propagate only from the changed edges instead of
+    recomputing from the source — the label-correcting loop is
+    restartable from any over-estimate, so seeding the frontier with
+    the changed edges' relaxations converges to the exact new fixpoint.
+
+    Weight INCREASES are out of contract (label-correcting cannot
+    revoke a distance); the streaming wrapper detects them and falls
+    back to a cold :func:`shortest_paths` run for that batch.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("sssp_update requires non-negative weights")
+    d0 = dist.select(F.col("node_id").alias("id"),
+                     F.col("dist").cast("long").alias("dist"))
+    seed = (
+        improving_edges.select(
+            F.col("src").cast("long").alias("u"),
+            F.col("dst").cast("long").alias("v"),
+            F.col("w").cast("long").alias("uw"),
+        )
+        .join(d0, F.col("u") == F.col("id"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.min(F.col("dist") + F.col("uw")).alias("nd"))
+    )
+    merged = (
+        d0.join(seed, "id", "full")
+        .select(
+            "id",
+            F.least(
+                F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+            ).alias("dist"),
+            (
+                F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+            ).alias("_imp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = merged.where("_imp").select("id", "dist")
+    new_dist, rounds, changed = _frontier_relax(
+        e, merged.select("id", "dist"), frontier, max_iters)
     e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     if changed != 0:
         raise RuntimeError(
-            f"shortest_paths did not converge in {max_iters} rounds "
-            f"({changed} distances still improving); raise max_iters "
-            f"(rounds needed = max hop count of an optimal path)"
-        )
-    return dist.select(F.col("id").alias("node_id"), "dist")
+            f"sssp_update did not converge in {max_iters} rounds; "
+            f"raise max_iters")
+    return new_dist.select(F.col("id").alias("node_id"), "dist")
 
 
 def grid_block_part(n: int, block: int):
@@ -493,6 +574,154 @@ def reconstruct_route(
         .collect()[0]["m"]
     )
     return p.where(F.col("pos") <= first_src).select("pos", "node_id")
+
+
+def travel_time_matrix_delta(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    part=None,
+    n_parts: int = 64,
+    max_rounds: int = 512,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched multi-source SSSP → ``(src, node_id, dist)`` with the
+    same converged output as :func:`travel_time_matrix`, using the
+    :func:`shortest_paths_delta` block-fusion machinery in the product
+    space: one heap Dijkstra per block per barrier over entries keyed
+    ``(source, node)``, so ALL sources ride the SAME rounds AND the
+    rounds themselves collapse from O(diameter in hops) to O(diameter
+    in blocks) — the scale fix for catchment/isochrone products on
+    high-diameter road graphs. Label-correcting merge keyed
+    ``(src, id)``; correctness is partitioner-independent."""
+    spark = edges.sparkSession
+    if part is None:
+        def part(name: str):
+            return F.pmod(F.col(name), F.lit(int(n_parts))).cast("long")
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .withColumn("p", part("e_src"))
+        .withColumn("x", part("e_dst") != F.col("p"))
+        .repartition(F.col("p"))
+        .sortWithinPartitions("p")
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError(
+            "travel_time_matrix_delta requires non-negative weights")
+
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(_key, fr: pd.DataFrame, eg: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                              "id": pd.Series(dtype="int64"),
+                              "nd": pd.Series(dtype="int64")})
+        if len(fr) == 0 or len(eg) == 0:
+            return empty
+        es = eg["e_src"].to_numpy(np.int64)
+        order = np.argsort(es, kind="stable")
+        es = es[order]
+        ed = eg["e_dst"].to_numpy(np.int64)[order]
+        w = eg["w"].to_numpy(np.int64)[order]
+        cross = eg["x"].to_numpy(bool)[order]
+        us, starts = np.unique(es, return_index=True)
+        ends = np.append(starts[1:], len(es))
+        rng = {int(u): (int(a), int(b)) for u, a, b in zip(us, starts, ends)}
+        best: dict = {}
+        heap: list = []
+        seeds: dict = {}
+        for s, u, d in zip(fr["src"].to_numpy(np.int64).tolist(),
+                           fr["id"].to_numpy(np.int64).tolist(),
+                           fr["dist"].to_numpy(np.int64).tolist()):
+            k = (s, u)
+            if d < best.get(k, d + 1):
+                best[k] = d
+                seeds[k] = d
+                heapq.heappush(heap, (d, s, u))
+        out: dict = {}
+        while heap:
+            d, s, u = heapq.heappop(heap)
+            if d > best.get((s, u), d):
+                continue
+            ab = rng.get(u)
+            if ab is None:
+                continue
+            for k in range(ab[0], ab[1]):
+                nd = d + w[k]
+                v = int(ed[k])
+                if cross[k]:
+                    if nd < out.get((s, v), nd + 1):
+                        out[(s, v)] = nd
+                elif nd < best.get((s, v), nd + 1):
+                    best[(s, v)] = nd
+                    heapq.heappush(heap, (nd, s, v))
+        for kk, d in best.items():
+            if d < seeds.get(kk, d + 1):
+                out[kk] = min(d, out.get(kk, d))
+        if not out:
+            return empty
+        ks = np.array(list(out.keys()), np.int64)
+        return pd.DataFrame(
+            {"src": ks[:, 0], "id": ks[:, 1],
+             "nd": np.fromiter(out.values(), np.int64, len(out))})
+
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "src long, id long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist.withColumn("p", part("id"))
+    rounds = 0
+    while True:
+        agg = frontier.agg(
+            F.count("*").alias("c"), F.collect_set("p").alias("ps")
+        ).collect()[0]
+        if agg["c"] == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            e.unpersist()
+            raise RuntimeError(
+                f"travel_time_matrix_delta did not converge in "
+                f"{max_rounds} rounds; raise max_rounds")
+        parts = agg["ps"]
+        e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
+                 if len(parts) <= 2048 else e)
+        cand = (
+            frontier.groupBy("p")
+            .cogroup(e_act.groupBy("p"))
+            .applyInPandas(kernel, "src long, id long, nd long")
+            .groupBy("src", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, ["src", "id"], "full")
+            .select(
+                "src",
+                "id",
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+                ).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = merged.select("src", "id", "dist")
+        frontier = merged.where("_imp").select(
+            "src", "id", "dist").withColumn("p", part("id"))
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    return dist.select("src", F.col("id").alias("node_id"), "dist")
 
 
 def travel_time_matrix(

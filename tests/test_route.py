@@ -283,3 +283,42 @@ def test_delta_guards(spark):
         shortest_paths_delta(
             _edges_df(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)]), 0,
             n_parts=4, max_rounds=1)
+
+
+def test_travel_matrix_delta_equals_per_source_dijkstra(spark):
+    from osm2geojson_spark.spatial.route import (
+        grid_block_part,
+        travel_time_matrix_delta,
+    )
+
+    n = 16
+    srcs = [0, 37, n * n - 1]
+    st = {}
+    got = sorted(
+        (r.src, r.node_id, r.dist)
+        for r in travel_time_matrix_delta(
+            grid_edges(spark, n), srcs, part=grid_block_part(n, 4),
+            stats=st).collect())
+    g = pyref.grid_graph(n)
+    want = sorted(
+        (s, node, d)
+        for s in srcs for node, d in pyref.dijkstra(g, s).items())
+    assert got == want
+    assert st["rounds"] < 20  # fused: ~block diameter, not hop diameter
+
+
+def test_travel_matrix_delta_adversarial_partitioning(spark):
+    from osm2geojson_spark.spatial.route import travel_time_matrix_delta
+
+    e = _edges_df(
+        spark,
+        [(0, 2, 10), (0, 1, 1), (1, 3, 1), (3, 2, 1), (2, 4, 1)],
+    )
+    got = sorted(
+        (r.src, r.node_id, r.dist)
+        for r in travel_time_matrix_delta(e, [0, 3], n_parts=3).collect())
+    rows = [(0, 2, 10), (0, 1, 1), (1, 3, 1), (3, 2, 1), (2, 4, 1)]
+    want = sorted(
+        (s, node, d)
+        for s in (0, 3) for node, d in pyref.dijkstra(rows, s).items())
+    assert got == want

@@ -15,6 +15,9 @@ local[32], same input, scaling efficiency reported).
 
 Usage: python tools/grid_route_bench.py [width] [block]
 Env: SCALE_REPS (default 2), SCALE_LEVELS (default "8,32"),
+SCALE_SOURCES=k for the k-depot travel-matrix variant (k concurrent
+wavefronts — the catchment workload, and the shape whose kernel work
+actually spans all cores; a single wavefront saturates ~8),
 SCALE_RUN_FRONTIER=1 to also wall-clock the frontier version (slow).
 Only trust runs with /proc/loadavg 1-min AND 5-min < ~1-2 (CLAUDE.md).
 """
@@ -62,24 +65,46 @@ import json, sys, time
 sys.path.insert(0, "@REPO@")
 from osm2geojson_spark.session import get_spark
 from osm2geojson_spark.spatial.route import (
-    grid_edges, grid_block_part, shortest_paths, shortest_paths_delta)
+    grid_edges, grid_block_part, shortest_paths, shortest_paths_delta,
+    travel_time_matrix_delta)
 
 cores = int(sys.argv[1]); n = int(sys.argv[2]); block = int(sys.argv[3])
 reps = int(sys.argv[4]); run_frontier = int(sys.argv[5])
+n_src = int(sys.argv[6])
 spark = get_spark("grid-route-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=cores)
+
+if n_src > 1:
+    # depots spread across the grid: n_src concurrent wavefronts — the
+    # catchment workload, and the shape with real cross-core kernel
+    # parallelism (a single source's wavefront only spans ~2*sqrt(B)
+    # blocks at once, which 8 cores already saturate)
+    import math
+    side = int(math.isqrt(n_src))
+    step = n // (side + 1)
+    sources = [ (iy + 1) * step * n + (ix + 1) * step
+                for iy in range(side) for ix in range(side) ]
+else:
+    sources = [0]
 
 times, st = [], {}
 n_reach = None
 for rep in range(reps + 1):  # first run = warm-up, discarded
     t0 = time.perf_counter()
-    dist = shortest_paths_delta(
-        grid_edges(spark, n), 0, part=grid_block_part(n, block), stats=st)
+    if n_src > 1:
+        dist = travel_time_matrix_delta(
+            grid_edges(spark, n), sources,
+            part=grid_block_part(n, block), stats=st)
+    else:
+        dist = shortest_paths_delta(
+            grid_edges(spark, n), 0, part=grid_block_part(n, block),
+            stats=st)
     n_reach = dist.count()
     times.append(time.perf_counter() - t0)
 times = times[1:]
 out = {"cores": cores, "times": times, "best": min(times),
-       "n_reachable": n_reach, "rounds": st.get("rounds")}
+       "n_reachable": n_reach, "rounds": st.get("rounds"),
+       "n_sources": len(sources)}
 if run_frontier:
     st_bf = {}
     t0 = time.perf_counter()
@@ -92,11 +117,11 @@ print(json.dumps(out))
 
 
 def run_level(cores: int, n: int, block: int, reps: int,
-              run_frontier: bool) -> dict:
+              run_frontier: bool, n_src: int) -> dict:
     child = _CHILD.replace("@REPO@", REPO)
     out = subprocess.run(
         [sys.executable, "-c", child, str(cores), str(n), str(block),
-         str(reps), str(int(run_frontier))],
+         str(reps), str(int(run_frontier)), str(n_src)],
         capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -108,14 +133,15 @@ def main() -> None:
     levels = [int(x) for x in
               os.environ.get("SCALE_LEVELS", "8,32").split(",")]
     run_frontier = os.environ.get("SCALE_RUN_FRONTIER") == "1"
+    n_src = int(os.environ.get("SCALE_SOURCES", "1"))
 
     bf_rounds = frontier_rounds_analytic(n)
     results = {lv: run_level(lv, n, block, reps,
-                             run_frontier and lv == levels[-1])
+                             run_frontier and lv == levels[-1], n_src)
                for lv in levels}
     report = {
         "width": n, "n_nodes": n * n, "n_edges": 4 * n * (n - 1) * 2,
-        "block": block,
+        "block": block, "n_sources": n_src,
         "frontier_rounds_analytic": bf_rounds,
     }
     for lv, r in results.items():
