@@ -500,6 +500,17 @@ def _sql_literal(v, typ: str) -> str:
     return f"CAST({int(v)} AS {typ})"
 
 
+def wkb_point_hex(lon: float, lat: float) -> str:
+    """Spark-free twin of functions/wkb's point encoder: canonical
+    little-endian WKB point, uppercase hex (matching Spark ``hex()``).
+    Independent code path — stdlib struct here, numpy byte views in the
+    Arrow kernel — so a byte match is evidence, not replay."""
+    import struct as _struct
+
+    return (b"\x01\x01\x00\x00\x00"
+            + _struct.pack("<dd", lon, lat)).hex().upper()
+
+
 def values_sql(rows: list[tuple], colspec: list[tuple]) -> str:
     """Literal-table SELECT: ``rows`` inlined as VALUES with per-column
     DuckDB casts. ``colspec`` = [(name, ducktype)]. Zero rows → typed

@@ -1993,6 +1993,92 @@ def q_image_phash_dedup(spark, sf_dir):
     return phash_near_dup_pairs(imgs, max_hamming=10)
 
 
+_WKB_N = 200  # fixed synthetic point set for the byte-level oracle
+
+
+def q_wkb_point_hex(spark, sf_dir):
+    """WKB interop, byte level: int-derived points → canonical
+    little-endian OGC WKB via the vectorized Arrow pack
+    (functions/wkb.wkb_point_udf), emitted as hex. Oracle: a literal
+    table from pyref.wkb_point_hex — stdlib struct, an independent code
+    path from the kernel's numpy byte views — so the match pins the
+    IEEE-754 bytes themselves. Fixed 200-point set (sf-independent,
+    like the other literal-table oracles)."""
+    from osm2geojson_spark.functions.wkb import wkb_point_udf
+
+    pts = spark.range(_WKB_N).select(
+        F.col("id").alias("pt_id"),
+        lon_col(F.col("id")).alias("lon"),
+        lat_col(F.col("id")).alias("lat"))
+    return pts.select(
+        "pt_id", F.hex(wkb_point_udf()(F.col("lon"), F.col("lat"))
+                       ).alias("wkb_hex"))
+
+
+def _sql_wkb_point_hex() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = [(k, pyref.wkb_point_hex(_py_lon(k), _py_lat(k)))
+            for k in range(_WKB_N)]
+    return pyref.values_sql(
+        rows, [("pt_id", "BIGINT"), ("wkb_hex", "VARCHAR")])
+
+
+def q_wkb_roundtrip(spark, sf_dir):
+    """WKB round trip over REAL assembled way geometry: chains encode as
+    LineString or (closed) Polygon WKB, decode back through the
+    both-endian parser, and the reconstructed type / vertex count /
+    endpoint coords are reported. The oracle recomputes those directly
+    from lineitem — equality proves decode(encode(x)) == x including
+    doubles surviving the IEEE byte pack."""
+    from osm2geojson_spark.functions import geometry as G
+    from osm2geojson_spark.functions.wkb import (
+        wkb_decode_udf,
+        wkb_line_udf,
+        wkb_polygon_udf,
+    )
+
+    nodes, ways = _ways_input(spark, sf_dir)
+    assembled = OJ.assemble_ways(nodes, ways)
+    coords = G.way_coords(F.col("nodes"))
+    geom = assembled.select(
+        F.col("id").alias("way_id"),
+        coords.alias("coords"),
+        G.way_geom_type(coords).alias("gt"))
+    wkb = geom.select(
+        "way_id",
+        F.when(F.col("gt") == "Polygon",
+               wkb_polygon_udf()(F.array(F.col("coords"))))
+        .otherwise(wkb_line_udf()(F.col("coords"))).alias("wkb"))
+    dec = wkb.select("way_id", wkb_decode_udf()(F.col("wkb")).alias("g"))
+    ring = F.element_at(F.col("g.rings"), 1)
+    return dec.select(
+        "way_id",
+        F.col("g.gtype").alias("geom_type"),
+        F.size(ring).cast("int").alias("n_points"),
+        F.element_at(F.element_at(ring, 1), 1).alias("first_lon"),
+        F.element_at(F.element_at(ring, -1), 2).alias("last_lat"),
+    )
+
+
+_SQL_WKB_ROUNDTRIP = f"""
+WITH ends AS (
+  SELECT l_orderkey AS way_id,
+         arg_min(l_partkey, l_linenumber * 100000000 + l_partkey) AS p_first,
+         arg_max(l_partkey, l_linenumber * 100000000 + l_partkey) AS p_last,
+         CAST(COUNT(*) AS INT) AS n_points
+  FROM lineitem GROUP BY l_orderkey)
+SELECT way_id,
+       CASE WHEN ({lon_sql('p_first')}) = ({lon_sql('p_last')})
+             AND ({lat_sql('p_first')}) = ({lat_sql('p_last')})
+            THEN 'Polygon' ELSE 'LineString' END AS geom_type,
+       n_points,
+       ({lon_sql('p_first')}) AS first_lon,
+       ({lat_sql('p_last')}) AS last_lat
+FROM ends
+"""
+
+
 def q_geojson_roundtrip(spark, sf_dir):
     """GeoJSON ROUND TRIP (north-star axis): build feature documents
     for all four geometry classes from int-derived coordinates, emit
@@ -3624,6 +3710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_pick": q_canonical_pick,
         "bpe_train": q_bpe_train,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "wkb_point_hex": q_wkb_point_hex,
+        "wkb_roundtrip": q_wkb_roundtrip,
         "decontaminate": q_decontaminate,
         "html_extract": q_html_extract,
         "trajectory_stats": q_trajectory_stats,
@@ -3707,6 +3795,8 @@ def oracle_sql() -> dict[str, str]:
         "canonical_pick": _sql_canonical_pick(),
         "bpe_train": _sql_bpe_train(),
         "geojson_roundtrip": _sql_geojson_roundtrip(),
+        "wkb_point_hex": _sql_wkb_point_hex(),
+        "wkb_roundtrip": _SQL_WKB_ROUNDTRIP,
         "decontaminate": _SQL_DECONTAMINATE,
         "html_extract": _SQL_HTML_EXTRACT,
         "trajectory_stats": _sql_trajectory_stats(),
