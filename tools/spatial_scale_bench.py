@@ -94,6 +94,21 @@ def main() -> None:
         },
     }
 
+    if os.environ.get("SCALE_X100") == "1":
+        # 100× tier (60M synthetic pings / 24k images): the 10× tier is
+        # still fixed-cost-dominated on this host, so this is where the
+        # asymptotic slope shows
+        cases["heatmap_tiles"]["x100"] = lambda: heatmap_tiles(
+            points(spark, 60_000_000), res=5, tile_px=64)
+        cases["vector_tiles"]["x100"] = lambda: vector_tiles(
+            points(spark, 60_000_000), res=3, extent=4096)
+        cases["heatmap_pyramid"]["x100"] = lambda: overview_tiles(
+            heatmap_tiles(points(spark, 60_000_000), res=5, tile_px=64),
+            tile_px=64)
+        cases["zonal_stats"]["x100"] = lambda: zonal_stats(
+            images_table(spark, n=24_000, seed=42, fmts=FMTS_ALL),
+            zones(spark), zoom=6)
+
     out = {"reps": reps, "loadavg_start": load_start, "queries": {}}
     for name, tiers in cases.items():
         row = {}
@@ -107,6 +122,8 @@ def main() -> None:
                     best = dt if best is None else min(best, dt)
             row[tier] = round(best, 3)
         row["ratio_10x"] = round(row["big"] / row["small"], 2)
+        if "x100" in row:
+            row["ratio_100x"] = round(row["x100"] / row["small"], 2)
         out["queries"][name] = row
     out["loadavg_end"] = _loadavg()
     print(json.dumps(out))
