@@ -45,6 +45,7 @@ __all__ = [
     "shortest_paths",
     "shortest_paths_delta",
     "sssp_update",
+    "matrix_update",
     "travel_time_matrix",
     "travel_time_matrix_delta",
     "catchment_assign",
@@ -721,6 +722,97 @@ def travel_time_matrix_delta(
     e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+    return dist.select("src", F.col("id").alias("node_id"), "dist")
+
+
+def matrix_update(
+    edges: DataFrame,
+    matrix: DataFrame,
+    improving_edges: DataFrame,
+    max_iters: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a converged travel-time matrix
+    (``(src, node_id, dist)``) under a batch of IMPROVING edge changes —
+    the multi-source twin of :func:`sssp_update`: every depot's
+    distances reseed from the changed edges in the SAME relaxation
+    rounds (one composite-keyed frontier), so a batch that improves one
+    road re-settles its neighborhood once per affected depot without
+    re-traversing any graph. Weight increases are out of contract
+    (caller falls back to a cold :func:`travel_time_matrix` run)."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .repartition(F.col("e_src"))
+        .sortWithinPartitions("e_src")
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("matrix_update requires non-negative weights")
+    d0 = matrix.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("node_id").cast("long").alias("id"),
+        F.col("dist").cast("long").alias("dist"))
+    seed = (
+        improving_edges.select(
+            F.col("src").cast("long").alias("u"),
+            F.col("dst").cast("long").alias("v"),
+            F.col("w").cast("long").alias("uw"),
+        )
+        .join(d0, F.col("u") == F.col("id"))
+        .groupBy("src", F.col("v").alias("id"))
+        .agg(F.min(F.col("dist") + F.col("uw")).alias("nd"))
+    )
+    dist = d0
+    frontier = (
+        dist.join(seed, ["src", "id"], "full")
+        .select(
+            "src", "id",
+            F.least(F.coalesce("dist", "nd"),
+                    F.coalesce("nd", "dist")).alias("dist"),
+            (F.col("dist").isNull()
+             | (F.col("nd") < F.col("dist"))).alias("_imp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier.select("src", "id", "dist")
+    frontier = frontier.where("_imp").select("src", "id", "dist")
+    changed = 1
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        cand = (
+            frontier.join(e, frontier.id == e.e_src)
+            .groupBy("src", F.col("e_dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        merged = (
+            dist.join(cand, ["src", "id"], "full")
+            .select(
+                "src", "id",
+                F.least(F.coalesce("dist", "nd"),
+                        F.coalesce("nd", "dist")).alias("dist"),
+                (F.col("dist").isNull()
+                 | (F.col("nd") < F.col("dist"))).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where("_imp").select("src", "id", "dist")
+        changed = frontier.count()
+        dist = merged.select("src", "id", "dist")
+        if changed == 0:
+            break
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if changed != 0:
+        raise RuntimeError(
+            f"matrix_update did not converge in {max_iters} rounds; "
+            f"raise max_iters")
     return dist.select("src", F.col("id").alias("node_id"), "dist")
 
 

@@ -26,12 +26,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2geojson_spark.spatial.route import (
+    catchment_assign,
     isochrone_bands,
+    matrix_update,
     shortest_paths,
     sssp_update,
+    travel_time_matrix,
 )
 
-__all__ = ["edge_updates_stream", "sssp_stream_to_memory"]
+__all__ = [
+    "edge_updates_stream",
+    "sssp_stream_to_memory",
+    "catchment_stream_to_memory",
+]
 
 
 def edge_updates_stream(spark, path: str) -> DataFrame:
@@ -47,41 +54,31 @@ def edge_updates_stream(spark, path: str) -> DataFrame:
     )
 
 
-def sssp_stream_to_memory(
+def _run_route_stream(
     updates: DataFrame,
     base_edges: DataFrame,
-    source: int,
-    name: str,
-    band_width: int = 10,
-    max_iters: int = 64,
-    stats: dict | None = None,
+    cold_fn,
+    incr_fn,
+    publish_fn,
+    stats: dict | None,
 ) -> None:
-    """foreachBatch sink: apply each micro-batch of edge upserts to the
-    cached edge table, maintain the converged dist incrementally where
-    the contract allows, publish ``<name>`` / ``<name>_bands`` views.
-    availableNow trigger — drains the file queue then stops (test and
-    catch-up semantics; a continuous deployment drops the trigger)."""
-    spark = base_edges.sparkSession
+    """Shared micro-batch driver: dedup the batch's upserts (last seq
+    wins), merge into the cached edge table, detect weight increases
+    (→ ``cold_fn(new_edges)``) vs decreases/additions
+    (→ ``incr_fn(new_edges, dist, improving)``), publish."""
     state = {
         "edges": base_edges.select(
             F.col("src").cast("long").alias("src"),
             F.col("dst").cast("long").alias("dst"),
             F.col("w").cast("long").alias("w"),
         ).localCheckpoint(eager=True),
-        "dist": shortest_paths(base_edges, source, max_iters=max_iters),
+        "dist": None,
         "batches": 0,
         "incremental": 0,
         "cold": 0,
     }
-
-    def publish() -> None:
-        d = state["dist"].localCheckpoint(eager=True)
-        state["dist"] = d
-        d.createOrReplaceGlobalTempView(name)
-        isochrone_bands(d, band_width).createOrReplaceGlobalTempView(
-            f"{name}_bands")
-
-    publish()
+    state["dist"] = cold_fn(state["edges"]).localCheckpoint(eager=True)
+    publish_fn(state["dist"])
 
     def handle(bdf: DataFrame, batch_id: int) -> None:
         seq = (F.col("seq") if "seq" in bdf.columns else F.lit(0))
@@ -123,16 +120,15 @@ def sssp_stream_to_memory(
         state["batches"] += 1
         if worsened:
             state["cold"] += 1
-            state["dist"] = shortest_paths(
-                new_edges, source, max_iters=max_iters)
+            state["dist"] = cold_fn(new_edges)
         else:
             state["incremental"] += 1
             improving = joined.where(
                 F.col("o_w").isNull() | (F.col("w") < F.col("o_w"))
             ).select("src", "dst", "w")
-            state["dist"] = sssp_update(
-                new_edges, state["dist"], improving, max_iters=max_iters)
-        publish()
+            state["dist"] = incr_fn(new_edges, state["dist"], improving)
+        state["dist"] = state["dist"].localCheckpoint(eager=True)
+        publish_fn(state["dist"])
 
     q = (updates.writeStream.foreachBatch(handle)
          .trigger(availableNow=True).start())
@@ -140,3 +136,60 @@ def sssp_stream_to_memory(
     if stats is not None:
         stats.update(batches=state["batches"],
                      incremental=state["incremental"], cold=state["cold"])
+
+
+def sssp_stream_to_memory(
+    updates: DataFrame,
+    base_edges: DataFrame,
+    source: int,
+    name: str,
+    band_width: int = 10,
+    max_iters: int = 64,
+    stats: dict | None = None,
+) -> None:
+    """foreachBatch sink: apply each micro-batch of edge upserts to the
+    cached edge table, maintain the converged dist incrementally where
+    the contract allows, publish ``<name>`` / ``<name>_bands`` views.
+    availableNow trigger — drains the file queue then stops (test and
+    catch-up semantics; a continuous deployment drops the trigger)."""
+
+    def cold(edges):
+        return shortest_paths(edges, source, max_iters=max_iters)
+
+    def incr(edges, dist, improving):
+        return sssp_update(edges, dist, improving, max_iters=max_iters)
+
+    def publish(d: DataFrame) -> None:
+        d.createOrReplaceGlobalTempView(name)
+        isochrone_bands(d, band_width).createOrReplaceGlobalTempView(
+            f"{name}_bands")
+
+    _run_route_stream(updates, base_edges, cold, incr, publish, stats)
+
+
+def catchment_stream_to_memory(
+    updates: DataFrame,
+    base_edges: DataFrame,
+    sources: list,
+    name: str,
+    max_iters: int = 64,
+    stats: dict | None = None,
+) -> None:
+    """Multi-depot twin: maintains the full travel-time matrix over the
+    edge-update stream (``matrix_update`` reseeds EVERY depot's
+    distances in the same composite-keyed rounds) and publishes
+    ``<name>_matrix`` plus the derived nearest-facility view
+    ``<name>`` = catchment_assign(matrix) per batch."""
+
+    def cold(edges):
+        return travel_time_matrix(edges, sources, max_iters=max_iters)
+
+    def incr(edges, matrix, improving):
+        return matrix_update(edges, matrix, improving,
+                             max_iters=max_iters)
+
+    def publish(m: DataFrame) -> None:
+        m.createOrReplaceGlobalTempView(f"{name}_matrix")
+        catchment_assign(m).createOrReplaceGlobalTempView(name)
+
+    _run_route_stream(updates, base_edges, cold, incr, publish, stats)

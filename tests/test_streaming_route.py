@@ -117,3 +117,59 @@ def test_sssp_stream_rejects_negative_weight(spark, tmp_path):
         sssp_stream_to_memory(
             edge_updates_stream(spark, d), grid_edges(spark, N), 0,
             "sssp_neg")
+
+
+def test_catchment_stream_matches_batch(spark, tmp_path):
+    from osm2geojson_spark.spatial.route import catchment_assign
+    from osm2geojson_spark.streaming.route import catchment_stream_to_memory
+
+    d = str(tmp_path / "ups4")
+    os.makedirs(d)
+    _write_batch(d, "b0.parquet", B1, 1_700_000_000)
+    depots = [0, N * N - 1]
+    stats = {}
+    catchment_stream_to_memory(
+        edge_updates_stream(spark, d), grid_edges(spark, N), depots,
+        "catch_inc", stats=stats)
+    assert stats == {"batches": 1, "incremental": 1, "cold": 0}
+    merged = _apply_upserts(pyref.grid_graph(N), B1)
+    want_m = sorted(
+        (s, node, dv)
+        for s in depots for node, dv in pyref.dijkstra(merged, s).items())
+    got_m = sorted(
+        (r.src, r.node_id, r.dist)
+        for r in spark.table("global_temp.catch_inc_matrix").collect())
+    assert got_m == want_m
+    # nearest-facility view: min(dist, src) tie rule
+    best = {}
+    for s, node, dv in want_m:
+        cur = best.get(node)
+        if cur is None or (dv, s) < cur:
+            best[node] = (dv, s)
+    got_c = {
+        r.node_id: (r.dist, r.nearest_src)
+        for r in spark.table("global_temp.catch_inc").collect()}
+    assert got_c == best
+
+
+def test_matrix_update_direct(spark):
+    from osm2geojson_spark.spatial.route import (
+        matrix_update,
+        travel_time_matrix,
+    )
+
+    merged = _apply_upserts(pyref.grid_graph(N), B1)
+    e_new = spark.createDataFrame(merged, "src long, dst long, w long")
+    depots = [0, 77]
+    m0 = travel_time_matrix(grid_edges(spark, N), depots)
+    got = sorted(
+        (r.src, r.node_id, r.dist)
+        for r in matrix_update(
+            e_new, m0,
+            spark.createDataFrame(
+                [(u, v, w) for u, v, w, _ in B1],
+                "src long, dst long, w long")).collect())
+    want = sorted(
+        (s, node, dv)
+        for s in depots for node, dv in pyref.dijkstra(merged, s).items())
+    assert got == want
