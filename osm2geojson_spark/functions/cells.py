@@ -18,8 +18,13 @@ Three synchronized implementations of the SAME arithmetic:
   de-interleave, which is branch-heavy as a column expression).
 
 The reference has no spatial index at all (SURVEY.md §2.4 GRAFT G1); this
-is engine-new. Resolutions up to 15 keep ids < 2^30 (safely positive in
-signed 64-bit in both engines).
+is engine-new. Resolutions up to 26 keep ids < 2^53 — safely positive in
+signed 64-bit AND exactly representable even if a foreign engine routes
+the id through a double (the DuckDB decimal→double trap, CLAUDE.md).
+Raised from 15 in round 4: deep-zoom tile renders (MVT/heatmap at
+city zoom) need res > 15 for tile-level parallelism at scale; the extra
+(16, …) spread stage is bit-for-bit identity for sub-2^16 axes, so every
+existing res ≤ 15 id — and every committed oracle — is unchanged.
 """
 
 from __future__ import annotations
@@ -28,10 +33,11 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MAX_RES = 15
+MAX_RES = 26
 
-# magic-number bit spreading: place the low 16 bits of x at even positions
+# magic-number bit spreading: place the low 32 bits of x at even positions
 _SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
     (8, 0x00FF00FF00FF00FF),
     (4, 0x0F0F0F0F0F0F0F0F),
     (2, 0x3333333333333333),
@@ -128,6 +134,7 @@ def _compact_np(x: np.ndarray) -> np.ndarray:
     x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
     x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
     x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    x = (x | (x >> 16)) & 0x00000000FFFFFFFF
     return x
 
 

@@ -644,7 +644,8 @@ def ref_pq_topk(ids: list[int], vecs: list[list[float]],
 # ------------------------------------------------------------- heatmap tiles
 
 def _morton_spread(v: int) -> int:
-    for s, m in ((8, 0x00FF00FF00FF00FF), (4, 0x0F0F0F0F0F0F0F0F),
+    for s, m in ((16, 0x0000FFFF0000FFFF),
+                 (8, 0x00FF00FF00FF00FF), (4, 0x0F0F0F0F0F0F0F0F),
                  (2, 0x3333333333333333), (1, 0x5555555555555555)):
         v = (v << s | v) & m
     return v

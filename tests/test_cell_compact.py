@@ -73,3 +73,59 @@ def test_min_res_floor(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_deep_res_spread_identity_and_roundtrip():
+    # round-4 MAX_RES raise: the added (16,...) spread stage must be
+    # bit-for-bit identity for res <= 15 ids (committed oracles), and
+    # encode/decode must round-trip at the new deep resolutions
+    import numpy as np
+
+    from osm2geojson_spark.functions import cells as C
+
+    def spread_15(x):  # the pre-round-4 4-stage chain
+        x = x.astype(np.int64)
+        for shift, mask in ((8, 0x00FF00FF00FF00FF),
+                            (4, 0x0F0F0F0F0F0F0F0F),
+                            (2, 0x3333333333333333),
+                            (1, 0x5555555555555555)):
+            x = (x << shift | x) & mask
+        return x
+
+    xs = np.arange(0, 1 << 15, 97, dtype=np.int64)
+    assert (C._spread_np(xs) == spread_15(xs)).all()
+
+    rng = np.random.default_rng(7)
+    for res in (16, 20, 26):
+        n = 1 << res
+        ix = rng.integers(0, n, 500)
+        iy = rng.integers(0, n, 500)
+        cell = C._spread_np(ix) | (C._spread_np(iy) << 1)
+        assert int(cell.max()) < (1 << 53)
+        gx, gy = C._compact_np(cell), C._compact_np(cell >> 1)
+        assert (gx == ix).all() and (gy == iy).all()
+
+
+def test_deep_res_spark_sql_numpy_agree(spark):
+    import numpy as np
+
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.functions import cells as C
+    from pyspark.sql import functions as F
+
+    lons = [-179.9, -1.0, 0.0, 13.4049, 179.9]
+    lats = [-84.9, 0.0, 0.1, 52.52, 84.9]
+    res = 22
+    df = spark.createDataFrame(
+        list(zip(lons, lats)), "lon double, lat double")
+    got = [r.c for r in df.select(
+        C.cell_expr(F.col("lon"), F.col("lat"), res).alias("c")).collect()]
+    want_np = C.encode_np(np.array(lons), np.array(lats), res).tolist()
+    assert got == want_np
+    # pyref spread twin agrees too
+    n = 1 << res
+    for lon, lat, g in zip(lons, lats, got):
+        ix = min(max(int((lon + 180.0) / 360.0 * n), 0), n - 1)
+        iy = min(max(int((lat + 90.0) / 180.0 * n), 0), n - 1)
+        assert (pyref._morton_spread(ix)
+                | (pyref._morton_spread(iy) << 1)) == g

@@ -62,7 +62,7 @@ def test_rejects_bad_params(spark):
     with pytest.raises(ValueError):
         heatmap_tiles(df, res=3, tile_px=48)
     with pytest.raises(ValueError):
-        heatmap_tiles(df, res=10, tile_px=64)
+        heatmap_tiles(df, res=21, tile_px=64)  # 21 + 6 > MAX_RES 26
 
 
 if __name__ == "__main__":

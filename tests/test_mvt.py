@@ -133,7 +133,7 @@ def test_extent_guards(spark):
     with pytest.raises(ValueError):
         M.vector_tiles(df, res=3, extent=1000)
     with pytest.raises(ValueError):
-        M.vector_tiles(df, res=9, extent=4096)
+        M.vector_tiles(df, res=15, extent=4096)  # 15 + 12 > MAX_RES 26
 
 
 def test_vectorized_point_layer_matches_python_twin():

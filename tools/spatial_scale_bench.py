@@ -67,13 +67,9 @@ def main() -> None:
                                          tile_px=64),
         },
         "vector_tiles": {
-            # extent 4096 already puts MVT at the pixel-res cap
-            # (res 3 + log2(4096) = MAX_RES 15), so the big tier keeps
-            # the tile grid and absorbs 10× points as denser tiles —
-            # the same shuffle bound (tiles × extent²) under test
             "small": lambda: vector_tiles(points(spark, 600_000), res=3,
                                           extent=4096),
-            "big": lambda: vector_tiles(points(spark, 6_000_000), res=3,
+            "big": lambda: vector_tiles(points(spark, 6_000_000), res=4,
                                         extent=4096),
         },
         "heatmap_pyramid": {
@@ -100,8 +96,13 @@ def main() -> None:
         # asymptotic slope shows
         cases["heatmap_tiles"]["x100"] = lambda: heatmap_tiles(
             points(spark, 60_000_000), res=5, tile_px=64)
+        # one zoom per decade keeps per-tile feature density comparable;
+        # res 6 at extent 4096 needs the round-4 MAX_RES raise (pix_res
+        # 18) — at the old res-3 cap this tier measured a 64-way render
+        # of 57M features and went linear (51× for 100×, recorded in
+        # BENCH.md as the motivation)
         cases["vector_tiles"]["x100"] = lambda: vector_tiles(
-            points(spark, 60_000_000), res=3, extent=4096)
+            points(spark, 60_000_000), res=5, extent=4096)
         cases["heatmap_pyramid"]["x100"] = lambda: overview_tiles(
             heatmap_tiles(points(spark, 60_000_000), res=5, tile_px=64),
             tile_px=64)
