@@ -83,6 +83,33 @@ def parent_expr(cell: Column, levels: int = 1) -> Column:
     return F.shiftright(cell, 2 * levels)
 
 
+def quadkey_expr(cell: Column, res: int) -> Column:
+    """Bing-Maps quadkey string of a Morton cell: the base-4 digits of
+    the id, left-padded to ``res`` chars. Works because this module
+    interleaves x at even and y at odd bit positions — exactly Bing's
+    digit = x_bit + 2·y_bit — so the quadkey's defining property holds:
+    a cell's PREFIX is its ancestor's quadkey (string ops = tree ops,
+    the interop key format tile servers and XYZ caches speak).
+    Pure built-ins (``conv`` + ``lpad``), WholeStageCodegen."""
+    if not 0 < res <= MAX_RES:
+        raise ValueError(f"res must be in 1..{MAX_RES}")
+    return F.lpad(F.conv(cell.cast("string"), 10, 4), res, "0")
+
+
+def quadkey_to_cell_expr(qk: Column) -> Column:
+    """Inverse: quadkey string → Morton cell id (at the key's length)."""
+    return F.conv(qk, 4, 10).cast("long")
+
+
+def quadkey_sql(cell: str, res: int) -> str:
+    """SQL twin of :func:`quadkey_expr` — per-digit generated concat
+    (no base-conversion builtin assumed; fully parenthesized integer
+    div/mod per the repo's determinism rules)."""
+    digits = [f"CAST((({cell}) // {4 ** (res - 1 - i)}) % 4 AS VARCHAR)"
+              for i in range(res)]
+    return "(" + " || ".join(digits) + ")"
+
+
 # ---------------------------------------------------------------- SQL twin
 def _axis_sql(coord: str, lo: float, span: float, res: int) -> str:
     n = 1 << res

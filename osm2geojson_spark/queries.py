@@ -2858,6 +2858,42 @@ FROM seq WHERE (zone_id IS DISTINCT FROM prev)
 """
 
 
+def q_quadkey_rollup(spark, sf_dir):
+    """Bing quadkey rollup: every event point keyed at res 8 (base-4
+    digits of the Morton id — pure ``conv``/``lpad`` codegen), rolled up
+    by 4-char PREFIX: count + distinct res-8 keys per res-4 tile. The
+    prefix-is-ancestor property is the point — it is what lets a string
+    GROUP BY walk the tile tree, and what XYZ tile caches key on. The
+    oracle builds the key digit-by-digit with integer div/mod (no
+    base-conversion builtin assumed)."""
+    from osm2geojson_spark.functions.cells import cell_expr, quadkey_expr
+
+    ev = _t(spark, sf_dir, "events")
+    qk = quadkey_expr(
+        cell_expr(lon_col(F.col("event_id")), lat_col(F.col("event_id")), 8),
+        8)
+    return (
+        ev.select(qk.alias("qk"))
+        .groupBy(F.substring("qk", 1, 4).alias("qk4"))
+        .agg(F.count("*").alias("n_pts"),
+             F.countDistinct("qk").alias("n_cells"))
+    )
+
+
+def _sql_quadkey_rollup() -> str:
+    from osm2geojson_spark.functions.cells import cell_sql, quadkey_sql
+
+    qk = quadkey_sql(
+        f"({cell_sql(lon_sql('event_id'), lat_sql('event_id'), 8)})", 8)
+    return f"""
+WITH g AS (SELECT {qk} AS qk FROM events)
+SELECT substr(qk, 1, 4) AS qk4,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COUNT(DISTINCT qk) AS BIGINT) AS n_cells
+FROM g GROUP BY qk4
+"""
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Geohash spatial rollup: base-32 geohash of every event point
     (pure codegen'd integer bit math — the 4th cell-index family next to
@@ -3721,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "geofence": q_geofence,
         "geohash_rollup": q_geohash_rollup,
+        "quadkey_rollup": q_quadkey_rollup,
         "heatmap_tiles": q_heatmap_tiles,
         "vector_tiles": q_vector_tiles,
         "heatmap_pyramid": q_heatmap_pyramid,
@@ -3806,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _sql_map_match(),
         "geofence": _sql_geofence(),
         "geohash_rollup": _sql_geohash_rollup(),
+        "quadkey_rollup": _sql_quadkey_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
         "vector_tiles": _sql_vector_tiles(),
         "heatmap_pyramid": _sql_heatmap_pyramid(),

@@ -129,3 +129,35 @@ def test_deep_res_spark_sql_numpy_agree(spark):
         iy = min(max(int((lat + 90.0) / 180.0 * n), 0), n - 1)
         assert (pyref._morton_spread(ix)
                 | (pyref._morton_spread(iy) << 1)) == g
+
+
+def test_quadkey_prefix_is_ancestor(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.functions import cells as C
+
+    rng = random.Random(5)
+    rows = [(rng.uniform(-180, 180), rng.uniform(-85, 85))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    out = df.select(
+        C.quadkey_expr(C.cell_expr(F.col("lon"), F.col("lat"), 8), 8)
+        .alias("qk8"),
+        C.quadkey_expr(C.cell_expr(F.col("lon"), F.col("lat"), 4), 4)
+        .alias("qk4"),
+        C.cell_expr(F.col("lon"), F.col("lat"), 8).alias("cell"),
+        C.quadkey_to_cell_expr(
+            C.quadkey_expr(C.cell_expr(F.col("lon"), F.col("lat"), 8), 8)
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        assert len(r.qk8) == 8 and set(r.qk8) <= set("0123")
+        assert r.qk8[:4] == r.qk4          # prefix IS the ancestor key
+        assert r.back == r.cell            # string -> id inverse
+        # digit definition: base-4 expansion of the Morton id, plus the
+        # Bing digit rule (x bit + 2*y bit per level), independently
+        want = "".join(str((r.cell >> (2 * (8 - 1 - i))) & 3)
+                       for i in range(8))
+        assert r.qk8 == want
