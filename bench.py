@@ -208,6 +208,9 @@ BENCH_QUERIES = {
     # lives in tools/route_scale_bench.py + BENCH.md.
     "vector_tiles": Q.q_vector_tiles,
     "heatmap_pyramid": Q.q_heatmap_pyramid,
+    # round 4: LINESTRING tiles — trajectories clipped per tile with the
+    # exact integer Liang–Barsky and re-chained into MVT polylines
+    "line_tiles": Q.q_line_tiles,
 }
 
 

@@ -957,3 +957,69 @@ def ref_pagerank(edges: "list[tuple]", n_iters: int = 10,
             for v in nodes
         }
     return sorted(mass.items())
+
+
+def ref_line_tiles(paths: "list[tuple]", res: int = 3,
+                   extent: int = 4096,
+                   max_seg_px: "int | None" = None) -> "list[tuple]":
+    """Spark-free twin of spatial/cliptile.line_tiles: ``[(path_id,
+    [(lon, lat), ...])]`` ordered paths -> [(tile, n_features,
+    n_vertices, mvt_hex)]. Uses the SCALAR Fraction clipper and a
+    scalar chain walk (the Spark kernel is vectorized int64 numpy —
+    two independent implementations meeting at the protobuf bytes)."""
+    import math
+
+    from osm2geojson_spark.spatial.cliptile import (
+        clip_segment,
+        linestring_layer_bytes,
+    )
+
+    shift = extent.bit_length() - 1
+    pix_res = res + shift
+    n = 1 << pix_res
+    if max_seg_px is None:
+        max_seg_px = extent
+
+    tiles: dict = {}
+    for pid, pts in paths:
+        g = []
+        for lon, lat in pts:
+            ix = min(max(math.floor((lon - (-180.0)) / 360.0 * n), 0), n - 1)
+            iy = min(max(math.floor((lat - (-90.0)) / 180.0 * n), 0), n - 1)
+            g.append((ix, iy))
+        for s in range(len(g) - 1):
+            (x0, y0), (x1, y1) = g[s], g[s + 1]
+            if max(abs(x1 - x0), abs(y1 - y0)) > max_seg_px:
+                continue
+            for tx in range(min(x0, x1) >> shift,
+                            (max(x0, x1) >> shift) + 1):
+                for ty in range(min(y0, y1) >> shift,
+                                (max(y0, y1) >> shift) + 1):
+                    bx0, by0 = tx << shift, ty << shift
+                    c = clip_segment(x0, y0, x1, y1, bx0, by0,
+                                     bx0 + extent - 1, by0 + extent - 1)
+                    if c is None:
+                        continue
+                    tile = (_morton_spread(tx)
+                            | (_morton_spread(ty) << 1))
+                    tiles.setdefault(tile, []).append(
+                        (pid, s, c[0][0] - bx0, c[0][1] - by0,
+                         c[1][0] - bx0, c[1][1] - by0))
+    out = []
+    for tile, rows in sorted(tiles.items()):
+        rows.sort()
+        chains: list = []
+        for pid, s, ax, ay, bx, by in rows:
+            if (chains and chains[-1][0] == pid
+                    and s == chains[-1][3] + 1
+                    and (ax, ay) == chains[-1][2][-1]):
+                chains[-1][2].append((bx, by))
+                chains[-1][3] = s
+            else:
+                chains.append([pid, s, [(ax, ay), (bx, by)], s])
+        feats = [(pid, s0, verts) for pid, s0, verts, _last in chains]
+        buf = linestring_layer_bytes(feats, extent=extent)
+        out.append((tile, len(feats),
+                    sum(len(v) for _p, _s, v in feats),
+                    buf.hex().upper()))
+    return out

@@ -3027,6 +3027,50 @@ def _sql_vector_tiles() -> str:
                ("n_pts", "BIGINT"), ("mvt_hex", "VARCHAR")])
 
 
+def q_line_tiles(spark, sf_dir):
+    """MVT LINESTRING tiles: per-user GPS trajectories clipped to every
+    Morton tile they cross (EXACT rational Liang–Barsky — int64
+    cross-multiplication, no floats, so the vectorized Spark kernel and
+    the scalar-Fraction oracle twin meet bit-for-bit at the protobuf
+    bytes), re-chained into maximal polylines per (tile, path) and
+    serialized with the vector-tile-spec 2.1 encoder. One window
+    shuffle builds segments, the teleport filter (max_seg_px = extent)
+    bounds the candidate-tile fanout at 9, empty clips die map-side,
+    and ONE tile-keyed shuffle feeds the render — the linestring
+    completion of vector_tiles' POINT layers."""
+    from osm2geojson_spark.spatial.cliptile import line_tiles
+
+    ev = _t(spark, sf_dir, "events")
+    verts = ev.select(
+        F.col("user_id").alias("path_id"),
+        F.col("ts"), F.col("event_id"),
+        lon_col(F.col("event_id")).alias("lon"),
+        lat_col(F.col("event_id")).alias("lat"),
+    )
+    out = line_tiles(verts, res=3, extent=4096,
+                     id_col="path_id", order_cols=("ts", "event_id"))
+    return out.select("tile", "n_features", "n_vertices",
+                      F.hex("mvt").alias("mvt_hex"))
+
+
+def _sql_line_tiles() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = _oracle_parquet("events", ["user_id", "ts", "event_id"])
+    by_user: dict = {}
+    for uid, ts, k in rows:
+        by_user.setdefault(uid, []).append((ts, k))
+    paths = []
+    for uid in sorted(by_user):
+        seq = sorted(by_user[uid])
+        paths.append(
+            (uid, [(_py_lon(k), _py_lat(k)) for _ts, k in seq]))
+    ref = pyref.ref_line_tiles(paths, res=3, extent=4096)
+    return pyref.values_sql(
+        ref, [("tile", "BIGINT"), ("n_features", "BIGINT"),
+              ("n_vertices", "BIGINT"), ("mvt_hex", "VARCHAR")])
+
+
 def q_contours(spark, sf_dir):
     """Density isolines: event pings → res-6 occupancy grid → marching-
     squares contour segments at levels 2 and 5 (raster→vector, the
@@ -3760,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup": q_quadkey_rollup,
         "heatmap_tiles": q_heatmap_tiles,
         "vector_tiles": q_vector_tiles,
+        "line_tiles": q_line_tiles,
         "heatmap_pyramid": q_heatmap_pyramid,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
@@ -3846,6 +3891,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_rollup": _sql_quadkey_rollup(),
         "heatmap_tiles": _sql_heatmap_tiles(),
         "vector_tiles": _sql_vector_tiles(),
+        "line_tiles": _sql_line_tiles(),
         "heatmap_pyramid": _sql_heatmap_pyramid(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
