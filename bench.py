@@ -255,6 +255,12 @@ def main() -> None:
         runs = [run_once(fn, spark) for _ in range(REPEAT)]
         # min = steady-state plan cost (excludes one-off codegen/GC noise)
         timings[name] = round(min(runs), 3)
+        # cache hygiene: queries that persist internally (planet split
+        # scan, kNN rings, zonal zones) must not leave blocks behind to
+        # GC-pressure LATER queries — a 28-query session otherwise
+        # degrades its tail by 2-4x even in a quiet window (measured:
+        # asof_join 0.58 s isolated vs 3.2 s late in a dirty session)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     spatial_sec = timings.get("spatial_pipeline")
