@@ -211,6 +211,9 @@ BENCH_QUERIES = {
     # round 4: LINESTRING tiles — trajectories clipped per tile with the
     # exact integer Liang–Barsky and re-chained into MVT polylines
     "line_tiles": Q.q_line_tiles,
+    # round 4: POLYGON tiles — integer Sutherland–Hodgman clipping +
+    # spec winding, completing the MVT point/line/polygon triple
+    "polygon_tiles": Q.q_polygon_tiles,
 }
 
 

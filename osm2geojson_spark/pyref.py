@@ -1023,3 +1023,64 @@ def ref_line_tiles(paths: "list[tuple]", res: int = 3,
                     sum(len(v) for _p, _s, v in feats),
                     buf.hex().upper()))
     return out
+
+
+def ref_polygon_tiles(polys: "list[tuple]", res: int = 3,
+                      extent: int = 4096) -> "list[tuple]":
+    """Spark-free twin of spatial/polytile.polygon_tiles: ``[(poly_id,
+    [ring0, ring1, ...])]`` with rings as ordered (lon, lat) lists
+    (ring 0 = exterior) -> [(tile, n_features, n_rings, mvt_hex)].
+    Uses the SCALAR integer Sutherland-Hodgman and a scalar grouping
+    walk (the Spark kernel is vectorized int64 numpy — two independent
+    implementations meeting at the protobuf bytes)."""
+    import math
+
+    from osm2geojson_spark.spatial.polytile import (
+        clip_ring,
+        polygon_layer_bytes,
+        shoelace2,
+    )
+
+    shift = extent.bit_length() - 1
+    pix_res = res + shift
+    n = 1 << pix_res
+    tiles: dict = {}
+    for pid, rings in polys:
+        for ridx, ring in enumerate(rings):
+            g = []
+            for lon, lat in ring:
+                ix = min(max(math.floor((lon - (-180.0)) / 360.0 * n),
+                             0), n - 1)
+                iy = min(max(math.floor((lat - (-90.0)) / 180.0 * n),
+                             0), n - 1)
+                g.append((ix, iy))
+            xs = [p[0] for p in g]
+            ys = [p[1] for p in g]
+            for tx in range(min(xs) >> shift, (max(xs) >> shift) + 1):
+                for ty in range(min(ys) >> shift, (max(ys) >> shift) + 1):
+                    bx0, by0 = tx << shift, ty << shift
+                    c = clip_ring(g, bx0, by0, bx0 + extent - 1,
+                                  by0 + extent - 1)
+                    if c is None:
+                        continue
+                    local = [(x - bx0, y - by0) for x, y in c]
+                    tile = (_morton_spread(tx)
+                            | (_morton_spread(ty) << 1))
+                    tiles.setdefault(tile, {}).setdefault(pid, []).append(
+                        (ridx, shoelace2(local), local))
+    out = []
+    for tile, by_pid in sorted(tiles.items()):
+        feats = []
+        n_rings = 0
+        for pid in sorted(by_pid):
+            rows = sorted(by_pid[pid], key=lambda t: t[0])
+            if rows[0][0] != 0:
+                continue
+            rr = [(a2, loc) for _ridx, a2, loc in rows]
+            if abs(rr[0][0]) - sum(abs(a2) for a2, _l in rr[1:]) == 0:
+                continue
+            feats.append((pid, rr))
+            n_rings += len(rr)
+        buf = polygon_layer_bytes(feats, extent=extent)
+        out.append((tile, len(feats), n_rings, buf.hex().upper()))
+    return out

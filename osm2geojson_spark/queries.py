@@ -3071,6 +3071,77 @@ def _sql_line_tiles() -> str:
               ("n_vertices", "BIGINT"), ("mvt_hex", "VARCHAR")])
 
 
+# deterministic octagon + triangular hole per nation key: every vertex
+# is (center + scale * offset) in IEEE doubles, with center/scale from
+# pure int64 arithmetic — bit-identical in Spark, Python, and the
+# quantization floor (see module docstring rules)
+_POLY_OCT = [(1.0, 0.0), (0.75, 0.75), (0.0, 1.0), (-0.75, 0.75),
+             (-1.0, 0.0), (-0.75, -0.75), (0.0, -1.0), (0.75, -0.75)]
+_POLY_HOLE = [(0.25, 0.0), (0.0, 0.25), (-0.25, -0.125)]
+
+
+def _poly_center_scale(k: int) -> tuple:
+    cx = ((k * _LON_MUL) % 300_000_000) / 1_000_000.0 - 150.0
+    cy = ((k * _LAT_MUL + _LAT_OFF) % 120_000_000) / 1_000_000.0 - 60.0
+    s = 10.0 + float(k % 4) * 6.0
+    return cx, cy, s
+
+
+def q_polygon_tiles(spark, sf_dir):
+    """MVT POLYGON tiles: per-nation octagons with a triangular hole,
+    clipped to every Morton tile their bbox covers with the INTEGER
+    Sutherland–Hodgman (exact int64 cross-multiplications, half-up
+    lattice rounding per half-plane — the vectorized Spark kernel and
+    the scalar oracle twin meet bit-for-bit at the protobuf bytes),
+    winding normalized to the vector-tile-spec 2.1 area-sign rule.
+    One group-key shuffle assembles rings, empty/degenerate clips die
+    map-side, ONE tile-keyed shuffle feeds the render — the polygon
+    completion of vector_tiles (POINT) and line_tiles (LINESTRING)."""
+    from osm2geojson_spark.spatial.polytile import polygon_tiles
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"))
+    cx = (((F.col("k") * F.lit(_LON_MUL)) % F.lit(300_000_000))
+          .cast("double") / 1_000_000.0 - 150.0)
+    cy = (((F.col("k") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF))
+           % F.lit(120_000_000)).cast("double") / 1_000_000.0 - 60.0)
+    s = F.lit(10.0) + (F.col("k") % F.lit(4)).cast("double") * F.lit(6.0)
+    offs = F.array(*[
+        F.struct(F.lit(r).alias("ring"), F.lit(p).alias("pos"),
+                 F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+        for r, ring in ((0, _POLY_OCT), (1, _POLY_HOLE))
+        for p, (ox, oy) in enumerate(ring)])
+    verts = (
+        nat.select("k", cx.alias("cx"), cy.alias("cy"), s.alias("s"),
+                   F.explode(offs).alias("o"))
+        .select(
+            F.col("k").alias("poly_id"),
+            F.col("o.ring").alias("ring"),
+            F.col("o.pos").alias("pos"),
+            (F.col("cx") + F.col("s") * F.col("o.ox")).alias("lon"),
+            (F.col("cy") + F.col("s") * F.col("o.oy")).alias("lat")))
+    out = polygon_tiles(verts, res=3, extent=4096)
+    return out.select("tile", "n_features", "n_rings",
+                      F.hex("mvt").alias("mvt_hex"))
+
+
+def _sql_polygon_tiles() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = _oracle_parquet("nation", ["n_nationkey"])
+    polys = []
+    for (k,) in sorted(rows):
+        cx, cy, s = _poly_center_scale(int(k))
+        polys.append((int(k), [
+            [(cx + s * ox, cy + s * oy) for ox, oy in _POLY_OCT],
+            [(cx + s * ox, cy + s * oy) for ox, oy in _POLY_HOLE],
+        ]))
+    ref = pyref.ref_polygon_tiles(polys, res=3, extent=4096)
+    return pyref.values_sql(
+        ref, [("tile", "BIGINT"), ("n_features", "BIGINT"),
+              ("n_rings", "BIGINT"), ("mvt_hex", "VARCHAR")])
+
+
 def q_contours(spark, sf_dir):
     """Density isolines: event pings → res-6 occupancy grid → marching-
     squares contour segments at levels 2 and 5 (raster→vector, the
@@ -3805,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap_tiles": q_heatmap_tiles,
         "vector_tiles": q_vector_tiles,
         "line_tiles": q_line_tiles,
+        "polygon_tiles": q_polygon_tiles,
         "heatmap_pyramid": q_heatmap_pyramid,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
@@ -3892,6 +3964,7 @@ def oracle_sql() -> dict[str, str]:
         "heatmap_tiles": _sql_heatmap_tiles(),
         "vector_tiles": _sql_vector_tiles(),
         "line_tiles": _sql_line_tiles(),
+        "polygon_tiles": _sql_polygon_tiles(),
         "heatmap_pyramid": _sql_heatmap_pyramid(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),

@@ -236,14 +236,12 @@ def _orient(ring: list, want_positive: bool, area2: int) -> list:
 def polygon_layer_bytes(features, name: str = "polys",
                         extent: int = 4096) -> bytes:
     """Serialize ``[(poly_id, [(area2, ring), ...])]`` (ring 0 first =
-    exterior, already sorted by poly_id) as one MVT POLYGON layer.
-    Winding normalized here; features with net area 0 are dropped."""
+    exterior, already sorted by poly_id, invisible features already
+    filtered — see ``visible_features``) as one MVT POLYGON layer with
+    winding normalized to the spec rule."""
     feats = []
     for pid, rings in features:
         if not rings:
-            continue
-        net = abs(rings[0][0]) - sum(abs(a2) for a2, _r in rings[1:])
-        if net == 0:
             continue
         parts = [_orient(rings[0][1], True, rings[0][0])]
         parts.extend(_orient(r, False, a2) for a2, r in rings[1:])
@@ -388,6 +386,10 @@ def polygon_tiles(
                                    (int(y) for y in ly))))
                 for a2, lx, ly in zip(grp["area2"], grp["lxs"], grp["lys"])
             ]
+            # invisible inside this tile: a hole exactly fills the
+            # exterior's clipped area (both clip to the same region)
+            if abs(rings[0][0]) - sum(abs(a2) for a2, _r in rings[1:]) == 0:
+                continue
             feats.append((int(pid), rings))
             n_rings += len(rings)
         buf = polygon_layer_bytes(feats, name=layer, extent=extent)
