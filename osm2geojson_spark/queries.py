@@ -3142,6 +3142,105 @@ def _sql_polygon_tiles() -> str:
               ("n_rings", "BIGINT"), ("mvt_hex", "VARCHAR")])
 
 
+# integer quarter-unit octagon + triangular hole for the measures query:
+# every vertex is center + (scale/4) * offset in PURE int64 microdegrees
+# (scale*1e6 is divisible by 4 for all k), so area2/bbox are exact in
+# both engines and the float measures are ordered folds over identical
+# int-derived doubles
+_MEAS_OCT = [(4, 0), (3, 3), (0, 4), (-3, 3),
+             (-4, 0), (-3, -3), (0, -4), (3, -3)]
+_MEAS_HOLE = [(1, 0), (0, 1), (-1, -1)]
+
+
+def q_geom_measures(spark, sf_dir):
+    """ST_Area / ST_Perimeter / ST_Centroid / ST_Envelope surface
+    (functions/measures.py) over per-nation octagons with a triangular
+    hole on the int64 microdegree lattice: shoelace area2 is an EXACT
+    int64 fold; perimeter and centroid numerators are LEFT-TO-RIGHT
+    ``F.aggregate`` folds the oracle replays with ``list_reduce``
+    (bit-identical doubles past 2^53). One group-key shuffle, all
+    measures codegen folds — no UDF."""
+    from osm2geojson_spark.functions.measures import ring_measures
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"))
+    cx = (F.col("k") * F.lit(_LON_MUL)) % F.lit(300_000_000) \
+        - F.lit(150_000_000)
+    cy = (F.col("k") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF)) \
+        % F.lit(120_000_000) - F.lit(60_000_000)
+    sq = (F.lit(10) + (F.col("k") % F.lit(4)) * F.lit(6)) * F.lit(250_000)
+    offs = F.array(*[
+        F.struct(F.lit(r).alias("ring"), F.lit(p).alias("pos"),
+                 F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+        for r, shape in ((0, _MEAS_OCT), (1, _MEAS_HOLE))
+        for p, (ox, oy) in enumerate(shape)])
+    verts = (
+        nat.select("k", cx.alias("cx"), cy.alias("cy"), sq.alias("sq"),
+                   F.explode(offs).alias("o"))
+        .select(
+            F.col("k").alias("poly_id"),
+            F.col("o.ring").alias("ring"),
+            F.col("o.pos").alias("pos"),
+            (F.col("cx") + F.col("sq") * F.col("o.ox")).alias("x"),
+            (F.col("cy") + F.col("sq") * F.col("o.oy")).alias("y")))
+    return ring_measures(verts).orderBy("poly_id", "ring")
+
+
+def _sql_geom_measures() -> str:
+    off_rows = ", ".join(
+        f"({r}, {p}, {ox}, {oy})"
+        for r, shape in ((0, _MEAS_OCT), (1, _MEAS_HOLE))
+        for p, (ox, oy) in enumerate(shape))
+    cross = "(((ed.p).x * (ed.q).y) - ((ed.q).x * (ed.p).y))"
+    d2 = ("((((ed.q).x - (ed.p).x) * ((ed.q).x - (ed.p).x)) "
+          "+ (((ed.q).y - (ed.p).y) * ((ed.q).y - (ed.p).y)))")
+    return f"""
+WITH off(ring, pos, ox, oy) AS (VALUES {off_rows}),
+base AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+verts AS (
+  SELECT k AS poly_id, off.ring AS ring, off.pos AS pos,
+         (((k * {_LON_MUL}) % 300000000) - 150000000)
+           + (((10 + ((k % 4) * 6)) * 250000) * ox) AS x,
+         (((k * {_LAT_MUL} + {_LAT_OFF}) % 120000000) - 60000000)
+           + (((10 + ((k % 4) * 6)) * 250000) * oy) AS y
+  FROM base, off),
+rings AS (
+  SELECT poly_id, ring,
+         list(struct_pack(x := x, y := y) ORDER BY pos ASC) AS v
+  FROM verts GROUP BY poly_id, ring),
+ed AS (
+  SELECT poly_id, ring, v,
+         list_transform(range(1, len(v) + 1), i ->
+           struct_pack(p := v[i], q := v[(i % len(v)) + 1])) AS e
+  FROM rings),
+m AS (
+  SELECT poly_id, ring, v, e,
+         list_reduce(list_transform(e, ed -> {cross}),
+                     (a, b) -> (a + b)) AS area2
+  FROM ed)
+SELECT poly_id, CAST(ring AS INT) AS ring,
+       CAST(len(v) AS INT) AS n_vertices,
+       area2,
+       CAST(list_reduce(list_transform(e, ed ->
+              sqrt(CAST({d2} AS DOUBLE))), (a, b) -> (a + b))
+            AS DOUBLE) AS perimeter,
+       (list_reduce(list_transform(e, ed ->
+           (CAST(((ed.p).x + (ed.q).x) AS DOUBLE)
+            * CAST({cross} AS DOUBLE))), (a, b) -> (a + b))
+        / (3.0 * CAST(area2 AS DOUBLE))) AS cx,
+       (list_reduce(list_transform(e, ed ->
+           (CAST(((ed.p).y + (ed.q).y) AS DOUBLE)
+            * CAST({cross} AS DOUBLE))), (a, b) -> (a + b))
+        / (3.0 * CAST(area2 AS DOUBLE))) AS cy,
+       list_aggregate(list_transform(v, p -> (p).x), 'min') AS min_x,
+       list_aggregate(list_transform(v, p -> (p).y), 'min') AS min_y,
+       list_aggregate(list_transform(v, p -> (p).x), 'max') AS max_x,
+       list_aggregate(list_transform(v, p -> (p).y), 'max') AS max_y
+FROM m
+ORDER BY poly_id, ring
+"""
+
+
 def q_contours(spark, sf_dir):
     """Density isolines: event pings → res-6 occupancy grid → marching-
     squares contour segments at levels 2 and 5 (raster→vector, the
@@ -3877,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "line_tiles": q_line_tiles,
         "polygon_tiles": q_polygon_tiles,
+        "geom_measures": q_geom_measures,
         "heatmap_pyramid": q_heatmap_pyramid,
         "contours": q_contours,
         "compact_cover": q_compact_cover,
@@ -3965,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_tiles": _sql_vector_tiles(),
         "line_tiles": _sql_line_tiles(),
         "polygon_tiles": _sql_polygon_tiles(),
+        "geom_measures": _sql_geom_measures(),
         "heatmap_pyramid": _sql_heatmap_pyramid(),
         "contours": _sql_contours(),
         "compact_cover": _sql_compact_cover(),
