@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -108,3 +108,78 @@ def pagerank(
         )
     e.unpersist()
     return mass.select(F.col("id").alias("node_id"), "mass")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list —
+    ``(node, n_tri)`` for every vertex in ≥1 triangle.
+
+    Degree-ordered orientation (the standard skew killer): each
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, which (a) makes the orientation an acyclic total order
+    so every triangle is generated EXACTLY once as a wedge at its
+    lowest vertex closed by one oriented edge, and (b) bounds every
+    out-degree by O(sqrt(m)) — the wedge self-join that explodes on a
+    celebrity vertex in the naive formulation stays polynomial on
+    power-law graphs. Three shuffles total (degree agg, wedge join,
+    closing join) + the final per-vertex count; no driver data, no
+    iteration.
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct())
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    oriented = (
+        canon
+        .join(deg.withColumnRenamed("node", "a")
+                 .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+                 .withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))),
+                   F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))),
+                   F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.col("o1.u").alias("u"),
+        F.col("o1.v").alias("x"),
+        F.col("o2.v").alias("y"),
+    )
+    # close the wedge: the oriented edge between x and y can point
+    # either way under the (deg, id) order
+    closer = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+    tris = wedges.withColumn("lo", F.least("x", "y")) \
+                 .withColumn("hi", F.greatest("x", "y")) \
+                 .drop("x", "y") \
+                 .join(closer.withColumnRenamed("x", "lo")
+                             .withColumnRenamed("y", "hi"),
+                       ["lo", "hi"])
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("lo").alias("node")))
+        .unionAll(tris.select(F.col("hi").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri"))

@@ -3713,6 +3713,45 @@ def _sql_pagerank() -> str:
         rows, [("node_id", "BIGINT"), ("mass", "BIGINT")])
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counting over a 400-node hash graph derived
+    from events (user/event keys folded into one id space so the graph
+    is non-bipartite): degree-ordered orientation makes every triangle
+    a wedge at its lowest-(deg, id) vertex closed by exactly one
+    oriented edge — out-degrees bounded O(sqrt m), so the wedge join
+    survives celebrity vertices that explode the naive three-way
+    self-join. Oracle = the direct a<b<c three-way join (a DIFFERENT
+    enumeration order — agreement pins the orientation logic)."""
+    from osm2geojson_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % F.lit(400)).alias("src"),
+        ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(400)).alias("dst"))
+    return triangle_count(edges).orderBy("node")
+
+
+def _sql_triangle_count() -> str:
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM (SELECT (user_id % 400) AS s,
+               ((event_id * {_LON_MUL}) % 400) AS d FROM events)
+  WHERE s <> d),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e0 e1
+  JOIN e0 e2 ON (e2.a = e1.a AND e2.b > e1.b)
+  JOIN e0 e3 ON (e3.a = e1.b AND e3.b = e2.b))
+SELECT node, COUNT(*) AS n_tri
+FROM (SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+GROUP BY node
+ORDER BY node
+"""
+
+
 def q_compact_cover(spark, sf_dir):
     """Minimal multi-resolution cell covering (H3-style compact): the
     distinct res-6 cells occupied by events collapse complete sibling
@@ -3991,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catchment": q_catchment,
         "catchment_delta": q_catchment_delta,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -4080,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "catchment": _sql_catchment(),
         "catchment_delta": _sql_catchment(),
         "pagerank": _sql_pagerank(),
+        "triangle_count": _sql_triangle_count(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,

@@ -59,3 +59,47 @@ def test_dangling_and_sink_dominance(spark):
     got = dict(_run(spark, edges, n_iters=10))
     assert max(got, key=got.get) == 9
     assert got == dict(pyref.ref_pagerank(edges, n_iters=10))
+
+
+# ----------------------------------------------------------- triangles
+def _tri_brute(edges):
+    from itertools import combinations
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def _tri_run(spark, edges):
+    from osm2geojson_spark.operators.graph import triangle_count
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+
+
+def test_triangle_clique_and_star(spark):
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert _tri_run(spark, k5) == {i: 6 for i in range(5)}  # C(4,2)
+    star = [(0, i) for i in range(1, 10)]
+    assert _tri_run(spark, star) == {}  # bipartite: none
+
+
+def test_triangle_random_vs_bruteforce(spark):
+    import random
+    rng = random.Random(11)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30))
+                  for _ in range(150)})
+    assert _tri_run(spark, edges) == _tri_brute(edges)
+
+
+def test_triangle_duplicate_and_reversed_edges_collapse(spark):
+    tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (1, 1)]
+    assert _tri_run(spark, tri) == {1: 1, 2: 1, 3: 1}
