@@ -241,3 +241,66 @@ def boilerplate_strip(
         token_count_expr(clean).cast("long").alias("clean_ntok"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# ------------------------------------------------------- repeated spans
+def dup_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact repeated-n-gram span detection (the substring-dedup shape
+    of Lee et al. 2022): flag every token position whose word n-gram
+    occurs ≥ ``min_df`` times in the corpus (multiplicity counted, so
+    within-document repetition qualifies too), then merge overlapping
+    and adjacent flagged windows into MAXIMAL spans per document.
+    Returns ``(doc_id, span_start, span_end, n_windows)`` with
+    inclusive 0-based token indices — the pieces a dedup pass would cut
+    out, or a quality filter would score.
+
+    Scale shape: gram-count aggregate (one shuffle; hot grams — the
+    boilerplate being hunted — combine map-side), positions⋈flagged-
+    grams equi-join, one per-doc window pass (third shuffle). The gram
+    JOIN key is the gram string for oracle exactness; at 100 TB the
+    join key should be ``xxhash64(gram)`` (8 bytes instead of the
+    string — same plan, collision odds ~n²/2^64). ``max_df`` optionally
+    drops stop-phrase grams (df caps are the standard skew guard, as in
+    ``ngram_jaccard``)."""
+    grams = (
+        df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams_expr(F.col("_t"), n))
+            .alias("pos", "g"))
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "g")
+    )
+    flagged_grams = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_df"))
+    cond = F.col("_df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("_df") <= max_df)
+    flagged = grams.join(
+        flagged_grams.where(cond).select("g"), "g").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(int(n)), F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = (
+        flagged.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(n) - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"))
+        .drop("_island")
+    )

@@ -2377,6 +2377,80 @@ WHERE (d.doc_id % 23) != 0
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Repeated-n-gram span detection (the exact-substring-dedup shape
+    of Lee et al. 2022) over documents with deterministically planted
+    boilerplate: every doc gains a shared 6-token footer and every
+    third doc a promo chunk parameterized by doc_id % 5, so corpus-
+    frequent 4-grams appear at document-dependent offsets. Flagged
+    windows (gram df ≥ 2, multiplicity counted) merge into maximal
+    token spans per doc — gram-count shuffle with map-side combine on
+    the hot boilerplate keys, one equi-join, one per-doc window pass."""
+    from osm2geojson_spark.operators.corpus import dup_spans
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" copyright footer all rights reserved worldwide"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" promo code alpha"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit(" beta gamma delta epsilon")),
+            ).otherwise(F.lit("")),
+        ).alias("text"))
+    return dup_spans(docs, n=4, min_df=2).orderBy("doc_id", "span_start")
+
+
+_SQL_DUP_SPANS = """
+WITH d AS (
+  SELECT doc_id,
+         (text || ' copyright footer all rights reserved worldwide'
+          || (CASE WHEN ((doc_id % 3) = 0)
+                   THEN (' promo code alpha'
+                         || CAST((doc_id % 5) AS VARCHAR)
+                         || ' beta gamma delta epsilon')
+                   ELSE '' END)) AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN (len(ts) >= 4)
+                     THEN list_transform(range(1, (len(ts) - 2)),
+                            i -> struct_pack(
+                                   pos := CAST((i - 1) AS BIGINT),
+                                   gm := array_to_string(
+                                           ts[i:(i + 3)], ' ')))
+                     ELSE [] END) AS pg
+  FROM t),
+g2 AS (SELECT doc_id, (pg).pos AS pos, (pg).gm AS gm FROM g),
+cnt AS (SELECT gm FROM g2 GROUP BY gm HAVING (COUNT(*) >= 2)),
+f AS (SELECT doc_id, pos FROM g2
+      WHERE gm IN (SELECT gm FROM cnt)),
+w AS (
+  SELECT doc_id, pos,
+         (CASE WHEN ((pos - lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos ASC)) <= 4)
+               THEN 0 ELSE 1 END) AS brk
+  FROM f),
+i AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM w)
+SELECT doc_id, MIN(pos) AS span_start, (MAX(pos) + 3) AS span_end,
+       COUNT(*) AS n_windows
+FROM i GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def _pii_augmented_text():
     """Deterministic PII planting (identical in Spark + DuckDB): every
     doc gets exactly one of email/phone/IPv4 by doc_id % 3, and every
@@ -4002,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkb_point_hex": q_wkb_point_hex,
         "wkb_roundtrip": q_wkb_roundtrip,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
         "html_extract": q_html_extract,
         "trajectory_stats": q_trajectory_stats,
         "trip_segmentation": q_trip_segmentation,
@@ -4092,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "wkb_point_hex": _sql_wkb_point_hex(),
         "wkb_roundtrip": _SQL_WKB_ROUNDTRIP,
         "decontaminate": _SQL_DECONTAMINATE,
+        "dup_spans": _SQL_DUP_SPANS,
         "html_extract": _SQL_HTML_EXTRACT,
         "trajectory_stats": _sql_trajectory_stats(),
         "trip_segmentation": _sql_trip_segmentation(),

@@ -231,3 +231,54 @@ class TestHtmlExtract:
         got = [r["t"] for r in
                df.select(html_title_expr(F.col("html")).alias("t")).collect()]
         assert got == ["A & B", ""]
+
+
+# ------------------------------------------------------- repeated spans
+class TestDupSpans:
+    def _run(self, spark, docs, **kw):
+        from osm2geojson_spark.operators.corpus import dup_spans
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in dup_spans(df, **kw).collect())
+
+    def test_cross_doc_boilerplate_flags_and_merges(self, spark):
+        docs = [
+            (1, "alpha beta gamma delta one1 one2 tail"),
+            (2, "start words alpha beta gamma delta two1 two2"),
+        ]
+        # the shared 4-gram 'alpha beta gamma delta' occurs twice; each
+        # doc flags exactly one window at its own offset
+        got = self._run(spark, docs, n=4, min_df=2)
+        assert got == [(1, 0, 3, 1), (2, 2, 5, 1)]
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        # 5 shared tokens -> two overlapping shared 4-grams per doc
+        docs = [
+            (1, "a b c d e xx"),
+            (2, "yy a b c d e"),
+        ]
+        got = self._run(spark, docs, n=4, min_df=2)
+        assert got == [(1, 0, 4, 2), (2, 1, 5, 2)]
+
+    def test_within_doc_repetition_counts(self, spark):
+        docs = [(1, "p q r s junk1 junk2 p q r s")]
+        got = self._run(spark, docs, n=4, min_df=2)
+        # two islands: gap 6 > n
+        assert got == [(1, 0, 3, 1), (1, 6, 9, 1)]
+
+    def test_adjacent_islands_merge_at_gap_n(self, spark):
+        # flagged positions 0 and 4 with n=4: gap == n -> single span
+        docs = [
+            (1, "a b c d a b c d x"),
+            (2, "a b c d zz"),
+            (3, "qq a b c d"),
+        ]
+        got = self._run(spark, docs, n=4, min_df=2)
+        assert (1, 0, 7, 2) in got
+
+    def test_max_df_drops_stop_phrases(self, spark):
+        docs = [(i, "the same stop phrase here") for i in range(10)]
+        got = self._run(spark, docs, n=4, min_df=2, max_df=5)
+        assert got == []
