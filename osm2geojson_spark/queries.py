@@ -3787,6 +3787,54 @@ def _sql_pagerank() -> str:
         rows, [("node_id", "BIGINT"), ("mass", "BIGINT")])
 
 
+_FOCAL_T, _FOCAL_TILES = 32, 3  # 96x96 DEM in 9 tiles
+
+
+def q_focal_sum(spark, sf_dir):
+    """Tiled-raster focal 3×3 sum via HALO EXCHANGE (spatial/focal.py):
+    every DEM tile ships its 4 edge strips + 4 corner pixels to the 8
+    neighbor keys (a 1.13× shuffle at T=32, →1.0 as T grows), one
+    uniform shuffle groups tile+halo, and an Arrow kernel pads and
+    convolves — the classic distributed raster pattern; no executor
+    ever sees more than one tile + 8 strips. Edge replication at the
+    raster boundary == coordinate clamping, which is exactly what lets
+    the oracle compute every pixel CLOSED-FORM (the synthetic DEM is an
+    int expression — 9 clamped terms, no join): two maximally different
+    execution paths meeting at exact int64 values."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    out = focal_op(tiles, op="sum3", tile_size=t)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "focal"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "focal")
+        .orderBy("y", "x"))
+
+
+def _sql_focal_sum() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    terms = " + ".join(v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, ({terms}) AS focal
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting over a 400-node hash graph derived
     from events (user/event keys folded into one id space so the graph
@@ -4106,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catchment_delta": q_catchment_delta,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "focal_sum": q_focal_sum,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -4197,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "catchment_delta": _sql_catchment(),
         "pagerank": _sql_pagerank(),
         "triangle_count": _sql_triangle_count(),
+        "focal_sum": _sql_focal_sum(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,

