@@ -3835,6 +3835,176 @@ ORDER BY y, x
 """
 
 
+def q_wkt_roundtrip(spark, sf_dir):
+    """WKT interop on the integer microdegree lattice (float→text is
+    the classic cross-engine formatting trap; int64→text is identical
+    everywhere): per-user event LINESTRINGs + per-nation octagon-with-
+    hole POLYGONs encode through PURE-CODEGEN nested string builds
+    (zero Python on the write path), parse back through the Arrow WKT
+    reader, and must re-encode to the identical string. The oracle
+    rebuilds the same strings with DuckDB list functions — the text
+    itself is the value under the hash."""
+    from osm2geojson_spark.functions.wkt import (
+        wkt_linestring_expr,
+        wkt_parse_udf,
+        wkt_polygon_expr,
+    )
+
+    parse = wkt_parse_udf()
+
+    ev = _t(spark, sf_dir, "events")
+    lines = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(300_000_000)
+             - F.lit(150_000_000)).alias("x"),
+            ((F.col("event_id") * F.lit(_LAT_MUL)) % F.lit(120_000_000)
+             - F.lit(60_000_000)).alias("y"))
+        .repartition("user_id")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "x", "y"))).alias("vraw"))
+        .where(F.size("vraw") >= 2)
+        .select(
+            F.col("user_id").alias("gid"),
+            F.transform("vraw", lambda s: F.struct(
+                s["x"].alias("x"), s["y"].alias("y"))).alias("pts"))
+        .select("gid", wkt_linestring_expr(F.col("pts")).alias("wkt")))
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"))
+    cx = (F.col("k") * F.lit(_LON_MUL)) % F.lit(300_000_000) \
+        - F.lit(150_000_000)
+    cy = (F.col("k") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF)) \
+        % F.lit(120_000_000) - F.lit(60_000_000)
+    sq = (F.lit(10) + (F.col("k") % F.lit(4)) * F.lit(6)) * F.lit(250_000)
+
+    def _ring(shape):
+        return F.array(*[
+            F.struct((cx + sq * F.lit(ox)).alias("x"),
+                     (cy + sq * F.lit(oy)).alias("y"))
+            for ox, oy in shape])
+
+    polys = nat.select(
+        (F.col("k") + F.lit(100_000)).alias("gid"),
+        wkt_polygon_expr(
+            F.array(_ring(_MEAS_OCT), _ring(_MEAS_HOLE))).alias("wkt"))
+
+    both = lines.unionAll(polys).withColumn("p", parse(F.col("wkt")))
+    reenc = F.when(
+        F.col("p.geom_type") == "LINESTRING",
+        wkt_linestring_expr(F.element_at(F.col("p.rings"), 1)),
+    ).otherwise(wkt_polygon_expr(F.col("p.rings")))
+    return both.select(
+        "gid", "wkt",
+        F.col("p.geom_type").alias("geom_type"),
+        F.when(F.col("p.geom_type") == "LINESTRING",
+               F.size(F.element_at(F.col("p.rings"), 1)))
+        .otherwise(F.aggregate(
+            F.col("p.rings"), F.lit(0),
+            lambda a, r: a + F.size(r) + 1)).alias("n_points"),
+        (reenc == F.col("wkt")).alias("roundtrip_ok"),
+    ).orderBy("gid")
+
+
+def _sql_wkt_roundtrip() -> str:
+    off_rows = ", ".join(
+        f"({r}, {p}, {ox}, {oy})"
+        for r, shape in ((0, _MEAS_OCT), (1, _MEAS_HOLE))
+        for p, (ox, oy) in enumerate(shape))
+    xy = "(CAST((p).x AS VARCHAR) || ' ' || CAST((p).y AS VARCHAR))"
+    return f"""
+WITH lv AS (
+  SELECT user_id,
+         list(struct_pack(
+                x := ((event_id * {_LON_MUL}) % 300000000) - 150000000,
+                y := ((event_id * {_LAT_MUL}) % 120000000) - 60000000)
+              ORDER BY ts ASC, event_id ASC) AS pts
+  FROM events GROUP BY user_id),
+lines AS (
+  SELECT user_id AS gid,
+         ('LINESTRING ('
+          || array_to_string(list_transform(pts, p -> {xy}), ', ')
+          || ')') AS wkt,
+         'LINESTRING' AS geom_type,
+         CAST(len(pts) AS INT) AS n_points
+  FROM lv WHERE (len(pts) >= 2)),
+off(ring, pos, ox, oy) AS (VALUES {off_rows}),
+base AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+pverts AS (
+  SELECT k, off.ring AS ring, off.pos AS pos,
+         ((((k * {_LON_MUL}) % 300000000) - 150000000)
+          + (((10 + ((k % 4) * 6)) * 250000) * ox)) AS x,
+         ((((k * {_LAT_MUL} + {_LAT_OFF}) % 120000000) - 60000000)
+          + (((10 + ((k % 4) * 6)) * 250000) * oy)) AS y
+  FROM base, off),
+prings AS (
+  SELECT k, ring,
+         list(struct_pack(x := x, y := y) ORDER BY pos ASC) AS v
+  FROM pverts GROUP BY k, ring),
+ptexts AS (
+  SELECT k, ring,
+         ('(' || array_to_string(
+            list_transform(list_append(v, v[1]), p -> {xy}), ', ')
+          || ')') AS rt,
+         len(v) AS nv
+  FROM prings),
+polys AS (
+  SELECT (k + 100000) AS gid,
+         ('POLYGON (' || array_to_string(
+            list(rt ORDER BY ring ASC), ', ') || ')') AS wkt,
+         'POLYGON' AS geom_type,
+         CAST(SUM(nv + 1) AS INT) AS n_points
+  FROM ptexts GROUP BY k)
+SELECT gid, wkt, geom_type, n_points, TRUE AS roundtrip_ok
+FROM (SELECT * FROM lines UNION ALL SELECT * FROM polys)
+ORDER BY gid
+"""
+
+
+def q_hillshade(spark, sf_dir):
+    """Horn (1981) hillshade over the tiled DEM through the SAME halo
+    exchange as focal_sum — float gradients with whole-array numpy op
+    order, so the shade bytes are deterministic and the Spark-free
+    pyref twin (identical kernel over the full padded grid, sliced per
+    tile) meets them exactly. Output = per-tile shade hex + integer
+    checksum."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    out = focal_op(tiles, op="hillshade", tile_size=t)
+    return out.select(
+        "tx", "ty",
+        F.concat_ws("", F.transform(
+            "data", lambda v: F.lpad(F.hex(v), 2, "0"))).alias("shade_hex"),
+        F.aggregate("data", F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("shade_sum"),
+    ).orderBy("ty", "tx")
+
+
+def _sql_hillshade() -> str:
+    import numpy as np
+
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.focal import dem_value_np, focal_reference
+
+    t, nt = _FOCAL_T, _FOCAL_TILES
+    gx = np.arange(nt * t, dtype=np.int64)[None, :]
+    gy = np.arange(nt * t, dtype=np.int64)[:, None]
+    full = focal_reference(dem_value_np(gx, gy), op="hillshade")
+    rows = []
+    for ty in range(nt):
+        for tx in range(nt):
+            shade = full[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            rows.append((tx, ty,
+                         bytes(shade.astype(np.uint8).ravel()).hex().upper(),
+                         int(shade.sum())))
+    return pyref.values_sql(
+        rows, [("tx", "BIGINT"), ("ty", "BIGINT"),
+               ("shade_hex", "VARCHAR"), ("shade_sum", "BIGINT")])
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting over a 400-node hash graph derived
     from events (user/event keys folded into one id space so the graph
@@ -4155,6 +4325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "focal_sum": q_focal_sum,
+        "hillshade": q_hillshade,
+        "wkt_roundtrip": q_wkt_roundtrip,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
         "sample_threshold": q_sample_threshold,
@@ -4247,6 +4419,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "triangle_count": _sql_triangle_count(),
         "focal_sum": _sql_focal_sum(),
+        "hillshade": _sql_hillshade(),
+        "wkt_roundtrip": _sql_wkt_roundtrip(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,
         "sample_threshold": _SQL_SAMPLE_THRESHOLD,
