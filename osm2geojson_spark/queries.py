@@ -4005,6 +4005,61 @@ def _sql_hillshade() -> str:
                ("shade_hex", "VARCHAR"), ("shade_sum", "BIGINT")])
 
 
+def q_flow_dir(spark, sf_dir):
+    """D8 steepest-descent flow direction (the hydrology primitive
+    under watershed/flow-accumulation) as a focal op on the halo-
+    exchange substrate: per cell, the steepest positive drop among 8
+    neighbors with the exact rational √2 weighting (drop·99 straight
+    vs drop·70 diagonal — pure int64, so the tie-broken argmax is
+    deterministic) → ESRI direction codes, 0 for pits/flats. Oracle =
+    the same comparison chain evaluated CLOSED-FORM on clamped
+    coordinates (no join, no exchange — maximally different path)."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    out = focal_op(tiles, op="flowdir8", tile_size=t)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "dir"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "dir")
+        .orderBy("y", "x"))
+
+
+def _sql_flow_dir() -> str:
+    from osm2geojson_spark.spatial.focal import _D8
+
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    scores = [f"(({v(0, 0)} - {v(dx, dy)}) * {wt})"
+              for dx, dy, _code, wt in _D8]
+    names = [f"s{i}" for i in range(8)]
+    sel = ", ".join(f"{s} AS {n}" for s, n in zip(scores, names))
+    gmax = f"greatest({', '.join(names)})"
+    chain = " ".join(
+        f"WHEN ({n} = gm) THEN {code}"
+        for n, (_dx, _dy, code, _wt) in zip(names, _D8))
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+sc AS (SELECT x, y, {sel} FROM xs, ys),
+g AS (SELECT x, y, s0, s1, s2, s3, s4, s5, s6, s7, {gmax} AS gm FROM sc)
+SELECT x, y,
+       (CASE WHEN (gm <= 0) THEN 0 {chain} END) AS dir
+FROM g
+ORDER BY y, x
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting over a 400-node hash graph derived
     from events (user/event keys folded into one id space so the graph
@@ -4326,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "focal_sum": q_focal_sum,
         "hillshade": q_hillshade,
+        "flow_dir": q_flow_dir,
         "wkt_roundtrip": q_wkt_roundtrip,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
@@ -4420,6 +4476,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _sql_triangle_count(),
         "focal_sum": _sql_focal_sum(),
         "hillshade": _sql_hillshade(),
+        "flow_dir": _sql_flow_dir(),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,

@@ -65,8 +65,9 @@ def synth_dem_tiles(spark, tiles_x: int, tiles_y: int, tile_size: int,
                 tx, ty = int(tid) % tiles_x, int(tid) // tiles_x
                 gx = tx * t + np.arange(t, dtype=np.int64)[None, :]
                 gy = ty * t + np.arange(t, dtype=np.int64)[:, None]
-                rows.append((tx, ty, fn(gx, gy).astype(np.int64)
-                             .ravel().tolist()))
+                val = np.broadcast_to(
+                    np.asarray(fn(gx, gy), np.int64), (t, t))
+                rows.append((tx, ty, val.ravel().tolist()))
             yield pd.DataFrame(rows, columns=["tx", "ty", "data"])
 
     return (spark.range(tiles_x * tiles_y)
@@ -109,10 +110,32 @@ def _focal_sum(padded: np.ndarray) -> np.ndarray:
     return s
 
 
+# D8 scan order (ESRI codes): E, SE, S, SW, W, NW, N, NE. Diagonal
+# distance is weighted with the EXACT rational pair (70, 99) — score =
+# drop·99 straight vs drop·70 diagonal (99/70 ≈ √2 to 7e-5), so the
+# steepest-descent comparison is pure int64 and tie-breaks are the
+# fixed scan order (numpy argmax first-max == the oracle's CASE chain).
+_D8 = [(1, 0, 1, 99), (1, 1, 2, 70), (0, 1, 4, 99), (-1, 1, 8, 70),
+       (-1, 0, 16, 99), (-1, -1, 32, 70), (0, -1, 64, 99),
+       (1, -1, 128, 70)]
+
+
+def _flowdir8(padded: np.ndarray) -> np.ndarray:
+    c = padded[1:-1, 1:-1]
+    h, w = c.shape
+    scores = np.stack([
+        (c - padded[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]) * wt
+        for dx, dy, _code, wt in _D8])
+    best = np.argmax(scores, axis=0)  # first max in scan order
+    codes = np.array([code for _dx, _dy, code, _wt in _D8], np.int64)
+    return np.where(scores.max(axis=0) > 0, codes[best], 0)
+
+
 _OPS = {
     "sum3": (_focal_sum, "array<long>"),
     "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
     "hillshade": (hillshade_kernel, "array<long>"),
+    "flowdir8": (_flowdir8, "array<long>"),
 }
 
 

@@ -32,7 +32,7 @@ def tiles(spark):
     return synth_dem_tiles(spark, TX, TY, T).cache()
 
 
-@pytest.mark.parametrize("op", ["sum3", "mean3", "hillshade"])
+@pytest.mark.parametrize("op", ["sum3", "mean3", "hillshade", "flowdir8"])
 def test_halo_exchange_matches_reference(tiles, op):
     out = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
            for r in focal_op(tiles, op=op, tile_size=T).collect()}
@@ -82,3 +82,15 @@ def test_hillshade_range_and_sensitivity():
 def test_unknown_op_raises(tiles):
     with pytest.raises(ValueError, match="op must be"):
         focal_op(tiles, op="median3", tile_size=T)
+
+
+def test_flowdir_points_downhill(spark):
+    # strictly increasing eastward ramp: everything flows WEST (16)
+    # except the clamped west edge (pit -> 0)
+    df = synth_dem_tiles(spark, 2, 1, T, value_fn=lambda gx, gy: gx * 10)
+    out = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
+           for r in focal_op(df, op="flowdir8", tile_size=T).collect()}
+    west = out[(0, 0)]
+    assert (west[:, 0] == 0).all()          # raster edge: clamp -> flat
+    assert (west[:, 1:] == 16).all()
+    assert (out[(1, 0)] == 16).all()        # interior tile: all west
