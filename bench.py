@@ -123,6 +123,13 @@ def _ensure_planet_file() -> None:
     os.replace(tmp, PLANET_BZ2)
 
 
+def _hillshade_dem(spark, sf_dir):
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 16, 16, 64)  # 1M pixels, 256 tiles
+    return focal_op(tiles, op="hillshade", tile_size=64)
+
+
 def planet_ingest(spark, sf_dir):
     """S3 distributed planet ingest: ONE bz2 file split across tasks →
     boundary-stitched blobs → parsed node table (the reference streams
@@ -214,6 +221,9 @@ BENCH_QUERIES = {
     # round 4: POLYGON tiles — integer Sutherland–Hodgman clipping +
     # spec winding, completing the MVT point/line/polygon triple
     "polygon_tiles": Q.q_polygon_tiles,
+    # round 4: focal raster — Horn hillshade over a 1M-pixel tiled DEM
+    # through the halo-exchange shuffle (256 tiles x 64^2 + edge strips)
+    "hillshade_dem": _hillshade_dem,
 }
 
 
