@@ -304,3 +304,82 @@ def dup_spans(
             F.count(F.lit(1)).alias("n_windows"))
         .drop("_island")
     )
+
+
+# ------------------------------------------------------ LM quality score
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Corpus-LM quality scoring: mean per-token bigram Stupid Backoff
+    probability (Brants et al. 2007) under the corpus's OWN counts —
+    the model-based quality filter of the CCNet/Gopher pipelines, with
+    the LM trained and applied in the same two aggregates. Scores are
+    RATIO-BASED, not log-prob (ln is not correctly-rounded libm, the
+    same cross-engine trap as trig — see queries.py rules): each token
+    contributes ``c(w_{i-1} w_i) / c(w_{i-1})``, backing off to
+    ``alpha * c(w_i) / N``; position 0 scores ``c(w_0) / N``. All
+    divisions are IEEE ops on exact integer counts and the per-doc mean
+    is an ORDERED left fold, so the doubles are bit-deterministic.
+
+    Returns ``(doc_id, n_tokens, lm_score)``.
+
+    Scale shape: two count aggregates (map-side combinable — the hot
+    Zipfian keys collapse before they travel), two equi-joins of the
+    position stream against the count tables (AQE skew-join handles
+    the stopword keys), one per-doc regroup for the ordered fold. The
+    count tables are vocabulary-sized, not corpus-sized — broadcastable
+    for real-world vocabularies."""
+    toks = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_t"))
+    pos = (
+        toks.where(F.size("_t") >= 1)
+        .select(F.col(id_col),
+                F.posexplode("_t").alias("pos", "w"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    prevd = pos.select(
+        F.col(id_col), (F.col("pos") + 1).alias("pos"),
+        F.col("w").alias("wprev"))
+    bigrams = pos.join(prevd, [id_col, "pos"], "left")
+
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    big = (bigrams.where(F.col("wprev").isNotNull())
+           .groupBy("wprev", "w").agg(F.count(F.lit(1)).alias("c2")))
+    n_total = pos.select(
+        F.count(F.lit(1)).alias("n_corpus"))
+
+    scored = (
+        bigrams
+        .join(uni, "w")  # c1(w) — every corpus token has a count
+        .join(uni.select(F.col("w").alias("wprev"),
+                         F.col("c1").alias("c1prev")), "wprev", "left")
+        .join(big, ["wprev", "w"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "s",
+            F.when(F.col("wprev").isNull(),
+                   F.col("c1").cast("double")
+                   / F.col("n_corpus").cast("double"))
+            .when(F.col("c2").isNotNull(),
+                  F.col("c2").cast("double")
+                  / F.col("c1prev").cast("double"))
+            .otherwise(F.lit(float(alpha))
+                       * (F.col("c1").cast("double")
+                          / F.col("n_corpus").cast("double"))))
+    )
+    return (
+        scored.select(F.col(id_col), F.struct("pos", "s").alias("ps"))
+        .repartition(id_col)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("ps")).alias("pss"))
+        .select(
+            F.col(id_col),
+            F.size("pss").cast("long").alias("n_tokens"),
+            (F.aggregate(
+                F.transform("pss", lambda p: p["s"]),
+                F.lit(0.0), lambda a, v: a + v)
+             / F.size("pss").cast("double")).alias("lm_score"))
+    )

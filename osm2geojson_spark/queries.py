@@ -2451,6 +2451,65 @@ ORDER BY doc_id, span_start
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Model-based quality scoring: mean per-token bigram Stupid
+    Backoff probability under the corpus's own counts (the CCNet/
+    Gopher LM-filter, trained and applied in the same job). Scores are
+    exact-count RATIOS, not log-probs (ln is the same libm trap as
+    trig), the per-doc mean is an ordered fold — doubles bit-exact
+    across engines. Two map-side-combinable count aggregates, two
+    position⋈vocabulary joins (AQE handles stopword skew), one per-doc
+    regroup."""
+    from osm2geojson_spark.operators.corpus import lm_score
+
+    return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) + 1),
+                  i -> struct_pack(
+                         pos := CAST((i - 1) AS BIGINT),
+                         w := ts[i],
+                         wprev := (CASE WHEN (i > 1) THEN ts[i - 1]
+                                        ELSE NULL END)))) AS pt
+  FROM t WHERE (len(ts) >= 1)),
+p2 AS (SELECT doc_id, (pt).pos AS pos, (pt).w AS w,
+              (pt).wprev AS wprev FROM p),
+uni AS (SELECT w, COUNT(*) AS c1 FROM p2 GROUP BY w),
+big AS (SELECT wprev, w, COUNT(*) AS c2 FROM p2
+        WHERE (wprev IS NOT NULL) GROUP BY wprev, w),
+n AS (SELECT COUNT(*) AS n_corpus FROM p2),
+sc AS (
+  SELECT p2.doc_id, p2.pos,
+         (CASE WHEN (p2.wprev IS NULL)
+               THEN (CAST(u.c1 AS DOUBLE) / CAST(n.n_corpus AS DOUBLE))
+               WHEN (b.c2 IS NOT NULL)
+               THEN (CAST(b.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))
+               ELSE (CAST('0.4' AS DOUBLE)
+                     * (CAST(u.c1 AS DOUBLE)
+                        / CAST(n.n_corpus AS DOUBLE))) END) AS s
+  FROM p2
+  JOIN uni u ON (u.w = p2.w)
+  LEFT JOIN uni up ON (up.w = p2.wprev)
+  LEFT JOIN big b ON ((b.wprev = p2.wprev) AND (b.w = p2.w))
+  CROSS JOIN n),
+d AS (SELECT doc_id, list(s ORDER BY pos ASC) AS ss
+      FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_tokens,
+       (CAST(list_reduce(ss, (a, b) -> (a + b)) AS DOUBLE)
+        / CAST(len(ss) AS DOUBLE)) AS lm_score
+FROM d
+ORDER BY doc_id
+"""
+
+
 def _pii_augmented_text():
     """Deterministic PII planting (identical in Spark + DuckDB): every
     doc gets exactly one of email/phone/IPv4 by doc_id % 3, and every
@@ -4350,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkb_roundtrip": q_wkb_roundtrip,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
+        "lm_score": q_lm_score,
         "html_extract": q_html_extract,
         "trajectory_stats": q_trajectory_stats,
         "trip_segmentation": q_trip_segmentation,
@@ -4445,6 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         "wkb_roundtrip": _SQL_WKB_ROUNDTRIP,
         "decontaminate": _SQL_DECONTAMINATE,
         "dup_spans": _SQL_DUP_SPANS,
+        "lm_score": _SQL_LM_SCORE,
         "html_extract": _SQL_HTML_EXTRACT,
         "trajectory_stats": _sql_trajectory_stats(),
         "trip_segmentation": _sql_trip_segmentation(),

@@ -282,3 +282,53 @@ class TestDupSpans:
         docs = [(i, "the same stop phrase here") for i in range(10)]
         got = self._run(spark, docs, n=4, min_df=2, max_df=5)
         assert got == []
+
+
+# ------------------------------------------------------ LM quality score
+class TestLmScore:
+    @staticmethod
+    def _ref(docs, alpha=0.4):
+        toks = {d: t.split() for d, t in docs}
+        uni, big, n = {}, {}, 0
+        for ts in toks.values():
+            for i, w in enumerate(ts):
+                uni[w] = uni.get(w, 0) + 1
+                n += 1
+                if i:
+                    big[(ts[i - 1], w)] = big.get((ts[i - 1], w), 0) + 1
+        out = {}
+        for d, ts in toks.items():
+            if not ts:
+                continue
+            acc = 0.0
+            for i, w in enumerate(ts):
+                if i == 0:
+                    s = float(uni[w]) / float(n)
+                elif (ts[i - 1], w) in big:
+                    s = float(big[(ts[i - 1], w)]) / float(uni[ts[i - 1]])
+                else:
+                    s = alpha * (float(uni[w]) / float(n))
+                acc += s
+            out[d] = (len(ts), acc / float(len(ts)))
+        return out
+
+    def test_matches_python_replay_exactly(self, spark):
+        from osm2geojson_spark.operators.corpus import lm_score
+
+        docs = [(1, "a b a b"), (2, "a c"), (3, "c b x y x b"),
+                (4, "the quick brown fox the quick red fox")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["lm_score"])
+               for r in lm_score(df).collect()}
+        assert got == self._ref(docs)  # exact doubles: same fold order
+
+    def test_repetitive_scores_higher_than_random(self, spark):
+        from osm2geojson_spark.operators.corpus import lm_score
+
+        docs = [(i, "spam ham spam ham spam ham") for i in range(5)]
+        docs += [(100 + i, f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d")
+                 for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["lm_score"] for r in lm_score(df).collect()}
+        assert min(got[i] for i in range(5)) > \
+            max(got[100 + i] for i in range(5))
