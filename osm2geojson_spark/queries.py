@@ -4119,6 +4119,80 @@ ORDER BY y, x
 """
 
 
+def q_flow_accum(spark, sf_dir):
+    """Flow accumulation (upstream drainage area) over the D8 forest:
+    a distributed DAG aggregation run as TOPOLOGICAL WAVES — each round
+    the cells whose upstream totals have all arrived push one edge
+    downstream (one join + one integer-sum shuffle per round, SSSP loop
+    discipline, O(1) driver rows); rounds = flow-tree depth, bounded by
+    the elevation range, not the raster size. Oracle: DuckDB
+    recursive-CTE path walk over the same closed-form directions (every
+    cell has ≤ 1 outgoing edge, so paths are unique and COUNT(*) per
+    reached cell IS the drainage area)."""
+    from osm2geojson_spark.spatial.focal import (
+        flow_accumulation,
+        focal_op,
+        synth_dem_tiles,
+    )
+
+    t = _FOCAL_T
+    w = _FOCAL_T * _FOCAL_TILES
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    dirs = focal_op(tiles, op="flowdir8", tile_size=t)
+    return flow_accumulation(dirs, t, w, w).orderBy("cell")
+
+
+def _sql_flow_accum() -> str:
+    from osm2geojson_spark.spatial.focal import _D8
+
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    scores = [f"(({v(0, 0)} - {v(dx, dy)}) * {wt})"
+              for dx, dy, _code, wt in _D8]
+    names = [f"s{i}" for i in range(8)]
+    sel = ", ".join(f"{s} AS {n}" for s, n in zip(scores, names))
+    gmax = f"greatest({', '.join(names)})"
+    chain = " ".join(
+        f"WHEN ({n} = gm) THEN {code}"
+        for n, (_dx, _dy, code, _wt) in zip(names, _D8))
+    dxc = " ".join(f"WHEN {code} THEN {dx}"
+                   for dx, _dy, code, _wt in _D8)
+    dyc = " ".join(f"WHEN {code} THEN {dy}"
+                   for _dx, dy, code, _wt in _D8)
+    return f"""
+WITH RECURSIVE
+xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+sc AS (SELECT x, y, {sel} FROM xs, ys),
+g AS (SELECT x, y, s0, s1, s2, s3, s4, s5, s6, s7, {gmax} AS gm FROM sc),
+d AS (SELECT x, y,
+             (CASE WHEN (gm <= 0) THEN 0 {chain} END) AS dir
+      FROM g),
+c AS (SELECT ((y * {w}) + x) AS cell,
+             (CASE WHEN (dir = 0) THEN NULL ELSE
+               ((least(greatest((y + (CASE dir {dyc} ELSE 0 END)), 0),
+                       {w - 1}) * {w})
+                + least(greatest((x + (CASE dir {dxc} ELSE 0 END)), 0),
+                        {w - 1})) END) AS tgt
+      FROM d),
+walk(start, cur) AS (
+  SELECT cell, cell FROM c
+  UNION ALL
+  SELECT wk.start, c2.tgt FROM walk wk
+  JOIN c c2 ON (c2.cell = wk.cur)
+  WHERE (c2.tgt IS NOT NULL))
+SELECT cur AS cell, COUNT(*) AS acc
+FROM walk GROUP BY cur
+ORDER BY cell
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting over a 400-node hash graph derived
     from events (user/event keys folded into one id space so the graph
@@ -4442,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_sum": q_focal_sum,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
+        "flow_accum": q_flow_accum,
         "wkt_roundtrip": q_wkt_roundtrip,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
@@ -4538,6 +4613,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_sum": _sql_focal_sum(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
+        "flow_accum": _sql_flow_accum(),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,

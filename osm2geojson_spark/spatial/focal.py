@@ -41,6 +41,8 @@ __all__ = [
     "focal_op",
     "focal_reference",
     "hillshade_kernel",
+    "flow_cells",
+    "flow_accumulation",
 ]
 
 _CENTER = 4  # part code (sdy+1)*3 + (sdx+1) for the tile's own body
@@ -241,3 +243,93 @@ def focal_op(tiles: DataFrame, op: str = "sum3",
 
     return halo.groupBy("tx", "ty").applyInPandas(
         assemble, schema=f"tx long, ty long, data {out_t}")
+
+
+# ------------------------------------------------------ flow accumulation
+_D8_DXY = {1: (1, 0), 2: (1, 1), 4: (0, 1), 8: (-1, 1),
+           16: (-1, 0), 32: (-1, -1), 64: (0, -1), 128: (1, -1)}
+
+
+def flow_cells(dir_tiles: DataFrame, tile_size: int,
+               width: int, height: int) -> DataFrame:
+    """``flowdir8`` tiles → per-cell flow edges: (cell, tgt) with
+    ``cell = gy*width + gx`` and ``tgt`` the D8 target CLAMPED to the
+    raster (the same clamp the kernel scored against — strict-descent
+    guarantees target ≠ cell and acyclicity), null for pits/flats."""
+    t = int(tile_size)
+    dir_code = F.col("dir")
+    x = F.col("tx") * t + F.col("i") % t
+    y = F.col("ty") * t + F.expr(f"i div {t}")
+    dx = F.create_map(*[F.lit(v) for kv in _D8_DXY.items()
+                        for v in (kv[0], kv[1][0])])[dir_code]
+    dy = F.create_map(*[F.lit(v) for kv in _D8_DXY.items()
+                        for v in (kv[0], kv[1][1])])[dir_code]
+    tx2 = F.least(F.greatest(x + dx, F.lit(0)), F.lit(width - 1))
+    ty2 = F.least(F.greatest(y + dy, F.lit(0)), F.lit(height - 1))
+    return (
+        dir_tiles.select("tx", "ty",
+                         F.posexplode("data").alias("i", "dir"))
+        .select(
+            (y * width + x).cast("long").alias("cell"),
+            F.when(dir_code != 0,
+                   (ty2 * width + tx2).cast("long")).alias("tgt"))
+    )
+
+
+def flow_accumulation(dir_tiles: DataFrame, tile_size: int,
+                      width: int, height: int,
+                      max_rounds: int = 10_000) -> DataFrame:
+    """Upstream drainage area: for every cell, the number of cells
+    (itself included) whose D8 flow path passes through it — the
+    hydrology op downstream of ``flowdir8``, and a DAG aggregation the
+    engine runs as TOPOLOGICAL WAVES: each round, cells whose upstream
+    contributions have all arrived push their totals one edge
+    downstream (one equi-join + one integer-sum shuffle per round, the
+    SSSP/pagerank loop discipline — localCheckpoint truncation, O(1)
+    driver rows). Rounds = flow-tree depth, bounded by the elevation
+    range (strict descent), NOT by raster size. Oracle: a DuckDB
+    recursive-CTE path walk over the same closed-form directions —
+    unique paths because every cell has ≤ 1 outgoing edge."""
+    cells = flow_cells(dir_tiles, tile_size, width, height)
+    edges = (cells.where(F.col("tgt").isNotNull())
+             .select(F.col("cell").alias("src"), F.col("tgt").alias("dst"))
+             .repartition("src").persist())
+    indeg = edges.groupBy(F.col("dst").alias("cell")).agg(
+        F.count(F.lit(1)).alias("pending"))
+    state = (
+        cells.select("cell").join(indeg, "cell", "left")
+        .select(
+            "cell",
+            F.lit(1).cast("long").alias("acc"),
+            F.coalesce("pending", F.lit(0)).cast("long").alias("pending"),
+            F.lit(False).alias("pushed"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        ready = state.where((F.col("pending") == 0) & ~F.col("pushed"))
+        if ready.limit(1).count() == 0:
+            break
+        msgs = (ready.select(F.col("cell").alias("src"), "acc")
+                .join(edges, "src")
+                .groupBy(F.col("dst").alias("cell"))
+                .agg(F.sum("acc").alias("add_acc"),
+                     F.count(F.lit(1)).alias("arrived")))
+        state = (
+            state.join(msgs, "cell", "left")
+            .select(
+                "cell",
+                (F.col("acc") + F.coalesce("add_acc", F.lit(0)))
+                .alias("acc"),
+                (F.col("pending") - F.coalesce("arrived", F.lit(0)))
+                .alias("pending"),
+                (F.col("pushed") | (F.col("pending") == 0))
+                .alias("pushed"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"flow_accumulation did not drain within {max_rounds} rounds "
+            "(cyclic directions? flowdir8 guarantees strict descent)")
+    edges.unpersist()
+    return state.select("cell", "acc")

@@ -94,3 +94,46 @@ def test_flowdir_points_downhill(spark):
     assert (west[:, 0] == 0).all()          # raster edge: clamp -> flat
     assert (west[:, 1:] == 16).all()
     assert (out[(1, 0)] == 16).all()        # interior tile: all west
+
+
+def _py_flow_accum(grid):
+    """Walk every cell's unique flow path (clamped D8 targets) and
+    count visits — the oracle's recursive-CTE logic in Python."""
+    from osm2geojson_spark.spatial.focal import _D8, focal_reference
+    h, w = grid.shape
+    dirs = focal_reference(grid, op="flowdir8")
+    dxy = {code: (dx, dy) for dx, dy, code, _wt in _D8}
+    acc = {}
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x, y
+            while True:
+                acc[cy * w + cx] = acc.get(cy * w + cx, 0) + 1
+                d = dirs[cy, cx]
+                if d == 0:
+                    break
+                dx, dy = dxy[int(d)]
+                cx = min(max(cx + dx, 0), w - 1)
+                cy = min(max(cy + dy, 0), h - 1)
+    return acc
+
+
+def test_flow_accumulation_matches_path_walk(tiles):
+    from osm2geojson_spark.spatial.focal import flow_accumulation, focal_op
+    dirs = focal_op(tiles, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["acc"] for r in
+           flow_accumulation(dirs, T, TX * T, TY * T).collect()}
+    assert got == _py_flow_accum(_full())
+
+
+def test_flow_accumulation_ramp(spark):
+    from osm2geojson_spark.spatial.focal import flow_accumulation, focal_op
+    df = synth_dem_tiles(spark, 2, 1, T, value_fn=lambda gx, gy: gx * 10)
+    dirs = focal_op(df, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["acc"] for r in
+           flow_accumulation(dirs, T, 2 * T, T).collect()}
+    w = 2 * T
+    for y in range(T):
+        assert got[y * w + 0] == w          # pit collects the row
+        for x in range(1, w):
+            assert got[y * w + x] == w - x  # pure westward chain
