@@ -234,6 +234,13 @@ def focal_op(tiles: DataFrame, op: str = "sum3",
                 continue
             sy = cy if vert else (1 if cy == 0 else t)
             sx = cx if horz else (1 if cx == 0 else t)
+            if sy == cy and sx == cx:
+                # ragged grid (streaming upserts): both edge neighbors
+                # exist but the diagonal doesn't — no clamp direction is
+                # "the" boundary, so replicate the own inner corner
+                # (deterministic; impossible on a full rectangular grid)
+                sy = 1 if cy == 0 else t
+                sx = 1 if cx == 0 else t
             padded[cy, cx] = padded[sy, sx]
         res = kern(padded)
         return pd.DataFrame(
