@@ -3275,6 +3275,57 @@ def _sql_polygon_tiles() -> str:
               ("n_rings", "BIGINT"), ("mvt_hex", "VARCHAR")])
 
 
+def q_osm_polygon_tiles(spark, sf_dir):
+    """Reference parity meets the tile renderer: ORDER-PRESERVING way
+    assembly (the reference's OsmJoin node-chaining) feeds the MVT
+    POLYGON pipeline — each assembled chain is treated as a ring
+    (explicit closing vertex stripped, the reference's closure rule),
+    clipped per tile with the integer Sutherland–Hodgman, winding
+    normalized. Arbitrary self-intersecting real-data rings exercise
+    the S-H bowtie-bridge determinism the octagon query can't. The
+    oracle replays assembly + scalar clipping Spark-free from the same
+    parquet."""
+    from osm2geojson_spark.spatial.polytile import polygon_tiles
+
+    nodes, ways = _ways_input(spark, sf_dir)
+    sel = ways.where(F.col("id") % 97 == 0)
+    ns = F.col("ns")
+    stripped = F.when(
+        (F.size(ns) >= 2)
+        & (F.element_at(ns, 1) == F.element_at(ns, -1)),
+        F.slice(ns, 1, F.size(ns) - 1)).otherwise(ns)
+    verts = (
+        sel.select(F.col("id").alias("poly_id"),
+                   F.posexplode(stripped).alias("pos", "nid"))
+        .join(nodes.select(F.col("id").alias("nid"), "lon", "lat"), "nid")
+        .select("poly_id", F.lit(0).alias("ring"), "pos", "lon", "lat"))
+    out = polygon_tiles(verts, res=2, extent=4096)
+    return out.select("tile", "n_features", "n_rings",
+                      F.hex("mvt").alias("mvt_hex")).orderBy("tile")
+
+
+def _sql_osm_polygon_tiles() -> str:
+    from osm2geojson_spark import pyref
+
+    li = _oracle_parquet("lineitem",
+                         ["l_orderkey", "l_linenumber", "l_partkey"])
+    chains: dict = {}
+    for ok, ln, pk in li:
+        if ok % 97 == 0:
+            chains.setdefault(ok, []).append((ln, pk))
+    polys = []
+    for ok in sorted(chains):
+        refs = [pk for _ln, pk in sorted(chains[ok])]
+        if len(refs) >= 2 and refs[0] == refs[-1]:
+            refs = refs[:-1]
+        polys.append(
+            (ok, [[(_py_lon(pk), _py_lat(pk)) for pk in refs]]))
+    ref = pyref.ref_polygon_tiles(polys, res=2, extent=4096)
+    return pyref.values_sql(
+        ref, [("tile", "BIGINT"), ("n_features", "BIGINT"),
+              ("n_rings", "BIGINT"), ("mvt_hex", "VARCHAR")])
+
+
 # integer quarter-unit octagon + triangular hole for the measures query:
 # every vertex is center + (scale/4) * offset in PURE int64 microdegrees
 # (scale*1e6 is divisible by 4 for all k), so area2/bbox are exact in
@@ -4497,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "line_tiles": q_line_tiles,
         "polygon_tiles": q_polygon_tiles,
+        "osm_polygon_tiles": q_osm_polygon_tiles,
         "geom_measures": q_geom_measures,
         "heatmap_pyramid": q_heatmap_pyramid,
         "contours": q_contours,
@@ -4594,6 +4646,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_tiles": _sql_vector_tiles(),
         "line_tiles": _sql_line_tiles(),
         "polygon_tiles": _sql_polygon_tiles(),
+        "osm_polygon_tiles": _sql_osm_polygon_tiles(),
         "geom_measures": _sql_geom_measures(),
         "heatmap_pyramid": _sql_heatmap_pyramid(),
         "contours": _sql_contours(),
