@@ -4244,6 +4244,72 @@ ORDER BY cell
 """
 
 
+_DEM_LEVELS = (40, 60)
+
+
+def q_dem_contours(spark, sf_dir):
+    """Terrain isolines — the raster family composed end to end: the
+    halo-exchange focal MEAN smooths the tiled DEM (the standard
+    pre-contour denoise), pixels feed the marching-squares machinery
+    (spatial/contour.py), two elevation levels fall out of one pass.
+    Oracle: the smoothed field is CLOSED-FORM (9 clamped int terms,
+    floor-div 9), so DuckDB computes grid → corner masks → case table
+    with no halo exchange at all."""
+    from osm2geojson_spark.spatial.contour import contour_segments
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    sm = focal_op(tiles, op="mean3", tile_size=t)
+    pixels = (
+        sm.select("tx", "ty", F.posexplode("data").alias("i", "v"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("ix"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("iy"),
+            "v"))
+    return contour_segments(pixels, list(_DEM_LEVELS)) \
+        .orderBy("level", "x1", "y1", "x2", "y2")
+
+
+def _sql_dem_contours() -> str:
+    from osm2geojson_spark.spatial.contour import case_values_sql
+
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    terms = " + ".join(v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    lv = ", ".join(f"({t})" for t in _DEM_LEVELS)
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+grid AS (SELECT x AS ix, y AS iy, (({terms}) // 9) AS v FROM xs, ys),
+lv(level) AS (VALUES {lv}),
+above AS (
+  SELECT l.level, g.ix, g.iy FROM grid g, lv l WHERE (g.v >= l.level)),
+corners(dx, dy, cw) AS (VALUES (0,0,1), (1,0,2), (0,1,4), (1,1,8)),
+masks AS (
+  SELECT a.level, (a.ix - c.dx) AS bxx, (a.iy - c.dy) AS byy,
+         CAST(SUM(c.cw) AS INT) AS mask
+  FROM above a, corners c
+  GROUP BY a.level, bxx, byy
+  HAVING (CAST(SUM(c.cw) AS INT) != 15)),
+cases AS ({case_values_sql()})
+SELECT m.level AS level,
+       CAST(((m.bxx * 2) + s.x1o) AS BIGINT) AS x1,
+       CAST(((m.byy * 2) + s.y1o) AS BIGINT) AS y1,
+       CAST(((m.bxx * 2) + s.x2o) AS BIGINT) AS x2,
+       CAST(((m.byy * 2) + s.y2o) AS BIGINT) AS y2
+FROM masks m JOIN cases s ON (s.mask = m.mask)
+ORDER BY level, x1, y1, x2, y2
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counting over a 400-node hash graph derived
     from events (user/event keys folded into one id space so the graph
@@ -4569,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
+        "dem_contours": q_dem_contours,
         "wkt_roundtrip": q_wkt_roundtrip,
         "isochrone_contour": q_isochrone_contour,
         "pii_redact": q_pii_redact,
@@ -4667,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
+        "dem_contours": _sql_dem_contours(),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
         "isochrone_contour": _sql_isochrone_contour(),
         "pii_redact": _SQL_PII_REDACT,
