@@ -1084,3 +1084,67 @@ def ref_polygon_tiles(polys: "list[tuple]", res: int = 3,
         buf = polygon_layer_bytes(feats, extent=extent)
         out.append((tile, len(feats), n_rings, buf.hex().upper()))
     return out
+
+
+# -------------------------------------------------------- D8 hydrology
+_D8_REF = [(1, 0, 1, 99), (1, 1, 2, 70), (0, 1, 4, 99), (-1, 1, 8, 70),
+           (-1, 0, 16, 99), (-1, -1, 32, 70), (0, -1, 64, 99),
+           (1, -1, 128, 70)]
+
+
+def _dem_ref(x: int, y: int) -> int:
+    """The catalog DEM closed form (spatial/focal.py dem_value_np) as
+    scalar ints — same FORMULA (it is the spec), independent CODE."""
+    return (x * 73 + y * 19) % 100 + (x * x + 3 * y * y) % 7
+
+
+def _flow_tgt_ref(w: int) -> "list":
+    """Per-cell D8 flow target (clamped; None for pits) — scalar-python
+    twin of the focal flowdir8 kernel + flow_cells composition."""
+    tgt = [None] * (w * w)
+    for y in range(w):
+        for x in range(w):
+            c = _dem_ref(min(max(x, 0), w - 1), min(max(y, 0), w - 1))
+            best_s, best_code, best_d = 0, 0, None
+            for dx, dy, code, wt in _D8_REF:
+                nx = min(max(x + dx, 0), w - 1)
+                ny = min(max(y + dy, 0), w - 1)
+                s = (c - _dem_ref(nx, ny)) * wt
+                if s > best_s:  # strict: first max in scan order wins
+                    best_s, best_code, best_d = s, code, (nx, ny)
+            if best_code:
+                tgt[y * w + x] = best_d[1] * w + best_d[0]
+    return tgt
+
+
+def ref_strahler(w: int) -> "list[tuple]":
+    """Strahler stream order over the closed-form D8 forest: memoized
+    post-order walk (leaves 1; max child order, +1 when >= 2 children
+    attain it). Returns [(cell, strahler)] sorted by cell."""
+    tgt = _flow_tgt_ref(w)
+    children: "dict[int, list[int]]" = {}
+    for cell, t in enumerate(tgt):
+        if t is not None:
+            children.setdefault(t, []).append(cell)
+    order = [0] * (w * w)
+    # iterative post-order (flow paths are short but stay loop-safe)
+    for start in range(w * w):
+        stack = [start]
+        while stack:
+            cell = stack[-1]
+            if order[cell]:
+                stack.pop()
+                continue
+            kids = children.get(cell, ())
+            todo = [k for k in kids if not order[k]]
+            if todo:
+                stack.extend(todo)
+                continue
+            if not kids:
+                order[cell] = 1
+            else:
+                m = max(order[k] for k in kids)
+                cnt = sum(1 for k in kids if order[k] == m)
+                order[cell] = m + 1 if cnt >= 2 else m
+            stack.pop()
+    return [(cell, order[cell]) for cell in range(w * w)]

@@ -4244,6 +4244,110 @@ ORDER BY cell
 """
 
 
+def q_watershed(spark, sf_dir):
+    """Watershed (basin) labeling over the D8 forest: every cell → the
+    terminal pit its flow path drains to, via POINTER DOUBLING — each
+    round one self-equi-join squares the distance covered, so rounds =
+    ceil(log2(longest flow path)), not path length (the flow_accum
+    waves would take depth rounds; doubling takes log of it). Oracle:
+    the same recursive-CTE path walk as flow_accum, ending at the rows
+    whose target is NULL (the pit) — a sequential walk vs the
+    logarithmic doubling, two maximally different paths."""
+    from osm2geojson_spark.spatial.focal import (
+        focal_op,
+        synth_dem_tiles,
+        watershed_basins,
+    )
+
+    t = _FOCAL_T
+    w = _FOCAL_T * _FOCAL_TILES
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    dirs = focal_op(tiles, op="flowdir8", tile_size=t)
+    return watershed_basins(dirs, t, w, w).orderBy("cell")
+
+
+def _sql_watershed() -> str:
+    from osm2geojson_spark.spatial.focal import _D8
+
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    scores = [f"(({v(0, 0)} - {v(dx, dy)}) * {wt})"
+              for dx, dy, _code, wt in _D8]
+    names = [f"s{i}" for i in range(8)]
+    sel = ", ".join(f"{s} AS {n}" for s, n in zip(scores, names))
+    gmax = f"greatest({', '.join(names)})"
+    chain = " ".join(
+        f"WHEN ({n} = gm) THEN {code}"
+        for n, (_dx, _dy, code, _wt) in zip(names, _D8))
+    dxc = " ".join(f"WHEN {code} THEN {dx}"
+                   for dx, _dy, code, _wt in _D8)
+    dyc = " ".join(f"WHEN {code} THEN {dy}"
+                   for _dx, dy, code, _wt in _D8)
+    return f"""
+WITH RECURSIVE
+xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+sc AS (SELECT x, y, {sel} FROM xs, ys),
+g AS (SELECT x, y, s0, s1, s2, s3, s4, s5, s6, s7, {gmax} AS gm FROM sc),
+d AS (SELECT x, y,
+             (CASE WHEN (gm <= 0) THEN 0 {chain} END) AS dir
+      FROM g),
+c AS (SELECT ((y * {w}) + x) AS cell,
+             (CASE WHEN (dir = 0) THEN NULL ELSE
+               ((least(greatest((y + (CASE dir {dyc} ELSE 0 END)), 0),
+                       {w - 1}) * {w})
+                + least(greatest((x + (CASE dir {dxc} ELSE 0 END)), 0),
+                        {w - 1})) END) AS tgt
+      FROM d),
+walk(start, cur) AS (
+  SELECT cell, cell FROM c
+  UNION ALL
+  SELECT wk.start, c2.tgt FROM walk wk
+  JOIN c c2 ON (c2.cell = wk.cur)
+  WHERE (c2.tgt IS NOT NULL))
+SELECT wk.start AS cell, wk.cur AS basin
+FROM walk wk JOIN c cc ON (cc.cell = wk.cur)
+WHERE (cc.tgt IS NULL)
+ORDER BY cell
+"""
+
+
+def q_strahler(spark, sf_dir):
+    """Strahler stream order over the D8 forest — the third hydrology
+    op on the focal substrate (flow_dir → flow_accum → strahler): the
+    topological-wave loop of flow_accum carrying the (max,
+    count-of-max) semigroup instead of a sum, merged exactly across
+    waves. Oracle: pyref literal table — a memoized pure-Python
+    post-order walk over the same closed-form directions (Spark-free,
+    join-free)."""
+    from osm2geojson_spark.spatial.focal import (
+        focal_op,
+        strahler_order,
+        synth_dem_tiles,
+    )
+
+    t = _FOCAL_T
+    w = _FOCAL_T * _FOCAL_TILES
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    dirs = focal_op(tiles, op="flowdir8", tile_size=t)
+    return strahler_order(dirs, t, w, w).orderBy("cell")
+
+
+def _sql_strahler() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_strahler(_FOCAL_T * _FOCAL_TILES)
+    return pyref.values_sql(
+        rows, [("cell", "BIGINT"), ("strahler", "BIGINT")]
+    ) + " ORDER BY cell"
+
+
 _DEM_LEVELS = (40, 60)
 
 
@@ -4635,6 +4739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
+        "watershed": q_watershed,
+        "strahler": q_strahler,
         "dem_contours": q_dem_contours,
         "wkt_roundtrip": q_wkt_roundtrip,
         "isochrone_contour": q_isochrone_contour,
@@ -4734,6 +4840,8 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
+        "watershed": _sql_watershed(),
+        "strahler": _sql_strahler(),
         "dem_contours": _sql_dem_contours(),
         "wkt_roundtrip": _sql_wkt_roundtrip(),
         "isochrone_contour": _sql_isochrone_contour(),

@@ -43,6 +43,8 @@ __all__ = [
     "hillshade_kernel",
     "flow_cells",
     "flow_accumulation",
+    "watershed_basins",
+    "strahler_order",
 ]
 
 _CENTER = 4  # part code (sdy+1)*3 + (sdx+1) for the tile's own body
@@ -340,3 +342,132 @@ def flow_accumulation(dir_tiles: DataFrame, tile_size: int,
             "(cyclic directions? flowdir8 guarantees strict descent)")
     edges.unpersist()
     return state.select("cell", "acc")
+
+
+def watershed_basins(dir_tiles: DataFrame, tile_size: int,
+                     width: int, height: int,
+                     max_pow: int = 20) -> DataFrame:
+    """Basin (watershed) labeling: every cell → the id of the terminal
+    pit its D8 flow path drains to — the hydrology op that partitions a
+    DEM into catchment basins. The D8 forest has ≤ 1 outgoing edge per
+    cell, so the engine runs POINTER DOUBLING (the route-reconstruction
+    discipline from ``spatial/route.py``): state ``(cell, nxt)`` starts
+    one hop downstream (pits self-loop) and each round substitutes
+    ``nxt ← nxt.nxt`` via one self-equi-join, squaring the distance
+    covered — rounds = ceil(log2(longest flow path)), bounded by the
+    elevation range (strict descent), NOT the raster size. O(1) driver
+    rows per round (a limit(1) moved-probe), localCheckpoint lineage
+    truncation. At 100 TB the state table is one row per pixel and each
+    round is a single equi-join shuffle on int64 keys — no skew surface
+    (keys are unique on the build side).
+
+    Returns ``(cell, basin)`` with ``basin`` the pit's cell id."""
+    cells = flow_cells(dir_tiles, tile_size, width, height)
+    state = (
+        cells.select("cell", F.coalesce("tgt", F.col("cell")).alias("nxt"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_pow):
+        hop = state.select(F.col("cell").alias("h_cell"),
+                           F.col("nxt").alias("h_nxt"))
+        doubled = (
+            state.join(hop, state["nxt"] == hop["h_cell"])
+            .select(state["cell"].alias("cell"),
+                    F.col("h_nxt").alias("nxt"),
+                    (F.col("h_nxt") != state["nxt"]).alias("moved"))
+            .localCheckpoint(eager=True)
+        )
+        still_moving = doubled.where("moved").limit(1).count()
+        state = doubled.drop("moved")
+        if still_moving == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"watershed_basins did not converge within {max_pow} doubling "
+            "rounds (flow path longer than 2^%d cells?)" % max_pow)
+    return state.select("cell", F.col("nxt").alias("basin"))
+
+
+def strahler_order(dir_tiles: DataFrame, tile_size: int,
+                   width: int, height: int,
+                   max_rounds: int = 10_000) -> DataFrame:
+    """Strahler stream order over the D8 forest: leaves (no inflow) are
+    order 1; an interior cell is ``m + 1`` when ≥ 2 upstream children
+    attain the maximum child order ``m``, else ``m``. Runs as the same
+    TOPOLOGICAL WAVES as :func:`flow_accumulation`, but the per-cell
+    accumulator is the ``(max, count-of-max)`` SEMIGROUP — messages
+    arriving across different waves merge exactly:
+    ``new_max = max(old, msg)``; counts carry over when their order
+    equals the new max and reset to 0 otherwise. The per-round message
+    reduction is two map-side-combinable aggregations: counts per
+    (cell, ord), then ``max(struct(ord, cnt))`` picks the max order AND
+    its count in one pass. Rounds = flow-tree depth; O(1) driver rows.
+
+    Returns ``(cell, strahler)``."""
+    cells = flow_cells(dir_tiles, tile_size, width, height)
+    edges = (cells.where(F.col("tgt").isNotNull())
+             .select(F.col("cell").alias("src"), F.col("tgt").alias("dst"))
+             .repartition("src").persist())
+    indeg = edges.groupBy(F.col("dst").alias("cell")).agg(
+        F.count(F.lit(1)).alias("pending"))
+    state = (
+        cells.select("cell").join(indeg, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("pending", F.lit(0)).cast("long").alias("pending"),
+            F.lit(False).alias("pushed"),
+            F.lit(0).cast("long").alias("max_ord"),
+            F.lit(0).cast("long").alias("cnt_max"),
+            F.lit(None).cast("long").alias("ord"))
+        .localCheckpoint(eager=True)
+    )
+    # Strahler order of a READY cell from its accumulated (max, cnt).
+    def _ord_expr():
+        return (F.when(F.col("max_ord") == 0, F.lit(1).cast("long"))
+                .when(F.col("cnt_max") >= 2, F.col("max_ord") + 1)
+                .otherwise(F.col("max_ord")))
+
+    for _ in range(max_rounds):
+        ready = state.where((F.col("pending") == 0) & ~F.col("pushed"))
+        if ready.limit(1).count() == 0:
+            break
+        msgs = (
+            ready.select(F.col("cell").alias("src"),
+                         _ord_expr().alias("m_ord"))
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("cell"), "m_ord")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("cell")
+            .agg(F.max(F.struct(F.col("m_ord"), F.col("cnt"))).alias("mx"),
+                 F.sum("cnt").alias("arrived"))
+            .select("cell", F.col("mx.m_ord").alias("msg_max"),
+                    F.col("mx.cnt").alias("msg_cnt"), "arrived"))
+        new_max = F.greatest(F.col("max_ord"),
+                             F.coalesce("msg_max", F.lit(0)))
+        new_cnt = (
+            F.when(F.col("max_ord") == new_max, F.col("cnt_max"))
+            .otherwise(F.lit(0))
+            + F.when(F.coalesce("msg_max", F.lit(-1)) == new_max,
+                     F.col("msg_cnt")).otherwise(F.lit(0)))
+        state = (
+            state.join(msgs, "cell", "left")
+            .select(
+                "cell",
+                (F.col("pending") - F.coalesce("arrived", F.lit(0)))
+                .alias("pending"),
+                (F.col("pushed") | (F.col("pending") == 0)).alias("pushed"),
+                new_max.alias("new_max_ord"),
+                new_cnt.alias("new_cnt_max"),
+                F.when((F.col("pending") == 0) & ~F.col("pushed"),
+                       _ord_expr()).otherwise(F.col("ord")).alias("ord"))
+            .withColumnsRenamed({"new_max_ord": "max_ord",
+                                 "new_cnt_max": "cnt_max"})
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"strahler_order did not drain within {max_rounds} rounds "
+            "(cyclic directions? flowdir8 guarantees strict descent)")
+    edges.unpersist()
+    return state.select("cell", F.col("ord").alias("strahler"))

@@ -137,3 +137,110 @@ def test_flow_accumulation_ramp(spark):
         assert got[y * w + 0] == w          # pit collects the row
         for x in range(1, w):
             assert got[y * w + x] == w - x  # pure westward chain
+
+
+def _py_basins(grid):
+    """Follow every cell's unique flow path to its pit — the sequential
+    twin of the pointer-doubling watershed."""
+    from osm2geojson_spark.spatial.focal import _D8, focal_reference
+    h, w = grid.shape
+    dirs = focal_reference(grid, op="flowdir8")
+    dxy = {code: (dx, dy) for dx, dy, code, _wt in _D8}
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x, y
+            while dirs[cy, cx] != 0:
+                dx, dy = dxy[int(dirs[cy, cx])]
+                cx = min(max(cx + dx, 0), w - 1)
+                cy = min(max(cy + dy, 0), h - 1)
+            out[y * w + x] = cy * w + cx
+    return out
+
+
+def test_watershed_matches_path_walk(tiles):
+    from osm2geojson_spark.spatial.focal import focal_op, watershed_basins
+    dirs = focal_op(tiles, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["basin"] for r in
+           watershed_basins(dirs, T, TX * T, TY * T).collect()}
+    assert got == _py_basins(_full())
+
+
+def test_watershed_ramp_basins(spark):
+    # eastward ramp: every row drains to its west-edge pit
+    from osm2geojson_spark.spatial.focal import focal_op, watershed_basins
+    df = synth_dem_tiles(spark, 2, 1, T, value_fn=lambda gx, gy: gx * 10)
+    dirs = focal_op(df, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["basin"] for r in
+           watershed_basins(dirs, T, 2 * T, T).collect()}
+    w = 2 * T
+    assert got == {y * w + x: y * w for y in range(T) for x in range(w)}
+
+
+def test_watershed_divergence_guard(spark):
+    from osm2geojson_spark.spatial.focal import focal_op, watershed_basins
+    df = synth_dem_tiles(spark, 2, 1, T, value_fn=lambda gx, gy: gx * 10)
+    dirs = focal_op(df, op="flowdir8", tile_size=T)
+    with pytest.raises(RuntimeError, match="converge"):
+        # longest path is 2T-1 = 31 cells; 2^2 doubling rounds cover
+        # only 2^2 hops -> must raise, not return wrong labels
+        watershed_basins(dirs, T, 2 * T, T, max_pow=2).collect()
+
+
+def _py_strahler(grid):
+    from osm2geojson_spark.spatial.focal import _D8, focal_reference
+    h, w = grid.shape
+    dirs = focal_reference(grid, op="flowdir8")
+    dxy = {code: (dx, dy) for dx, dy, code, _wt in _D8}
+    children = {}
+    for y in range(h):
+        for x in range(w):
+            d = int(dirs[y, x])
+            if d:
+                dx, dy = dxy[d]
+                nx = min(max(x + dx, 0), w - 1)
+                ny = min(max(y + dy, 0), h - 1)
+                children.setdefault(ny * w + nx, []).append(y * w + x)
+    order = {}
+
+    def compute(cell):
+        stack = [cell]
+        while stack:
+            c = stack[-1]
+            if c in order:
+                stack.pop()
+                continue
+            kids = children.get(c, ())
+            todo = [k for k in kids if k not in order]
+            if todo:
+                stack.extend(todo)
+                continue
+            if not kids:
+                order[c] = 1
+            else:
+                m = max(order[k] for k in kids)
+                cnt = sum(1 for k in kids if order[k] == m)
+                order[c] = m + 1 if cnt >= 2 else m
+            stack.pop()
+
+    for cell in range(h * w):
+        compute(cell)
+    return order
+
+
+def test_strahler_matches_reference(tiles):
+    from osm2geojson_spark.spatial.focal import focal_op, strahler_order
+    dirs = focal_op(tiles, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["strahler"] for r in
+           strahler_order(dirs, T, TX * T, TY * T).collect()}
+    assert got == _py_strahler(_full())
+
+
+def test_strahler_chain_is_order_one(spark):
+    # a pure chain (eastward ramp rows) never branches: order 1 all along
+    from osm2geojson_spark.spatial.focal import focal_op, strahler_order
+    df = synth_dem_tiles(spark, 2, 1, T, value_fn=lambda gx, gy: gx * 10)
+    dirs = focal_op(df, op="flowdir8", tile_size=T)
+    got = {r["cell"]: r["strahler"] for r in
+           strahler_order(dirs, T, 2 * T, T).collect()}
+    assert set(got.values()) == {1}
