@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "k_core"]
 
 
 def pagerank(
@@ -183,3 +183,53 @@ def triangle_count(
     )
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 1_000,
+) -> DataFrame:
+    """Vertices of the k-core (the maximal subgraph where every vertex
+    keeps degree ≥ k) with their in-core degree — the standard peel:
+    repeatedly delete vertices of degree < k until a fixpoint. The
+    corpus-curation use is the same as dup_clusters': a near-dup edge
+    graph's 2-core separates clustered boilerplate from incidental
+    pairs; on link graphs it is the classic spam/core split.
+
+    Distributed shape per round: one degree aggregation (map-side
+    combinable int count) + two broadcast-able anti-joins against the
+    kill set (the kill set is the SMALL side by construction — it only
+    holds vertices whose degree just dropped below k). O(1) driver rows
+    per round (a limit(1) emptiness probe on the kill set);
+    localCheckpoint truncates lineage. Rounds = peel depth ≤ graph
+    degeneracy ≤ O(sqrt m); each round strictly shrinks the edge set,
+    so late rounds are cheap. No skew surface: a celebrity vertex that
+    SURVIVES never moves; one that dies is one row in the kill set.
+
+    Degree = number of distinct neighbors (parallel edges and self
+    loops dropped up front). Returns ``(node, deg)``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct())
+    adj = (canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(canon.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+           .repartition("u")
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        kill = deg.where(F.col("deg") < k).select("u")
+        if kill.limit(1).count() == 0:
+            return deg.select(F.col("u").alias("node"), "deg")
+        adj = (adj.join(kill, "u", "left_anti")
+               .join(kill.withColumnRenamed("u", "v"), "v", "left_anti")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within {max_rounds} rounds")

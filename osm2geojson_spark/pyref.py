@@ -1148,3 +1148,25 @@ def ref_strahler(w: int) -> "list[tuple]":
                 order[cell] = m + 1 if cnt >= 2 else m
             stack.pop()
     return [(cell, order[cell]) for cell in range(w * w)]
+
+
+def ref_k_core(edges: "list[tuple]", k: int) -> "list[tuple]":
+    """Asynchronous k-core peel (deletions take effect immediately
+    within a sweep — a DIFFERENT schedule from the engine's synchronous
+    rounds; the fixpoint is unique either way). Returns [(node, deg)]
+    for the surviving core, sorted by node."""
+    adj: "dict[int, set]" = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if n in adj and len(adj[n]) < k:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+                changed = True
+    return sorted((n, len(v)) for n, v in adj.items())

@@ -4244,6 +4244,36 @@ ORDER BY cell
 """
 
 
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (k=40) over a skew-degree 400-node hash
+    graph from events (the divisor term concentrates targets at low
+    ids — a real degree distribution, so the peel takes multiple
+    rounds): distributed peel = per-round degree agg + two anti-joins
+    against the (small) kill set, localCheckpoint loop discipline.
+    Oracle: pyref asynchronous peel — deletion ORDER differs between
+    the two implementations, but the k-core fixpoint is unique, so
+    agreement pins the loop logic, not the schedule."""
+    from osm2geojson_spark.operators.graph import k_core
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % F.lit(400)).alias("src"),
+        F.expr(f"((event_id * {_LON_MUL}) % 400) div (1 + (event_id % 4))")
+        .alias("dst"))
+    return k_core(edges, k=40).orderBy("node")
+
+
+def _sql_k_core() -> str:
+    from osm2geojson_spark import pyref
+
+    pairs = _oracle_parquet("events", ["user_id", "event_id"])
+    edges = [(u % 400, ((e * _LON_MUL) % 400) // (1 + (e % 4)))
+             for u, e in pairs]
+    rows = pyref.ref_k_core(edges, k=40)
+    return pyref.values_sql(
+        rows, [("node", "BIGINT"), ("deg", "BIGINT")]) + " ORDER BY node"
+
+
 def q_watershed(spark, sf_dir):
     """Watershed (basin) labeling over the D8 forest: every cell → the
     terminal pit its flow path drains to, via POINTER DOUBLING — each
@@ -4739,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
+        "k_core": q_k_core,
         "watershed": q_watershed,
         "strahler": q_strahler,
         "dem_contours": q_dem_contours,
@@ -4840,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
+        "k_core": _sql_k_core(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
         "dem_contours": _sql_dem_contours(),

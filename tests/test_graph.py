@@ -103,3 +103,38 @@ def test_triangle_random_vs_bruteforce(spark):
 def test_triangle_duplicate_and_reversed_edges_collapse(spark):
     tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (1, 1)]
     assert _tri_run(spark, tri) == {1: 1, 2: 1, 3: 1}
+
+
+def _kc(spark, edges, k):
+    from osm2geojson_spark.operators.graph import k_core
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["deg"] for r in k_core(df, k).collect()}
+
+
+def test_k_core_clique_plus_tail(spark):
+    # K5 with a pendant path: 3-core = the clique, tail peels off in
+    # cascading rounds (5->6->7 each depend on the previous removal)
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    got = _kc(spark, clique + tail, 3)
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_k_core_matches_pyref_random(spark):
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, (400, 2))]
+    for k in (2, 3, 5):
+        got = _kc(spark, edges, k)
+        assert sorted(got.items()) == pyref.ref_k_core(edges, k)
+
+
+def test_k_core_duplicate_and_self_edges_ignored(spark):
+    # parallel edges must not inflate degree; self-loops dropped
+    edges = [(1, 2)] * 10 + [(2, 1)] * 5 + [(3, 3)] * 8 + [(2, 3), (3, 1)]
+    got = _kc(spark, edges, 2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_result(spark):
+    got = _kc(spark, [(1, 2), (2, 3)], 2)
+    assert got == {}
