@@ -4244,6 +4244,69 @@ ORDER BY cell
 """
 
 
+def q_union_area(spark, sf_dir):
+    """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
+    int boxes per group via strip decomposition + interval-union
+    windows (spatial/dissolve.py): x-events cut strips, a coverage join
+    fans boxes to spanned strips, one running-max window per (group,
+    strip) counts newly covered y-length. All int64 — the DuckDB oracle
+    expresses the same sweep with its own window functions; ties in the
+    window order contribute 0 either way, so ordering is value-safe."""
+    from osm2geojson_spark.spatial.dissolve import union_area
+
+    p = _t(spark, sf_dir, "part")
+    boxes = p.select(
+        (F.col("p_partkey") % F.lit(12)).alias("group_id"),
+        ((F.col("p_partkey") * 37) % 500).alias("x1"),
+        ((F.col("p_partkey") * 29) % 500).alias("y1"),
+        ((F.col("p_partkey") * 37) % 500 + 1
+         + (F.col("p_partkey") * 13) % 60).alias("x2"),
+        ((F.col("p_partkey") * 29) % 500 + 1
+         + (F.col("p_partkey") * 17) % 60).alias("y2"))
+    return union_area(boxes).orderBy("group_id")
+
+
+def _sql_union_area() -> str:
+    return """
+WITH b AS (
+  SELECT (p_partkey % 12) AS g,
+         ((p_partkey * 37) % 500) AS x1,
+         ((p_partkey * 29) % 500) AS y1,
+         (((p_partkey * 37) % 500) + 1 + ((p_partkey * 13) % 60)) AS x2,
+         (((p_partkey * 29) % 500) + 1 + ((p_partkey * 17) % 60)) AS y2
+  FROM part),
+xs AS (
+  SELECT DISTINCT g, x FROM (
+    SELECT g, x1 AS x FROM b UNION ALL SELECT g, x2 AS x FROM b)),
+strips AS (
+  SELECT g, x AS sx0, lead(x) OVER (PARTITION BY g ORDER BY x) AS sx1
+  FROM xs),
+st AS (SELECT * FROM strips WHERE (sx1 IS NOT NULL)),
+cov AS (
+  SELECT b.g AS g, st.sx0 AS sx0, st.sx1 AS sx1, b.y1 AS y1, b.y2 AS y2
+  FROM b JOIN st ON ((b.g = st.g) AND (b.x1 <= st.sx0)
+                     AND (b.x2 >= st.sx1))),
+seg AS (
+  SELECT g, sx0, sx1, y1, y2,
+         max(y2) OVER (PARTITION BY g, sx0 ORDER BY y1, y2
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM cov),
+agg AS (
+  SELECT g,
+         SUM((sx1 - sx0)
+             * greatest(0, (y2 - greatest(y1, coalesce(pm, y1)))))
+           AS union_area
+  FROM seg GROUP BY g)
+SELECT b.g AS group_id,
+       COUNT(*) AS n_boxes,
+       CAST(ANY_VALUE(agg.union_area) AS BIGINT) AS union_area
+FROM b JOIN agg ON (agg.g = b.g)
+GROUP BY b.g
+ORDER BY group_id
+"""
+
+
 def q_k_core(spark, sf_dir):
     """k-core decomposition (k=40) over a skew-degree 400-node hash
     graph from events (the divisor term concentrates targets at low
@@ -4770,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
         "k_core": q_k_core,
+        "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
         "dem_contours": q_dem_contours,
@@ -4872,6 +4936,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
         "k_core": _sql_k_core(),
+        "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
         "dem_contours": _sql_dem_contours(),
