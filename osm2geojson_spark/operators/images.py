@@ -114,6 +114,51 @@ def quarantine_split(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     return validated.filter(F.col("ok")), validated.filter(~F.col("ok"))
 
 
+def sharpness_scores(df: DataFrame) -> DataFrame:
+    """Blur/sharpness scoring for image curation — the quality filter a
+    training-data pipeline runs before spending caption/CLIP compute on
+    a frame: the classic variance-of-Laplacian measure, kept EXACT by
+    staying in integers end to end. Per image: integer luma
+    (299·R + 587·G + 114·B, the Rec.601 weights ×1000), 4-neighbor
+    Laplacian ``4c − up − down − left − right`` over interior pixels,
+    and the RAW int64 moments (count, sum, sum of squares) instead of a
+    float variance — callers derive variance as
+    ``(n·s2 − s²) / n²`` at threshold time, and the oracle compares
+    bit-exact integers. Images smaller than 3×3 score (0, 0, 0).
+    Decode failures quarantine via (ok, error), the validate_images
+    discipline. Arrow-batched mapInPandas, whole-array numpy per image
+    (no per-pixel Python)."""
+    out_schema = ("image_id string, fmt string, ok boolean, error string, "
+                  "n_interior long, lap_sum long, lap_sq_sum long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                err, n, s, s2, ok = None, 0, 0, 0, False
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                    lum = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+                           + px[:, :, 2] * 114)
+                    if lum.shape[0] >= 3 and lum.shape[1] >= 3:
+                        c = lum[1:-1, 1:-1]
+                        lap = (4 * c
+                               - lum[:-2, 1:-1] - lum[2:, 1:-1]
+                               - lum[1:-1, :-2] - lum[1:-1, 2:])
+                        n = int(lap.size)
+                        s = int(lap.sum())
+                        s2 = int((lap * lap).sum())
+                    ok = True
+                except Exception as ex:  # noqa: BLE001 — quarantine path
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append((t.image_id, t.fmt, ok, err, n, s, s2))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "ok", "error",
+                               "n_interior", "lap_sum", "lap_sq_sum"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
 def extract_exif(df: DataFrame) -> DataFrame:
     """Exif APP1 metadata extraction over JPEG bytes (synth/exif.py: a
     real TIFF 6.0 IFD walk — both byte orders, pointer-chased sub-IFDs,

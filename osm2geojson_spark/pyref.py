@@ -1170,3 +1170,38 @@ def ref_k_core(edges: "list[tuple]", k: int) -> "list[tuple]":
                         adj[m].discard(n)
                 changed = True
     return sorted((n, len(v)) for n, v in adj.items())
+
+
+def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
+    """Twin of the sharpness catalog query: re-synthesize the corpus,
+    decode with the pure-Python codecs, accumulate the Laplacian
+    moments ROW BY ROW in python ints (a different summation route from
+    the engine's whole-array numpy reduction — int exactness makes them
+    meet anyway). Returns [(image_id, fmt, n_interior, lap_sum,
+    lap_sq_sum)]."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        FMTS_TIFF,
+        make_image_row,
+    )
+
+    fmts = fmts or FMTS_TIFF
+    out = []
+    for i in range(n):
+        image_id, buf, _w, _h, fmt, _cap, _ph, _lon, _lat = make_image_row(
+            i * 2 + seed, fmts)
+        px = DECODERS[fmt](buf).astype(np.int64)
+        lum = px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+        n_i, s, s2 = 0, 0, 0
+        if lum.shape[0] >= 3 and lum.shape[1] >= 3:
+            for y in range(1, lum.shape[0] - 1):
+                row = (4 * lum[y, 1:-1]
+                       - lum[y - 1, 1:-1] - lum[y + 1, 1:-1]
+                       - lum[y, :-2] - lum[y, 2:])
+                n_i += int(row.size)
+                s += int(row.sum())
+                s2 += int((row * row).sum())
+        out.append((image_id, fmt, n_i, s, s2))
+    return out

@@ -4244,6 +4244,34 @@ ORDER BY cell
 """
 
 
+def q_image_sharpness(spark, sf_dir):
+    """Blur/sharpness curation scoring over the full 9-format rotation:
+    real decode → integer Rec.601 luma → 4-neighbor Laplacian → RAW
+    int64 moments (no float variance — thresholds derive it later), so
+    the oracle is a bit-exact pyref literal table accumulated by a
+    DIFFERENT summation route (row-by-row python ints vs whole-array
+    numpy). The curation filter a pipeline runs before spending caption
+    compute on blurry frames."""
+    from osm2geojson_spark.operators.images import sharpness_scores
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return (sharpness_scores(imgs)
+            .select("image_id", "fmt", "n_interior", "lap_sum",
+                    "lap_sq_sum")
+            .orderBy("image_id"))
+
+
+def _sql_image_sharpness() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_sharpness(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("n_interior", "BIGINT"), ("lap_sum", "BIGINT"),
+               ("lap_sq_sum", "BIGINT")]) + " ORDER BY image_id"
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -4833,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
         "k_core": q_k_core,
+        "image_sharpness": q_image_sharpness,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -4936,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
         "k_core": _sql_k_core(),
+        "image_sharpness": _sql_image_sharpness(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

@@ -242,3 +242,52 @@ def test_phash_near_dup_matches_pure_python(spark, images):
         if ham <= 6:
             want[(a, b)] = ham
     assert got == want
+
+
+def test_sharpness_flat_vs_noisy(spark):
+    # flat image: Laplacian identically 0; checkerboard: maximal
+    import numpy as np
+    from osm2geojson_spark.operators.images import sharpness_scores
+    from osm2geojson_spark.synth.images import ENCODERS
+
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    checker = np.where(((xx + yy) % 2)[..., None] == 0, 0, 255) \
+        .astype(np.uint8).repeat(3, axis=2).reshape(8, 8, 3)
+    rows = [("flat", bytearray(ENCODERS["ppm"](flat)), "ppm"),
+            ("checker", bytearray(ENCODERS["ppm"](checker)), "ppm"),
+            ("broken", bytearray(b"not an image"), "ppm")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in sharpness_scores(df).collect()}
+    assert got["flat"]["ok"] and got["flat"]["lap_sq_sum"] == 0
+    assert got["flat"]["n_interior"] == 36
+    # checker luma alternates 0 / 255000 -> |lap| = 8*255000 or 4+4 mix
+    assert got["checker"]["ok"] and got["checker"]["lap_sq_sum"] > 0
+    assert not got["broken"]["ok"] and got["broken"]["error"]
+    assert got["broken"]["n_interior"] == 0
+
+
+def test_sharpness_matches_pyref(spark):
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.operators.images import sharpness_scores
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=40, seed=42, fmts=FMTS_TIFF)
+    got = sorted(
+        (r["image_id"], r["fmt"], r["n_interior"], r["lap_sum"],
+         r["lap_sq_sum"])
+        for r in sharpness_scores(imgs).collect())
+    assert got == sorted(pyref.ref_sharpness(n=40, seed=42))
+
+
+def test_sharpness_tiny_image_scores_zero(spark):
+    import numpy as np
+    from osm2geojson_spark.operators.images import sharpness_scores
+    from osm2geojson_spark.synth.images import ENCODERS
+
+    tiny = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [("tiny", bytearray(ENCODERS["ppm"](tiny)), "ppm")],
+        "image_id string, bytes binary, fmt string")
+    (row,) = sharpness_scores(df).collect()
+    assert row["ok"] and row["n_interior"] == 0 and row["lap_sq_sum"] == 0
