@@ -4244,6 +4244,94 @@ ORDER BY cell
 """
 
 
+def _url_synth_expr(cast_t: str) -> str:
+    """Messy-URL synth from doc_id (int-derived, engine-identical):
+    scheme/host case noise, www., default ports, trailing slash,
+    unordered + tracking query params, fragments. Query params only
+    ever follow a non-empty path (the parser's documented assumption).
+    ``cast_t`` = STRING (Spark) / VARCHAR (DuckDB)."""
+    n = lambda m: f"CAST((doc_id % {m}) AS {cast_t})"  # noqa: E731
+    return (
+        "((CASE WHEN ((doc_id % 3) = 0) THEN 'HTTPS' ELSE 'HTTP' END)"
+        " || '://'"
+        " || (CASE WHEN ((doc_id % 2) = 0) THEN 'WWW.' ELSE '' END)"
+        f" || 'Site' || {n(7)} || '.COM'"
+        " || (CASE WHEN ((doc_id % 5) = 0) THEN ':443'"
+        "          WHEN ((doc_id % 5) = 1) THEN ':80' ELSE '' END)"
+        " || (CASE WHEN ((doc_id % 13) = 0) THEN ''"
+        f"         ELSE ('/Docs/' || {n(11)}"
+        "           || (CASE WHEN ((doc_id % 4) = 0) THEN '/' ELSE '' END)"
+        "           || (CASE WHEN ((doc_id % 4) = 0)"
+        "                      THEN '?utm_source=x&b=2&a=1'"
+        "                    WHEN ((doc_id % 4) = 1) THEN '?b=2&a=1'"
+        "                    WHEN ((doc_id % 4) = 2) THEN '?a=1&b=2'"
+        "                    ELSE '' END)) END)"
+        " || (CASE WHEN ((doc_id % 6) < 2)"
+        f"          THEN ('#sec' || {n(3)}) ELSE '' END))")
+
+
+def q_url_dedup(spark, sf_dir):
+    """Crawl-URL canonicalization + dedup — the first stage of every
+    web-corpus pipeline: lowercase scheme/host, strip fragment /
+    default ports / www. / trailing slashes, drop utm_* params, sort
+    the rest, then ONE groupBy on the canonical key (min id keeper +
+    dup count). The normalizer is a pure codegen expression chain
+    (functions/urls.py — zero UDFs); the oracle re-derives canonical
+    URLs with DuckDB's list_filter/list_sort over the identical synth."""
+    from osm2geojson_spark.functions.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select("doc_id", F.expr(_url_synth_expr("STRING")).alias("url"))
+    return url_dedup(urls).orderBy("canon_url")
+
+
+def _sql_url_dedup() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_url_synth_expr("VARCHAR")} AS url FROM documents),
+c1 AS (SELECT doc_id, (string_split(url, '#'))[1] AS nf FROM raw),
+c2 AS (SELECT doc_id, lower((string_split(nf, '://'))[1]) AS scheme,
+              (string_split(nf, '://'))[-1] AS rest FROM c1),
+c3 AS (SELECT doc_id, scheme,
+              (string_split(rest, '/'))[1] AS hostport,
+              substr(rest, (length((string_split(rest, '/'))[1]) + 1))
+                AS path_q
+       FROM c2),
+c4 AS (SELECT doc_id, scheme,
+              (string_split(path_q, '?'))[1] AS path,
+              (CASE WHEN contains(path_q, '?')
+                    THEN (string_split(path_q, '?'))[-1] ELSE '' END)
+                AS query,
+              regexp_replace(lower(hostport), '^www\\.', '') AS h0
+       FROM c3),
+c5 AS (SELECT doc_id, scheme, path, query,
+              (CASE WHEN (scheme = 'http')
+                      THEN regexp_replace(h0, ':80$', '')
+                    WHEN (scheme = 'https')
+                      THEN regexp_replace(h0, ':443$', '')
+                    ELSE h0 END) AS host
+       FROM c4),
+c6 AS (SELECT doc_id, scheme, host, query,
+              (CASE WHEN (regexp_replace(path, '/+$', '') = '') THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END) AS cpath
+       FROM c5),
+c7 AS (SELECT doc_id, scheme, host, cpath,
+              coalesce(array_to_string(list_sort(list_filter(
+                string_split(query, '&'),
+                p -> ((p != '') AND (NOT starts_with(p, 'utm_'))))), '&'),
+                '') AS params
+       FROM c6),
+canon AS (
+  SELECT doc_id,
+         (scheme || '://' || host || cpath
+          || (CASE WHEN (params = '') THEN ''
+                   ELSE ('?' || params) END)) AS canon_url
+  FROM c7)
+SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM canon GROUP BY canon_url ORDER BY canon_url
+"""
+
+
 def q_image_sharpness(spark, sf_dir):
     """Blur/sharpness curation scoring over the full 9-format rotation:
     real decode → integer Rec.601 luma → 4-neighbor Laplacian → RAW
@@ -4862,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accum": q_flow_accum,
         "k_core": q_k_core,
         "image_sharpness": q_image_sharpness,
+        "url_dedup": q_url_dedup,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -4966,6 +5055,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_accum": _sql_flow_accum(),
         "k_core": _sql_k_core(),
         "image_sharpness": _sql_image_sharpness(),
+        "url_dedup": _sql_url_dedup(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

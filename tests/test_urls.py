@@ -1,0 +1,49 @@
+"""URL canonicalization: policy pins + idempotence + dedup grouping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions.urls import canonicalize_url, url_dedup
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM/", "http://example.com/"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),   # kept
+    ("http://example.com:443/a", "http://example.com:443/a"),   # kept
+    ("http://example.com/a/b///", "http://example.com/a/b"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?utm_source=x&utm_medium=y", "http://example.com/p"),
+    ("http://example.com/p?utm_source=x&z=9&a=1#frag", "http://example.com/p?a=1&z=9"),
+    ("http://example.com/p#only-frag", "http://example.com/p"),
+    ("HTTPS://WWW.WWW-not.com/x", "https://www-not.com/x"),     # one www. label
+]
+
+
+def test_policy_table(spark):
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(CASES)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_idempotent(spark):
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(CASES)],
+                               "i long, url string")
+    once = df.select("i", canonicalize_url(F.col("url")).alias("url"))
+    twice = once.select("i", canonicalize_url(F.col("url")).alias("c"))
+    assert ({r["i"]: r["url"] for r in once.collect()}
+            == {r["i"]: r["c"] for r in twice.collect()})
+
+
+def test_url_dedup_groups(spark):
+    rows = [(1, "HTTP://A.com/x/"), (2, "http://a.com/x"),
+            (3, "http://a.com/x?utm_source=t"), (4, "http://b.com/y")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["canon_url"]: (r["keeper_id"], r["n_dups"])
+           for r in url_dedup(df).collect()}
+    assert got == {"http://a.com/x": (1, 3), "http://b.com/y": (4, 1)}
