@@ -191,6 +191,47 @@ def chunk_texts_expr(toks: Column, chunk_tokens: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token windows — the packing step before embedding /
+    LM training (stride < window keeps context across chunk borders).
+    Window starts are ``1, 1+stride, 1+2·stride, …`` while ≤ the token
+    count; each chunk is the next ``window`` tokens (trailing chunks
+    run shorter — kept, documented policy). Empty documents emit
+    nothing.
+
+    Plan shape: tokens materialized ONCE per doc (the O(L²) HOF
+    re-split hazard), one generator (posexplode over an int sequence —
+    no data duplication until the final slice), everything codegen.
+    Scale: output is ``n/stride`` rows per doc — a pure map-side
+    explode, no shuffle at all; downstream groupBys see well-spread
+    (doc, chunk) keys.
+
+    Returns ``(id_col, chunk_idx, start_tok, n_tokens, chunk_text)``."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = (df.select(F.col(id_col),
+                      tokens_expr(F.col(text_col)).alias("toks"))
+            .where(F.size("toks") > 0))
+    starts = toks.select(
+        id_col, "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("chunk_idx", "start_tok"))
+    piece = F.slice(F.col("toks"), F.col("start_tok"), window)
+    return starts.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
 def boilerplate_strip(
     df: DataFrame,
     chunk_tokens: int = 8,

@@ -4244,6 +4244,47 @@ ORDER BY cell
 """
 
 
+_CHUNK_W, _CHUNK_S = 32, 16
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Overlapping token windows (W=32, stride 16) over documents — the
+    packing step before embedding/LM training. One map-side generator,
+    no shuffle; trailing short chunks kept (documented policy). Oracle:
+    the same starts via generate_series + list_slice in DuckDB."""
+    from osm2geojson_spark.operators.corpus import chunk_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return (chunk_windows(d, window=_CHUNK_W, stride=_CHUNK_S)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def _sql_chunk_windows() -> str:
+    w, s = _CHUNK_W, _CHUNK_S
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+nz AS (SELECT doc_id, toks, length(toks) AS n FROM t
+       WHERE (length(toks) > 0)),
+st AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(1, n, {s})) AS start_tok
+  FROM nz)
+SELECT doc_id,
+       CAST(((start_tok - 1) // {s}) AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({w}, ((n - start_tok) + 1)) AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, start_tok, least((start_tok + {w - 1}), n)),
+         ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def _url_synth_expr(cast_t: str) -> str:
     """Messy-URL synth from doc_id (int-derived, engine-identical):
     scheme/host case noise, www., default ports, trailing slash,
@@ -4951,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "image_sharpness": q_image_sharpness,
         "url_dedup": q_url_dedup,
+        "chunk_windows": q_chunk_windows,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5056,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _sql_k_core(),
         "image_sharpness": _sql_image_sharpness(),
         "url_dedup": _sql_url_dedup(),
+        "chunk_windows": _sql_chunk_windows(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

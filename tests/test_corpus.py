@@ -332,3 +332,47 @@ class TestLmScore:
         got = {r["doc_id"]: r["lm_score"] for r in lm_score(df).collect()}
         assert min(got[i] for i in range(5)) > \
             max(got[100 + i] for i in range(5))
+
+
+def test_chunk_windows_shapes(spark):
+    from osm2geojson_spark.operators.corpus import chunk_windows
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_windows(df, window=8, stride=4).collect())
+    # doc1: starts 1,5,9 -> lens 8,6,2; doc2: one chunk; 3/4: nothing
+    assert got == [
+        (1, 0, 1, 8, " ".join(f"t{i}" for i in range(8))),
+        (1, 1, 5, 6, " ".join(f"t{i}" for i in range(4, 10))),
+        (1, 2, 9, 2, "t8 t9"),
+        (2, 0, 1, 2, "one two"),
+    ]
+
+
+def test_chunk_windows_overlap_reconstructs(spark):
+    # stride == window/2: every token of every doc appears in >=1 chunk
+    # and consecutive chunks share exactly window-stride tokens
+    from osm2geojson_spark.operators.corpus import chunk_windows
+
+    text = " ".join(f"w{i:03d}" for i in range(100))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted((r["chunk_idx"], r["chunk_text"].split(" "))
+                  for r in chunk_windows(df, window=32, stride=16).collect())
+    for (i1, c1), (_i2, c2) in zip(rows, rows[1:]):
+        assert c1[16:] == c2[:len(c1) - 16]
+    seen = {t for _i, c in rows for t in c}
+    assert len(seen) == 100
+
+
+def test_chunk_windows_validates_args(spark):
+    import pytest as _pt
+    from osm2geojson_spark.operators.corpus import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="window and stride"):
+        chunk_windows(df, window=0, stride=4)
