@@ -1205,3 +1205,45 @@ def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
                 s2 += int((row * row).sum())
         out.append((image_id, fmt, n_i, s, s2))
     return out
+
+
+_COST_OFFS_REF = [(1, 0, 70), (-1, 0, 70), (0, 1, 70), (0, -1, 70),
+                  (1, 1, 99), (-1, 1, 99), (1, -1, 99), (-1, -1, 99)]
+
+
+def ref_cost_distance(w: int, source: int) -> "list[tuple]":
+    """Heap-Dijkstra twin of the cost_distance raster op: the catalog
+    DEM closed form is the cost surface, 8-neighbor edges weighted
+    (cost_a + cost_b) · 70 straight / · 99 diagonal. Returns sorted
+    (node_id, dist)."""
+    cost = [_dem_ref(x, y) for y in range(w) for x in range(w)]
+    edges = []
+    for y in range(w):
+        for x in range(w):
+            u = y * w + x
+            for dx, dy, m in _COST_OFFS_REF:
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < w:
+                    v = ny * w + nx
+                    edges.append((u, v, (cost[u] + cost[v]) * m))
+    return sorted(dijkstra(edges, source).items())
+
+
+def ref_raster_pyramid(w: int, levels: int) -> "list[tuple]":
+    """Nested 2x2 floor-mean overviews of the closed-form DEM —
+    whole-grid numpy (no tiling, no shuffle) vs the engine's tiled
+    merge. Returns (level, x, y, v) rows."""
+    import numpy as np
+
+    gx = np.arange(w, dtype=np.int64)[None, :]
+    gy = np.arange(w, dtype=np.int64)[:, None]
+    cur = (gx * 73 + gy * 19) % 100 + (gx * gx + 3 * gy * gy) % 7
+    cur = np.broadcast_to(cur, (w, w)).astype(np.int64)
+    out = []
+    for lvl in range(1, levels + 1):
+        cur = (cur[0::2, 0::2] + cur[0::2, 1::2]
+               + cur[1::2, 0::2] + cur[1::2, 1::2]) // 4
+        for y in range(cur.shape[0]):
+            for x in range(cur.shape[1]):
+                out.append((lvl, x, y, int(cur[y, x])))
+    return out

@@ -4244,6 +4244,67 @@ ORDER BY cell
 """
 
 
+def q_cost_distance(spark, sf_dir):
+    """Accumulated least-cost distance over a 48×48 tiled cost raster
+    (GIS Cost Distance): 8-neighbor edges weighted
+    (cost_a+cost_b)·70/99 (exact rational √2), then Δ-stepping SSSP
+    with the grid block partitioner — rounds = raster diameter in
+    BLOCKS. Oracle: pyref heap Dijkstra on the same closed-form cost
+    surface (an independent algorithm AND an independent edge builder)."""
+    from osm2geojson_spark.spatial.focal import (
+        cost_distance,
+        synth_dem_tiles,
+    )
+
+    t, nt = 16, 3
+    w = t * nt
+    tiles = synth_dem_tiles(spark, nt, nt, t)
+    return cost_distance(tiles, t, w, w, source=0).orderBy("node_id")
+
+
+def _sql_cost_distance() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_cost_distance(48, 0)
+    return pyref.values_sql(
+        rows, [("node_id", "BIGINT"), ("dist", "BIGINT")]
+    ) + " ORDER BY node_id"
+
+
+def q_raster_pyramid(spark, sf_dir):
+    """Overview pyramid (2 levels of 2×2 floor-mean) over a 64×64
+    tiled DEM: per level, 2×2 child tiles shrink and merge into one
+    parent via a uniform 4-payload shuffle (the halo-exchange guarantee
+    without the halo). NESTED means (level 2 = mean of level 1, not of
+    the base) — the oracle replays the nesting whole-grid in numpy.
+    Output exploded to pixels for the value-exact compare."""
+    from osm2geojson_spark.spatial.focal import (
+        raster_pyramid,
+        synth_dem_tiles,
+    )
+
+    t, nt = 16, 4
+    tiles = synth_dem_tiles(spark, nt, nt, t)
+    pyr = raster_pyramid(tiles, t, levels=2)
+    return (pyr.select(
+        "level", "tx", "ty", F.posexplode("data").alias("i", "v"))
+        .select(
+            "level",
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + F.expr(f"i div {t}")).alias("y"),
+            "v")
+        .orderBy("level", "y", "x"))
+
+
+def _sql_raster_pyramid() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_raster_pyramid(64, 2)
+    return pyref.values_sql(
+        rows, [("level", "BIGINT"), ("x", "BIGINT"), ("y", "BIGINT"),
+               ("v", "BIGINT")]) + " ORDER BY level, y, x"
+
+
 _CHUNK_W, _CHUNK_S = 32, 16
 
 
@@ -4993,6 +5054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "url_dedup": q_url_dedup,
         "chunk_windows": q_chunk_windows,
+        "cost_distance": q_cost_distance,
+        "raster_pyramid": q_raster_pyramid,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5099,6 +5162,8 @@ def oracle_sql() -> dict[str, str]:
         "image_sharpness": _sql_image_sharpness(),
         "url_dedup": _sql_url_dedup(),
         "chunk_windows": _sql_chunk_windows(),
+        "cost_distance": _sql_cost_distance(),
+        "raster_pyramid": _sql_raster_pyramid(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

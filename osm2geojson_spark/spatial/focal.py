@@ -45,6 +45,9 @@ __all__ = [
     "flow_accumulation",
     "watershed_basins",
     "strahler_order",
+    "cost_edges",
+    "cost_distance",
+    "raster_pyramid",
 ]
 
 _CENTER = 4  # part code (sdy+1)*3 + (sdx+1) for the tile's own body
@@ -471,3 +474,134 @@ def strahler_order(dir_tiles: DataFrame, tile_size: int,
             "(cyclic directions? flowdir8 guarantees strict descent)")
     edges.unpersist()
     return state.select("cell", F.col("ord").alias("strahler"))
+
+
+# ------------------------------------------------------- cost distance
+# 8-neighbor offsets with the exact rational sqrt2 pair: straight moves
+# scale (cost_a + cost_b) by 70, diagonal by 99 (99/70 = sqrt2 to 7e-5)
+# - pure int64, same discipline as the D8 scoring weights.
+_COST_OFFS = [(1, 0, 70), (-1, 0, 70), (0, 1, 70), (0, -1, 70),
+              (1, 1, 99), (-1, 1, 99), (1, -1, 99), (-1, -1, 99)]
+
+
+def cost_edges(cost_tiles: DataFrame, tile_size: int,
+               width: int, height: int) -> DataFrame:
+    """Cost-surface → weighted 8-neighbor edge table ``(src, dst, w)``
+    with ``w = (cost_src + cost_dst) · 70`` straight / ``· 99``
+    diagonal (the ESRI cost-distance accumulation ``(c_a+c_b)/2 · d``
+    kept integer by folding the /2 and the √2 into one rational
+    scale). One explode (8 rows/cell) + ONE equi-join on the neighbor
+    cell id to fetch its cost — no theta join, no halo needed because
+    edges, unlike kernels, are per-pair."""
+    t = int(tile_size)
+    cells = (
+        cost_tiles.select("tx", "ty",
+                          F.posexplode("data").alias("i", "cost"))
+        .select(
+            ((F.col("ty") * t + F.expr(f"i div {t}")) * width
+             + (F.col("tx") * t + F.col("i") % t)).alias("cell"),
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + F.expr(f"i div {t}")).alias("y"),
+            F.col("cost").cast("long").alias("cost")))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(m).alias("m"))
+        for dx, dy, m in _COST_OFFS])
+    cand = (cells
+            .select("cell", "x", "y", "cost",
+                    F.explode(offs).alias("o"))
+            .select("cell", "cost",
+                    (F.col("x") + F.col("o.dx")).alias("nx"),
+                    (F.col("y") + F.col("o.dy")).alias("ny"),
+                    F.col("o.m").alias("m"))
+            .where((F.col("nx") >= 0) & (F.col("nx") < width)
+                   & (F.col("ny") >= 0) & (F.col("ny") < height))
+            .select("cell", "cost",
+                    (F.col("ny") * width + F.col("nx")).alias("ncell"),
+                    "m"))
+    ncost = cells.select(F.col("cell").alias("ncell"),
+                         F.col("cost").alias("ncost"))
+    return (cand.join(ncost, "ncell")
+            .select(F.col("cell").alias("src"),
+                    F.col("ncell").alias("dst"),
+                    ((F.col("cost") + F.col("ncost")) * F.col("m"))
+                    .alias("w")))
+
+
+def cost_distance(cost_tiles: DataFrame, tile_size: int,
+                  width: int, height: int, source: int,
+                  block: int | None = None) -> DataFrame:
+    """Accumulated least-cost distance from ``source`` over a tiled
+    cost raster — the GIS Cost Distance operator, run as Δ-stepping
+    SSSP (spatial/route.py) over :func:`cost_edges` with the grid
+    block partitioner, so rounds = O(raster diameter in BLOCKS), not
+    pixels. Returns ``(node_id, dist)`` (cell ids; unreachable cells
+    absent — impossible on a full grid)."""
+    from osm2geojson_spark.spatial.route import (
+        grid_block_part,
+        shortest_paths_delta,
+    )
+
+    if width != height:
+        raise ValueError(
+            "cost_distance's block partitioner assumes a square raster; "
+            "pad the cost surface or pass a custom partitioner via "
+            "shortest_paths_delta directly")
+    edges = cost_edges(cost_tiles, tile_size, width, height)
+    blk = int(block) if block is not None else int(tile_size)
+    return shortest_paths_delta(
+        edges, source, part=grid_block_part(width, blk))
+
+
+# ------------------------------------------------------ raster pyramid
+def raster_pyramid(tiles: DataFrame, tile_size: int,
+                   levels: int) -> DataFrame:
+    """Overview pyramid for a tiled int raster: each level downsamples
+    2× by 2×2 FLOOR-MEAN (``(a+b+c+d) div 4`` — the nesting matters:
+    level L is the floor-mean of level L−1, not of the base). Tiles
+    stay ``tile_size²`` across levels; 2×2 child tiles merge into one
+    parent (one uniform shuffle per level, key = (tx div 2, ty div 2),
+    every parent receives exactly 4 payloads — zero skew by
+    construction, the halo-exchange guarantee without the halo).
+    Requires even tile counts at every level (raise, don't mislabel —
+    ragged pyramids need explicit edge policy from the caller).
+
+    Returns ``(level, tx, ty, data)`` for levels 1..levels."""
+    import pandas as pd
+
+    t = int(tile_size)
+    if t % 2 != 0:
+        raise ValueError("tile_size must be even")
+
+    def shrink_assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) != 4:
+            raise ValueError(
+                f"parent tile {tuple(int(k) for k in key)} has "
+                f"{len(pdf)} children (expected 4): ragged tile grid — "
+                "raster_pyramid requires even tile counts per level")
+        h = t // 2
+        out = np.empty((t, t), np.int64)
+        for r in pdf.itertuples(index=False):
+            a = np.asarray(r.data, np.int64).reshape(t, t)
+            small = (a[0::2, 0::2] + a[0::2, 1::2]
+                     + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+            qy, qx = int(r.ty) % 2, int(r.tx) % 2
+            out[qy * h:(qy + 1) * h, qx * h:(qx + 1) * h] = small
+        return pd.DataFrame(
+            [(int(key[0]), int(key[1]), out.ravel().tolist())],
+            columns=["tx", "ty", "data"])
+
+    cur = tiles.select("tx", "ty", "data")
+    out = None
+    for lvl in range(1, int(levels) + 1):
+        cur = (cur
+               .withColumn("ptx", F.expr("tx div 2"))
+               .withColumn("pty", F.expr("ty div 2"))
+               .groupBy("ptx", "pty")
+               .applyInPandas(shrink_assemble,
+                              schema="tx long, ty long, data array<long>")
+               .localCheckpoint(eager=True))
+        lv = cur.select(F.lit(lvl).cast("long").alias("level"),
+                        "tx", "ty", "data")
+        out = lv if out is None else out.unionAll(lv)
+    return out

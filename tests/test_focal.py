@@ -244,3 +244,52 @@ def test_strahler_chain_is_order_one(spark):
     got = {r["cell"]: r["strahler"] for r in
            strahler_order(dirs, T, 2 * T, T).collect()}
     assert set(got.values()) == {1}
+
+
+def test_cost_distance_matches_dijkstra(spark):
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.focal import cost_distance, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 2, 2, 8)
+    got = sorted((r["node_id"], r["dist"]) for r in
+                 cost_distance(tiles, 8, 16, 16, source=5).collect())
+    assert got == pyref.ref_cost_distance(16, 5)
+
+
+def test_cost_edges_symmetric_weights(spark):
+    from osm2geojson_spark.spatial.focal import cost_edges, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 1, 1, 8)
+    e = {(r["src"], r["dst"]): r["w"]
+         for r in cost_edges(tiles, 8, 8, 8).collect()}
+    # corner cell 0 has exactly 3 neighbors; every edge has a reverse
+    # with the same weight (the cost sum is symmetric)
+    assert sum(1 for (s, _d) in e if s == 0) == 3
+    assert all(e[(d, s)] == w for (s, d), w in e.items())
+    # interior count: 8 per cell
+    assert sum(1 for (s, _d) in e if s == 9) == 8
+
+
+def test_raster_pyramid_matches_reference(spark):
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.spatial.focal import raster_pyramid, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 4, 4, 8)
+    pyr = raster_pyramid(tiles, 8, levels=2)
+    got = []
+    for r in pyr.collect():
+        t = 8
+        a = np.array(r["data"], np.int64).reshape(t, t)
+        for y in range(t):
+            for x in range(t):
+                got.append((r["level"], r["tx"] * t + x, r["ty"] * t + y,
+                            int(a[y, x])))
+    assert sorted(got) == sorted(pyref.ref_raster_pyramid(32, 2))
+
+
+def test_raster_pyramid_ragged_raises(spark):
+    from osm2geojson_spark.spatial.focal import raster_pyramid, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 3, 3, 8)
+    with pytest.raises(Exception, match="ragged"):
+        raster_pyramid(tiles, 8, levels=1).collect()
