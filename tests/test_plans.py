@@ -267,3 +267,46 @@ def test_ways_input_single_exchange_for_ordered_collect(spark):
     _nodes, ways = _ways_input(spark, SF)
     plan = plan_of(ways)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunk_windows_has_no_exchange(spark):
+    # the packing step is a pure map-side generator: tokens -> sequence
+    # -> posexplode -> slice, no shuffle anywhere
+    from osm2geojson_spark.operators.corpus import chunk_windows
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(chunk_windows(d, window=32, stride=16))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the posexplode generator
+
+
+def test_url_dedup_single_exchange_zero_udf(spark):
+    # canonicalize is a codegen expression chain; the only shuffle is
+    # the final groupBy on the canonical key (with map-side partial agg)
+    from osm2geojson_spark.functions.urls import url_dedup
+    from osm2geojson_spark.queries import _url_synth_expr
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.expr(_url_synth_expr("STRING")).alias("url"))
+    df = url_dedup(d)
+    p = plan_of(df)
+    assert p.count("Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_min" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_union_area_strip_join_then_windows(spark):
+    # coverage join must be a sort-merge/hash join on the group key,
+    # not a cartesian; no Python anywhere
+    from osm2geojson_spark.spatial.dissolve import union_area
+
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    boxes = p.select(
+        (F.col("p_partkey") % 12).alias("group_id"),
+        ((F.col("p_partkey") * 37) % 500).alias("x1"),
+        ((F.col("p_partkey") * 29) % 500).alias("y1"),
+        ((F.col("p_partkey") * 37) % 500 + 1 + (F.col("p_partkey") * 13) % 60).alias("x2"),
+        ((F.col("p_partkey") * 29) % 500 + 1 + (F.col("p_partkey") * 17) % 60).alias("y2"))
+    plan = plan_of(union_area(boxes))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
