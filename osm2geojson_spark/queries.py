@@ -4244,6 +4244,66 @@ ORDER BY cell
 """
 
 
+def q_staypoints(spark, sf_dir):
+    """Staypoint (dwell) detection over the event ping stream: maximal
+    same-grid-cell runs per user (lag → change flag → running sum) kept
+    at ≥2 pings — the trajectory op between raw pings and trips. Int
+    micro-degree cells (`div`), truncated epoch seconds; one shuffle
+    (window + groupBy share the user key). DuckDB twin = the same
+    window algebra."""
+    from osm2geojson_spark.spatial.trajectory import staypoints
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"),
+        ((F.col("event_id") * _LON_MUL) % 360_000_000).alias("ix"),
+        ((F.col("event_id") * _LAT_MUL + _LAT_OFF) % 170_000_000)
+        .alias("iy"))
+    return (staypoints(pts, cell_size=120_000_000, min_dwell_sec=1,
+                       min_pings=2)
+            .select("user_id", F.col("sp_id").cast("long").alias("sp_id"),
+                    "cell_x", "cell_y",
+                    F.col("n_pings").cast("long").alias("n_pings"),
+                    "t_start", "t_end", "dwell_sec")
+            .orderBy("user_id", "sp_id"))
+
+
+def _sql_staypoints() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         (((event_id * {_LON_MUL}) % 360000000) // 120000000) AS cell_x,
+         (((event_id * {_LAT_MUL} + {_LAT_OFF}) % 170000000) // 120000000)
+           AS cell_y
+  FROM events),
+flagged AS (
+  SELECT *,
+         (CASE WHEN ((LAG(cell_x) OVER w IS NULL)
+                     OR (LAG(cell_x) OVER w != cell_x)
+                     OR (LAG(cell_y) OVER w != cell_y))
+               THEN 1 ELSE 0 END) AS moved
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC,
+                       event_id ASC)),
+runs AS (
+  SELECT *, SUM(moved) OVER (PARTITION BY user_id
+             ORDER BY sec ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING) AS sp_id
+  FROM flagged),
+agg AS (
+  SELECT user_id, CAST(sp_id AS BIGINT) AS sp_id,
+         MIN(cell_x) AS cell_x, MIN(cell_y) AS cell_y,
+         CAST(COUNT(*) AS BIGINT) AS n_pings,
+         MIN(sec) AS t_start, MAX(sec) AS t_end,
+         (MAX(sec) - MIN(sec)) AS dwell_sec
+  FROM runs GROUP BY user_id, sp_id)
+SELECT * FROM agg
+WHERE ((n_pings >= 2) AND (dwell_sec >= 1))
+ORDER BY user_id, sp_id
+"""
+
+
 def q_cost_distance(spark, sf_dir):
     """Accumulated least-cost distance over a 48×48 tiled cost raster
     (GIS Cost Distance): 8-neighbor edges weighted
@@ -5056,6 +5116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "cost_distance": q_cost_distance,
         "raster_pyramid": q_raster_pyramid,
+        "staypoints": q_staypoints,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5164,6 +5225,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _sql_chunk_windows(),
         "cost_distance": _sql_cost_distance(),
         "raster_pyramid": _sql_raster_pyramid(),
+        "staypoints": _sql_staypoints(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

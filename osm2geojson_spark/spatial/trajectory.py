@@ -158,3 +158,60 @@ def od_matrix(
         F.count("*").alias("n_trips"),
         F.countDistinct(id_col).alias("n_users"),
         F.sum("n_pings").alias("n_pings"))
+
+
+def staypoints(
+    df: DataFrame,
+    cell_size: int,
+    min_dwell_sec: int = 0,
+    min_pings: int = 2,
+    id_col: str = "user_id",
+    sec_col: str = "sec",
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Staypoint (dwell) detection — the trajectory op between raw
+    pings and trips: a staypoint is a MAXIMAL run of consecutive pings
+    (per entity, time-ordered) inside the same ``cell_size`` grid cell,
+    kept when it spans ≥ ``min_pings`` pings and ≥ ``min_dwell_sec``
+    seconds. The grid variant (vs the Li et al. radius walk, whose
+    variable lookahead has no bounded window shape) is what scales: one
+    window pass (lag → cell-change flag → running sum = run id) + one
+    groupBy — both keyed on the entity, so AQE coalesces onto ONE
+    shuffle, the segment_trips discipline exactly.
+
+    Coordinates are INTEGER (micro-degrees or any int lattice):
+    ``cell = coord div cell_size`` stays in int64 end to end, so the
+    DuckDB oracle is value-exact with no float traps. Run ids are
+    deterministic under the (sec, order_col) total order.
+
+    Returns ``(id_col, sp_id, cell_x, cell_y, n_pings, t_start, t_end,
+    dwell_sec)``."""
+    from pyspark.sql import Window
+
+    cs = int(cell_size)
+    if cs < 1:
+        raise ValueError("cell_size must be >= 1")
+    cx = F.expr(f"`{ix_col}` div {cs}")
+    cy = F.expr(f"`{iy_col}` div {cs}")
+    w = Window.partitionBy(id_col).orderBy(sec_col, order_col)
+    pts = df.select(
+        F.col(id_col), F.col(sec_col), F.col(order_col),
+        cx.alias("cell_x"), cy.alias("cell_y"))
+    moved = (
+        F.lag("cell_x").over(w).isNull()
+        | (F.lag("cell_x").over(w) != F.col("cell_x"))
+        | (F.lag("cell_y").over(w) != F.col("cell_y"))).cast("int")
+    runs = pts.withColumn(
+        "sp_id",
+        F.sum(moved).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = (runs.groupBy(id_col, "sp_id")
+           .agg(F.min("cell_x").alias("cell_x"),
+                F.min("cell_y").alias("cell_y"),
+                F.count(F.lit(1)).alias("n_pings"),
+                F.min(sec_col).alias("t_start"),
+                F.max(sec_col).alias("t_end"))
+           .withColumn("dwell_sec", F.col("t_end") - F.col("t_start")))
+    return agg.where((F.col("n_pings") >= int(min_pings))
+                     & (F.col("dwell_sec") >= int(min_dwell_sec)))

@@ -174,3 +174,40 @@ def test_od_matrix_endpoint_is_whole_row(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_staypoints_runs_and_filters(spark):
+    from osm2geojson_spark.spatial.trajectory import staypoints
+
+    # user 1: 3 pings in cell (0,0) spanning 100s, hop to (1,0), return
+    # to (0,0) for a single ping (dropped: min_pings), user 2: 2 pings
+    # same cell 0s apart (dropped: min_dwell)
+    rows = [
+        (1, 10, 100, 5, 5), (1, 60, 101, 8, 9), (1, 110, 102, 3, 2),
+        (1, 200, 103, 15, 5),                       # cell (1, 0)
+        (1, 300, 104, 2, 2),                        # back, run of 1
+        (2, 50, 200, 5, 5), (2, 50, 201, 6, 6),     # dwell 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_id long, ix long, iy long")
+    got = [(r["user_id"], r["cell_x"], r["cell_y"], r["n_pings"],
+            r["t_start"], r["t_end"], r["dwell_sec"])
+           for r in staypoints(df, cell_size=10, min_dwell_sec=1,
+                               min_pings=2).collect()]
+    assert got == [(1, 0, 0, 3, 10, 110, 100)]
+
+
+def test_staypoints_cell_boundary_is_floor_div(spark):
+    from osm2geojson_spark.spatial.trajectory import staypoints
+
+    # ix 9 and 10 straddle the cell boundary -> two runs, no staypoint
+    rows = [(1, 0, 1, 9, 0), (1, 10, 2, 10, 0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_id long, ix long, iy long")
+    assert staypoints(df, cell_size=10, min_pings=2).count() == 0
+    # same cell -> one staypoint
+    rows2 = [(1, 0, 1, 10, 0), (1, 10, 2, 19, 0)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, sec long, event_id long, ix long, iy long")
+    (sp,) = staypoints(df2, cell_size=10, min_pings=2).collect()
+    assert (sp["cell_x"], sp["n_pings"], sp["dwell_sec"]) == (1, 2, 10)
