@@ -358,3 +358,37 @@ def phash_near_dup_pairs(
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming)
+
+
+def multimodal_dup_clusters(
+    imgs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    phash_max_hamming: int = 10,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-modal near-duplicate clustering over an image+caption
+    table — the dedup a multimodal training pipeline actually needs:
+    two rows are duplicates when their IMAGES are near (phash hamming ≤
+    threshold) OR their CAPTIONS are near (minhash-LSH candidates with
+    shingle-Jaccard ≥ threshold); the union of both edge sets feeds the
+    distributed min-label CC (dedup.dup_clusters), so a re-encoded
+    image with a paraphrased caption still lands in its source's
+    cluster through either modality.
+
+    Scale shape: both pair generators are the oracled bucketed LSH ops
+    (band buckets, caps — never all-pairs); the union adds no shuffle
+    (both sides already keyed (id_a, id_b)); CC is the shared iterative
+    loop. Returns ``(id, cluster_id)`` for every row that has at least
+    one near-dup edge (isolated rows are implicitly their own cluster)."""
+    from .dedup import dup_clusters, minhash_lsh_pairs
+
+    img_edges = phash_near_dup_pairs(
+        imgs, max_hamming=phash_max_hamming,
+        max_bucket_size=max_bucket_size).select("id_a", "id_b")
+    cap_edges = (minhash_lsh_pairs(
+        imgs.select(F.col("image_id").alias("doc_id"),
+                    F.col("caption").alias("text")),
+        max_bucket_size=max_bucket_size)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b"))
+    return dup_clusters(img_edges.unionAll(cap_edges).distinct())

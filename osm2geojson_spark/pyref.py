@@ -1247,3 +1247,40 @@ def ref_raster_pyramid(w: int, levels: int) -> "list[tuple]":
             for x in range(cur.shape[1]):
                 out.append((lvl, x, y, int(cur[y, x])))
     return out
+
+
+def ref_multimodal_clusters(n: int = 500, seed: int = 42,
+                            jaccard_threshold: float = 0.6,
+                            phash_max_hamming: int = 10) -> "list[tuple]":
+    """Twin of multimodal_dup_clusters: phash band pairs ∪ thresholded
+    caption minhash pairs → UNION-FIND (always attaching the larger root
+    under the smaller, so roots are component minima — a different
+    algorithm from the engine's min-label propagation). Returns sorted
+    (id, cluster_id)."""
+    from osm2geojson_spark.synth.images import make_image_row
+
+    docs = []
+    for i in range(n):
+        row = make_image_row(i * 2 + seed)
+        docs.append((row[0], row[5]))
+    cap = [(a, b) for a, b, j in ref_minhash_pairs(docs)
+           if j >= jaccard_threshold]
+    img = [(a, b) for a, b, _h in ref_phash_pairs(
+        n=n, seed=seed, max_hamming=phash_max_hamming)]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = cap + img
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted({x for e in edges for x in e})
+    return [(x, find(x)) for x in nodes]

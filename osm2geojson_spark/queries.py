@@ -4244,6 +4244,29 @@ ORDER BY cell
 """
 
 
+def q_multimodal_dedup(spark, sf_dir):
+    """Cross-modal near-dup clustering over the image+caption table —
+    the graft cell's two axes joined in one operator: phash band pairs
+    (image modality) ∪ thresholded caption-minhash pairs (text
+    modality) → distributed min-label CC. Oracle: pyref UNION-FIND over
+    the same two (independently oracled) pair generators — a different
+    CC algorithm meeting at the unique min-id labeling."""
+    from osm2geojson_spark.operators.images import multimodal_dup_clusters
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=500, seed=42)
+    return multimodal_dup_clusters(imgs).orderBy("id")
+
+
+def _sql_multimodal_dedup() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_multimodal_clusters(n=500, seed=42)
+    return pyref.values_sql(
+        rows, [("id", "VARCHAR"), ("cluster_id", "VARCHAR")]
+    ) + " ORDER BY id"
+
+
 def q_staypoints(spark, sf_dir):
     """Staypoint (dwell) detection over the event ping stream: maximal
     same-grid-cell runs per user (lag → change flag → running sum) kept
@@ -5117,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "raster_pyramid": q_raster_pyramid,
         "staypoints": q_staypoints,
+        "multimodal_dedup": q_multimodal_dedup,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5226,6 +5250,7 @@ def oracle_sql() -> dict[str, str]:
         "cost_distance": _sql_cost_distance(),
         "raster_pyramid": _sql_raster_pyramid(),
         "staypoints": _sql_staypoints(),
+        "multimodal_dedup": _sql_multimodal_dedup(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

@@ -291,3 +291,45 @@ def test_sharpness_tiny_image_scores_zero(spark):
         "image_id string, bytes binary, fmt string")
     (row,) = sharpness_scores(df).collect()
     assert row["ok"] and row["n_interior"] == 0 and row["lap_sq_sum"] == 0
+
+
+def test_multimodal_dedup_bridges_modalities(spark):
+    # two rows with near captions, a third near the second by phash
+    # only: all three must land in ONE cluster (the cross-modal bridge)
+    import numpy as np
+    from osm2geojson_spark.operators.images import multimodal_dup_clusters
+    from osm2geojson_spark.synth.images import ENCODERS, phash64
+
+    base = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    near = base.copy()
+    near[0, 0, 0] ^= 1  # 1-bit pixel change: phash-identical or near
+    far = (base[::-1, ::-1] ^ 170)
+    cap_a = "red car parked on a quiet street near the old market"
+    cap_b = "red car parked on a quiet street near the new market"
+    cap_c = "completely different words about mountains and snow leopards"
+    rows = [
+        ("img-a", bytearray(ENCODERS["ppm"](base)), 16, 16, "ppm", cap_a,
+         phash64(base)),
+        ("img-b", bytearray(ENCODERS["ppm"](far)), 16, 16, "ppm", cap_b,
+         phash64(far)),
+        ("img-c", bytearray(ENCODERS["ppm"](near)), 16, 16, "ppm", cap_c,
+         phash64(near)),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {r["id"]: r["cluster_id"]
+           for r in multimodal_dup_clusters(df).collect()}
+    # a~b via captions, a~c via phash -> one cluster rooted at img-a
+    assert got == {"img-a": "img-a", "img-b": "img-a", "img-c": "img-a"}
+
+
+def test_multimodal_dedup_matches_pyref(spark):
+    from osm2geojson_spark import pyref
+    from osm2geojson_spark.operators.images import multimodal_dup_clusters
+    from osm2geojson_spark.synth.images import images_table
+
+    imgs = images_table(spark, n=120, seed=42)
+    got = sorted((r["id"], r["cluster_id"])
+                 for r in multimodal_dup_clusters(imgs).collect())
+    assert got == pyref.ref_multimodal_clusters(n=120, seed=42)
