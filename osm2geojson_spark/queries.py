@@ -4244,6 +4244,48 @@ ORDER BY cell
 """
 
 
+def q_funnel(spark, sf_dir):
+    """view → click → purchase funnel over events: per-user monotone
+    stage chain (earliest stage-i event STRICTLY after stage i−1's
+    second — a purchase before the first view does not count). k
+    filtered aggs + equi-joins all on the user key (one partitioning
+    reused); integer-second minima so the DuckDB twin is value-exact."""
+    from osm2geojson_spark.operators.funnel import funnel_stages
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    return (funnel_stages(ev, ["view", "click", "purchase"])
+            .orderBy("user_id"))
+
+
+def _sql_funnel() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+s1 AS (
+  SELECT user_id, MIN(sec) AS t_1 FROM ev
+  WHERE (event_type = 'view') GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id AS user_id, MIN(e.sec) AS t_2
+  FROM ev e JOIN s1 ON (s1.user_id = e.user_id)
+  WHERE ((e.event_type = 'click') AND (e.sec > s1.t_1))
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id AS user_id, MIN(e.sec) AS t_3
+  FROM ev e JOIN s2 ON (s2.user_id = e.user_id)
+  WHERE ((e.event_type = 'purchase') AND (e.sec > s2.t_2))
+  GROUP BY e.user_id)
+SELECT s1.user_id AS user_id, s1.t_1 AS t_1, s2.t_2 AS t_2, s3.t_3 AS t_3
+FROM s1
+LEFT JOIN s2 ON (s2.user_id = s1.user_id)
+LEFT JOIN s3 ON (s3.user_id = s1.user_id)
+ORDER BY user_id
+"""
+
+
 def q_multimodal_dedup(spark, sf_dir):
     """Cross-modal near-dup clustering over the image+caption table —
     the graft cell's two axes joined in one operator: phash band pairs
@@ -5141,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid": q_raster_pyramid,
         "staypoints": q_staypoints,
         "multimodal_dedup": q_multimodal_dedup,
+        "funnel": q_funnel,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5251,6 +5294,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_pyramid": _sql_raster_pyramid(),
         "staypoints": _sql_staypoints(),
         "multimodal_dedup": _sql_multimodal_dedup(),
+        "funnel": _sql_funnel(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

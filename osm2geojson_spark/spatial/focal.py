@@ -349,7 +349,8 @@ def flow_accumulation(dir_tiles: DataFrame, tile_size: int,
 
 def watershed_basins(dir_tiles: DataFrame, tile_size: int,
                      width: int, height: int,
-                     max_pow: int = 20) -> DataFrame:
+                     max_pow: int = 20,
+                     stats: dict | None = None) -> DataFrame:
     """Basin (watershed) labeling: every cell → the id of the terminal
     pit its D8 flow path drains to — the hydrology op that partitions a
     DEM into catchment basins. The D8 forest has ≤ 1 outgoing edge per
@@ -370,6 +371,7 @@ def watershed_basins(dir_tiles: DataFrame, tile_size: int,
         cells.select("cell", F.coalesce("tgt", F.col("cell")).alias("nxt"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_pow):
         hop = state.select(F.col("cell").alias("h_cell"),
                            F.col("nxt").alias("h_nxt"))
@@ -382,12 +384,15 @@ def watershed_basins(dir_tiles: DataFrame, tile_size: int,
         )
         still_moving = doubled.where("moved").limit(1).count()
         state = doubled.drop("moved")
+        rounds += 1
         if still_moving == 0:
             break
     else:
         raise RuntimeError(
             f"watershed_basins did not converge within {max_pow} doubling "
             "rounds (flow path longer than 2^%d cells?)" % max_pow)
+    if stats is not None:
+        stats["rounds"] = rounds
     return state.select("cell", F.col("nxt").alias("basin"))
 
 
