@@ -47,3 +47,49 @@ def test_url_dedup_groups(spark):
     got = {r["canon_url"]: (r["keeper_id"], r["n_dups"])
            for r in url_dedup(df).collect()}
     assert got == {"http://a.com/x": (1, 3), "http://b.com/y": (4, 1)}
+
+
+def test_idempotent_hypothesis(spark):
+    # property: canonicalize(canonicalize(u)) == canonicalize(u) for
+    # arbitrary path-rooted http(s) URLs assembled from hostile parts
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host_label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09-",
+        min_size=1, max_size=8)
+    seg = st.text(alphabet="azAZ09._-~%", min_size=0, max_size=6)
+    param = st.text(alphabet="azAZ09=_-", min_size=1, max_size=8)
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS"]))
+        labels = draw(st.lists(host_label, min_size=1, max_size=3))
+        host = ".".join(labels)
+        if draw(st.booleans()):
+            host = "WWW." + host
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = "/" + "/".join(draw(st.lists(seg, max_size=3)))
+        if draw(st.booleans()):
+            path += "/"
+        params = draw(st.lists(param, max_size=3))
+        q = ("?" + "&".join(params)) if params else ""
+        frag = draw(st.sampled_from(["", "#x", "#a b"]))
+        return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(urls(), min_size=1, max_size=8, unique=True))
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(batch)], "i long, url string")
+        once = df.select(
+            "i", canonicalize_url(F.col("url")).alias("url")).collect()
+        twice = {
+            r["i"]: r["c"]
+            for r in spark.createDataFrame(once, "i long, url string")
+            .select("i", canonicalize_url(F.col("url")).alias("c"))
+            .collect()}
+        for r in once:
+            assert twice[r["i"]] == r["url"], (r["url"], twice[r["i"]])
+
+    check()

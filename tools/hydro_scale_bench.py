@@ -49,6 +49,13 @@ tiles.count()
 dirs = focal_op(tiles, op="flowdir8", tile_size=t).persist()
 dirs.count()
 
+def _spread_sources(w, k):
+    import math
+    side = int(math.isqrt(k))
+    step = w // (side + 1)
+    return [(iy + 1) * step * w + (ix + 1) * step
+            for iy in range(side) for ix in range(side)]
+
 out = {}
 for op in ops:
     times, stats = [], {}
@@ -56,6 +63,16 @@ for op in ops:
         t0 = time.perf_counter()
         if op == "watershed":
             df = watershed_basins(dirs, t, w, w, stats=stats)
+        elif op == "costmatrix":
+            # the all-cores workload: 16 concurrent wavefronts (the
+            # cost-allocation / nearest-facility shape) — a single
+            # source only activates a few blocks per barrier
+            from osm2geojson_spark.spatial.focal import cost_edges
+            from osm2geojson_spark.spatial.route import (
+                grid_block_part, travel_time_matrix_delta)
+            df = travel_time_matrix_delta(
+                cost_edges(tiles, t, w, w), _spread_sources(w, 16),
+                part=grid_block_part(w, t))
         else:
             df = cost_distance(tiles, t, w, w, source=0)
         df.write.format("noop").mode("overwrite").save()
