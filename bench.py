@@ -225,6 +225,11 @@ BENCH_QUERIES = {
     # round 4: focal raster — Horn hillshade over a 1M-pixel tiled DEM
     # through the halo-exchange shuffle (256 tiles x 64^2 + edge strips)
     "hillshade_dem": _hillshade_dem,
+    # round 4 fourth wave: crawl-URL canonicalize+dedup (pure codegen
+    # string chain, one shuffle) and overlapping chunk windows (pure
+    # map-side generator) over the sf0.1 documents table
+    "url_dedup": Q.q_url_dedup,
+    "chunk_windows": Q.q_chunk_windows,
 }
 
 
