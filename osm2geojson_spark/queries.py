@@ -4244,6 +4244,62 @@ ORDER BY cell
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Distributed search-index build: token positions per (term, doc)
+    — posexplode carries the position for free, postings aggregate
+    sorted position arrays + tf, and document frequency rides the SAME
+    term-partitioned shuffle as a window (no second join). df ≥ 5 keeps
+    the tail out of the compare. The DuckDB twin indexes the token list
+    by a generated subscript (a different position-derivation path) and
+    aggregates ``list(pos ORDER BY pos)``."""
+    from pyspark.sql import Window
+
+    from osm2geojson_spark.functions.text import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "term"))
+    postings = (toks.groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf"),
+                     F.sort_array(F.collect_list("pos"))
+                     .alias("positions")))
+    w = Window.partitionBy("term")
+    return (postings
+            .withColumn("df", F.count(F.lit(1)).over(w))
+            .where(F.col("df") >= 5)
+            .select("term", "doc_id",
+                    F.col("tf").cast("long").alias("tf"),
+                    "positions",
+                    F.col("df").cast("long").alias("df"))
+            .orderBy("term", "doc_id"))
+
+
+def _sql_inverted_index() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (length(toks) - 1))) AS pos
+  FROM t WHERE (length(toks) > 0)),
+tok AS (SELECT doc_id, pos, toks[(pos + 1)] AS term FROM idx),
+postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         list(pos ORDER BY pos) AS positions
+  FROM tok GROUP BY term, doc_id),
+with_df AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM postings)
+SELECT term, doc_id, tf, positions, df
+FROM with_df WHERE (df >= 5)
+ORDER BY term, doc_id
+"""
+
+
 def q_funnel(spark, sf_dir):
     """view → click → purchase funnel over events: per-user monotone
     stage chain (earliest stage-i event STRICTLY after stage i−1's
@@ -5184,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": q_staypoints,
         "multimodal_dedup": q_multimodal_dedup,
         "funnel": q_funnel,
+        "inverted_index": q_inverted_index,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5295,6 +5352,7 @@ def oracle_sql() -> dict[str, str]:
         "staypoints": _sql_staypoints(),
         "multimodal_dedup": _sql_multimodal_dedup(),
         "funnel": _sql_funnel(),
+        "inverted_index": _sql_inverted_index(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
