@@ -4300,6 +4300,75 @@ ORDER BY term, doc_id
 """
 
 
+_PHRASE = ("table", "hash")
+
+
+def q_phrase_search(spark, sf_dir):
+    """Phrase query answered FROM the positional index (not a text
+    rescan): postings for the two terms equi-join on doc_id, then the
+    adjacency test is ``array_intersect(positions_a + 1, positions_b)``
+    — the classic positional-postings merge, here as set algebra the
+    JVM vectorizes. Returns matching docs with occurrence counts and
+    first match position. Oracle: DuckDB runs the same index-side
+    algebra with list_transform/list_intersect over ITS index build."""
+    from osm2geojson_spark.functions.text import tokens_expr
+
+    a, b = _PHRASE
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("pos", "term"))
+    postings = (toks.where(F.col("term").isin(a, b))
+                .groupBy("term", "doc_id")
+                .agg(F.sort_array(F.collect_list("pos"))
+                     .alias("positions")))
+    pa = postings.where(F.col("term") == a).select(
+        "doc_id", F.col("positions").alias("pos_a"))
+    pb = postings.where(F.col("term") == b).select(
+        "doc_id", F.col("positions").alias("pos_b"))
+    hits = (pa.join(pb, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("pos_a", lambda p: p + 1),
+                    F.col("pos_b")).alias("m"))
+            .where(F.size("m") > 0))
+    return (hits.select(
+        "doc_id",
+        F.size("m").cast("long").alias("n_matches"),
+        (F.array_min("m") - 1).cast("long").alias("first_pos"))
+        .orderBy("doc_id"))
+
+
+def _sql_phrase_search() -> str:
+    a, b = _PHRASE
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (length(toks) - 1))) AS pos
+  FROM t WHERE (length(toks) > 0)),
+tok AS (SELECT doc_id, pos, toks[(pos + 1)] AS term FROM idx),
+pa AS (SELECT doc_id, list(pos ORDER BY pos) AS pos_a FROM tok
+       WHERE (term = '{a}') GROUP BY doc_id),
+pb AS (SELECT doc_id, list(pos ORDER BY pos) AS pos_b FROM tok
+       WHERE (term = '{b}') GROUP BY doc_id),
+hits AS (
+  SELECT pa.doc_id AS doc_id,
+         list_intersect(list_transform(pa.pos_a, p -> (p + 1)), pb.pos_b)
+           AS m
+  FROM pa JOIN pb ON (pb.doc_id = pa.doc_id))
+SELECT doc_id, CAST(length(m) AS BIGINT) AS n_matches,
+       CAST((list_min(m) - 1) AS BIGINT) AS first_pos
+FROM hits WHERE (length(m) > 0)
+ORDER BY doc_id
+"""
+
+
 def q_funnel(spark, sf_dir):
     """view → click → purchase funnel over events: per-user monotone
     stage chain (earliest stage-i event STRICTLY after stage i−1's
@@ -5241,6 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "funnel": q_funnel,
         "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5353,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dedup": _sql_multimodal_dedup(),
         "funnel": _sql_funnel(),
         "inverted_index": _sql_inverted_index(),
+        "phrase_search": _sql_phrase_search(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
