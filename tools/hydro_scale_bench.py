@@ -70,9 +70,11 @@ for op in ops:
             from osm2geojson_spark.spatial.focal import cost_edges
             from osm2geojson_spark.spatial.route import (
                 grid_block_part, travel_time_matrix_delta)
+            import os as _os
+            blk = int(_os.environ.get("SCALE_BLOCK", str(t)))
             df = travel_time_matrix_delta(
                 cost_edges(tiles, t, w, w), _spread_sources(w, 16),
-                part=grid_block_part(w, t))
+                part=grid_block_part(w, blk))
         else:
             df = cost_distance(tiles, t, w, w, source=0)
         df.write.format("noop").mode("overwrite").save()
