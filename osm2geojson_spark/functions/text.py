@@ -203,3 +203,62 @@ def html_to_text_expr(html: Column) -> Column:
     for ent, ch in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def collocations(df, min_count: int = 5, limit: int = 100,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Adjacent-bigram collocation mining ranked by a PMI ratio.
+
+    GRAFT extension (corpus analytics; no reference analog). Classic
+    PMI is ``ln(p(ab) / (p(a)·p(b)))`` — per the module determinism
+    rules the log is dropped and the RATIO itself ranks (monotone in
+    per-pair PMI):
+
+        pmi_ratio = (c_pair · U²) / (T · c_a · c_b)
+
+    with U = total unigram tokens, T = total adjacent bigrams, all
+    exact int64 counts and ONE IEEE division — bit-identical across
+    engines. (int64 headroom: c_pair·U² caps the numerator; past ~3e9
+    corpus tokens compute the two U factors as separate divisions.)
+
+    Scale shape: bigrams come from two shifted ``slice``s zipped
+    map-side (no self-join, no posexplode pairing); both count
+    aggregates are map-side combinable on Zipf-collapsing keys; the two
+    vocabulary-sized unigram tables broadcast onto the pair counts.
+    Returns ``(term_a, term_b, c_pair, c_a, c_b, pmi_ratio)`` ordered
+    by ratio descending (ties by pair).
+    """
+    toks = df.select(tokens_expr(F.col(text_col)).alias("_t"))
+    uni = (toks.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    u_total = uni.agg(F.sum("c").alias("u_tot"))
+
+    n = F.size("_t")
+    pairs = (toks.where(n >= 2)
+             .select(F.explode(F.zip_with(
+                 F.slice("_t", F.lit(1), n - 1),
+                 F.slice("_t", F.lit(2), n - 1),
+                 lambda a, b: F.struct(a.alias("term_a"),
+                                       b.alias("term_b")))).alias("p"))
+             .select("p.term_a", "p.term_b"))
+    pc = (pairs.groupBy("term_a", "term_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_pair")))
+    t_total = pc.agg(F.sum("c_pair").alias("t_tot"))
+
+    ratio = ((F.col("c_pair") * F.col("u_tot") * F.col("u_tot"))
+             .cast("double")
+             / (F.col("t_tot") * F.col("c_a") * F.col("c_b"))
+             .cast("double"))
+    return (pc.where(F.col("c_pair") >= int(min_count))
+            .join(F.broadcast(uni.select(F.col("w").alias("term_a"),
+                                         F.col("c").alias("c_a"))),
+                  "term_a")
+            .join(F.broadcast(uni.select(F.col("w").alias("term_b"),
+                                         F.col("c").alias("c_b"))),
+                  "term_b")
+            .crossJoin(F.broadcast(u_total))
+            .crossJoin(F.broadcast(t_total))
+            .select("term_a", "term_b", "c_pair", "c_a", "c_b",
+                    ratio.alias("pmi_ratio"))
+            .orderBy(F.col("pmi_ratio").desc(), "term_a", "term_b")
+            .limit(int(limit)))

@@ -280,9 +280,29 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
 
 
+def _thumb_px(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """EXACT integer box-filter downscale: per-block int64 sums, then
+    round-half-up ``(2·sum + cnt) // (2·cnt)`` — no float mean, so a
+    pure-python reference accumulating a different way lands on the
+    same bytes (the sharpness-oracle discipline)."""
+    h, w, _ = px.shape
+    pxi = px.astype(np.int64)
+    ys = np.arange(out_h + 1) * h // out_h
+    xs = np.arange(out_w + 1) * w // out_w
+    thumb = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            blk = pxi[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            cnt = blk.shape[0] * blk.shape[1]
+            s = blk.sum(axis=(0, 1))
+            thumb[i, j] = ((2 * s + cnt) // (2 * cnt)).astype(np.uint8)
+    return thumb
+
+
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Mean-pool resize to a fixed thumbnail, re-encoded as lossless ppm.
-    (Box-filter downscale — pure numpy, no image library.)"""
+    (Exact-integer box-filter downscale — pure numpy, no image library;
+    bytes are bit-deterministic, see ``_thumb_px``.)"""
     out_schema = "image_id string, thumb binary, w int, h int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -290,20 +310,105 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             rows = []
             for t in pdf.itertuples(index=False):
                 try:
-                    px = _decode(bytes(t.bytes), t.fmt).astype(np.float64)
-                    h, w, _ = px.shape
-                    ys = (np.arange(out_h + 1) * h // out_h)
-                    xs = (np.arange(out_w + 1) * w // out_w)
-                    thumb = np.empty((out_h, out_w, 3), dtype=np.uint8)
-                    for i in range(out_h):
-                        for j in range(out_w):
-                            thumb[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]] \
-                                .mean(axis=(0, 1)).round()
-                    rows.append((t.image_id, ENCODERS["ppm"](thumb),
+                    px = _decode(bytes(t.bytes), t.fmt)
+                    rows.append((t.image_id,
+                                 ENCODERS["ppm"](_thumb_px(px, out_w, out_h)),
                                  out_w, out_h))
                 except (NotImplementedError, ValueError):
                     rows.append((t.image_id, None, out_w, out_h))
             yield pd.DataFrame(rows, columns=["image_id", "thumb", "w", "h"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def thumb_vectors(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Thumbnails as flat ``array<long>`` (row-major y,x,channel) instead
+    of encoded bytes — the form downstream EXACT pixel math (MSE verify,
+    embedding seeds) consumes as pure column algebra, keeping everything
+    after the one decode pass JVM-side. Same exact-integer kernel as
+    ``resize_images``; undecodable rows emit NULL vec + error
+    (quarantine discipline)."""
+    out_schema = "image_id string, fmt string, vec array<long>, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt)
+                    vec = [int(v) for v in
+                           _thumb_px(px, out_w, out_h).reshape(-1)]
+                    rows.append((t.image_id, t.fmt, vec, None))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((t.image_id, t.fmt, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows,
+                               columns=["image_id", "fmt", "vec", "error"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def mse_verify_pairs(pairs: DataFrame, thumbs: DataFrame,
+                     max_sse: int | None = None) -> DataFrame:
+    """EXACT verification stage after the phash candidate generator:
+    integer sum-of-squared-errors between the candidates' thumb vectors
+    — ``zip_with`` + ordered ``aggregate`` fold, all int64, zero Python.
+    The classic two-stage near-dup pipeline (cheap LSH recall → exact
+    precision filter); at 100 TB the thumbs table is the only decoded
+    artifact and both joins are id-keyed. Returns
+    ``(id_a, id_b, hamming, sse)``; ``max_sse`` filters if given."""
+    t = thumbs.where(F.col("vec").isNotNull()).select("image_id", "vec")
+    out = (pairs
+           .join(t.select(F.col("image_id").alias("id_a"),
+                          F.col("vec").alias("vec_a")), "id_a")
+           .join(t.select(F.col("image_id").alias("id_b"),
+                          F.col("vec").alias("vec_b")), "id_b")
+           .select(
+               "id_a", "id_b", "hamming",
+               F.aggregate(
+                   F.zip_with("vec_a", "vec_b",
+                              lambda a, b: (a - b) * (a - b)),
+                   F.lit(0).cast("long"), lambda acc, v: acc + v)
+               .alias("sse")))
+    if max_sse is not None:
+        out = out.where(F.col("sse") <= int(max_sse))
+    return out
+
+
+def color_histograms(df: DataFrame, bins_per_channel: int = 4) -> DataFrame:
+    """Per-image quantized RGB histogram summary: pixels bin into a
+    ``b³``-cell cube (256/b levels per channel), emitting the bins-used
+    count, dominant bin and its pixel count (ties → lowest bin id).
+    Exact integer counts — the oracle twin accumulates with python dicts
+    instead of ``np.bincount``. One Arrow decode pass, no shuffle."""
+    b = int(bins_per_channel)
+    if not 2 <= b <= 16:
+        raise ValueError("bins_per_channel must be in [2, 16]")
+    div = 256 // b
+    out_schema = ("image_id string, fmt string, n_px long, "
+                  "n_bins_used long, top_bin long, top_count long, "
+                  "error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                    idx = ((px[..., 0] // div) * b * b
+                           + (px[..., 1] // div) * b
+                           + (px[..., 2] // div)).reshape(-1)
+                    counts = np.bincount(idx, minlength=b * b * b)
+                    top = int(counts.argmax())  # first max = lowest bin
+                    rows.append((t.image_id, t.fmt, int(idx.size),
+                                 int((counts > 0).sum()), top,
+                                 int(counts[top]), None))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((t.image_id, t.fmt, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "n_px", "n_bins_used", "top_bin",
+                "top_count", "error"])
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
 

@@ -1172,6 +1172,112 @@ def ref_k_core(edges: "list[tuple]", k: int) -> "list[tuple]":
     return sorted((n, len(v)) for n, v in adj.items())
 
 
+def _thumb_ref(px, out_w: int = 8, out_h: int = 8) -> "list[int]":
+    """Pure-python exact box-filter thumbnail (flat y,x,channel list):
+    per-block sums accumulated ROW BY ROW in python ints (the engine
+    reduces whole blocks in numpy — different summation route, same
+    integers), round-half-up ``(2s + c) // (2c)``."""
+    h, w = px.shape[0], px.shape[1]
+    ys = [i * h // out_h for i in range(out_h + 1)]
+    xs = [j * w // out_w for j in range(out_w + 1)]
+    out: "list[int]" = []
+    for i in range(out_h):
+        for j in range(out_w):
+            s = [0, 0, 0]
+            cnt = 0
+            for y in range(ys[i], ys[i + 1]):
+                for x in range(xs[j], xs[j + 1]):
+                    for c in range(3):
+                        s[c] += int(px[y, x, c])
+                    cnt += 1
+            out.extend((2 * s[c] + cnt) // (2 * cnt) for c in range(3))
+    return out
+
+
+def _image_corpus(n: int, seed: int, fmts=None) -> "list[tuple]":
+    """Re-synthesized [(image_id, fmt, decoded_px)] — shared by the
+    image-oracle twins below (same seeds as ``images_table``)."""
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        FMTS_TIFF,
+        make_image_row,
+    )
+
+    fmts = fmts or FMTS_TIFF
+    out = []
+    for i in range(n):
+        image_id, buf, _w, _h, fmt, _cap, _ph, _lon, _lat = make_image_row(
+            i * 2 + seed, fmts)
+        out.append((image_id, fmt, DECODERS[fmt](buf)))
+    return out
+
+
+def ref_resize(n: int = 300, seed: int = 42, fmts=None,
+               out_w: int = 8, out_h: int = 8) -> "list[tuple]":
+    """Twin of the ``image_resize`` catalog query: exact-integer
+    thumbnails via ``_thumb_ref`` → ppm encode → md5 hex. Returns
+    [(image_id, fmt, w, h, thumb_md5)]."""
+    import hashlib
+
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import ENCODERS
+
+    out = []
+    for image_id, fmt, px in _image_corpus(n, seed, fmts):
+        vec = _thumb_ref(px, out_w, out_h)
+        thumb = np.array(vec, dtype=np.uint8).reshape(out_h, out_w, 3)
+        md5 = hashlib.md5(ENCODERS["ppm"](thumb)).hexdigest()
+        out.append((image_id, fmt, out_w, out_h, md5))
+    return out
+
+
+def ref_mse_pairs(n: int = 300, seed: int = 42, fmts=None,
+                  max_hamming: int = 10) -> "list[tuple]":
+    """Twin of ``image_mse_dedup``: phash band-LSH candidates (the
+    simhash twin machinery) verified by exact integer thumbnail SSE.
+    Returns [(id_a, id_b, hamming, sse)] sorted by pair."""
+    from osm2geojson_spark.synth.images import FMTS_TIFF, make_image_row
+
+    fmts = fmts or FMTS_TIFF
+    items, thumbs = [], {}
+    for i in range(n):
+        row = make_image_row(i * 2 + seed, fmts)
+        items.append((row[0], row[6]))
+    for image_id, fmt, px in _image_corpus(n, seed, fmts):
+        thumbs[image_id] = _thumb_ref(px)
+    out = []
+    for a, b, ham in _chunk16_pairs_hamming(items, max_hamming):
+        sse = sum((x - y) * (x - y)
+                  for x, y in zip(thumbs[a], thumbs[b]))
+        out.append((a, b, ham, sse))
+    return sorted(out)
+
+
+def ref_color_hist(n: int = 300, seed: int = 42, fmts=None,
+                   bins_per_channel: int = 4) -> "list[tuple]":
+    """Twin of ``color_histogram``: python-dict bin accumulation (the
+    engine uses ``np.bincount``). Ties on the top bin break to the
+    LOWEST bin id. Returns [(image_id, fmt, n_px, n_bins_used, top_bin,
+    top_count)]."""
+    b = bins_per_channel
+    div = 256 // b
+    out = []
+    for image_id, fmt, px in _image_corpus(n, seed, fmts):
+        counts: "dict[int, int]" = {}
+        h, w = px.shape[0], px.shape[1]
+        for y in range(h):
+            for x in range(w):
+                bin_id = ((int(px[y, x, 0]) // div) * b * b
+                          + (int(px[y, x, 1]) // div) * b
+                          + (int(px[y, x, 2]) // div))
+                counts[bin_id] = counts.get(bin_id, 0) + 1
+        top = min(k for k, v in counts.items()
+                  if v == max(counts.values()))
+        out.append((image_id, fmt, h * w, len(counts), top, counts[top]))
+    return out
+
+
 def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
     """Twin of the sharpness catalog query: re-synthesize the corpus,
     decode with the pure-Python codecs, accumulate the Laplacian

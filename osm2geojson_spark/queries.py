@@ -4369,6 +4369,103 @@ ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ("dup", "merge", "spark")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Ranked retrieval on the postings the inverted-index op builds:
+    ratio-BM25 (k1=6/5, b=3/4 as exact rationals — the idf log replaced
+    by its rational argument, the lm_score determinism move). Every
+    factor is one IEEE division of exact int64 products and the per-doc
+    term sum is an ordered fold, so scores are bit-identical in DuckDB.
+    Only the token scan is corpus-sized; postings for the 3-term query
+    are tiny and df/corpus stats broadcast."""
+    from osm2geojson_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(_BM25_TERMS), limit=50)
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM t
+      WHERE (len(ts) >= 1)),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS l_total FROM d),
+tok AS (SELECT doc_id, unnest(ts) AS w FROM d),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE (w IN ({terms})) GROUP BY doc_id, w),
+dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT tf.doc_id AS doc_id, tf.w AS w,
+         ((CAST((2 * st.n_docs - 2 * dfq.df + 1) AS DOUBLE)
+           / CAST((2 * dfq.df + 1) AS DOUBLE))
+          * (CAST((44 * tf.tf * st.l_total) AS DOUBLE)
+             / CAST((20 * st.l_total * tf.tf + 6 * st.l_total
+                     + 18 * d.dl * st.n_docs) AS DOUBLE))) AS s
+  FROM tf
+  JOIN dfq ON (dfq.w = tf.w)
+  JOIN d ON (d.doc_id = tf.doc_id)
+  CROSS JOIN st),
+agg AS (SELECT doc_id, list(s ORDER BY w ASC) AS ss FROM sc
+        GROUP BY doc_id)
+SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_hit_terms,
+       (CAST('0.0' AS DOUBLE) + list_reduce(ss, (a, b) -> (a + b)))
+         AS score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Adjacent-bigram collocation mining ranked by the exact PMI ratio
+    c_pair·U² / (T·c_a·c_b) — one IEEE division of int64 products (the
+    log dropped per the module rules). Bigrams come from two shifted
+    slices zipped map-side (no self-join); both count aggregates
+    map-side combine; vocabulary-sized unigram tables broadcast."""
+    from osm2geojson_spark.functions.text import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, limit=100)
+
+
+def _sql_collocations() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS u_tot FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+  FROM t WHERE (len(ts) >= 2)),
+pc AS (SELECT (p).a AS term_a, (p).b AS term_b,
+              CAST(COUNT(*) AS BIGINT) AS c_pair
+       FROM bg GROUP BY (p).a, (p).b),
+tt AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS t_tot FROM pc)
+SELECT pc.term_a AS term_a, pc.term_b AS term_b, pc.c_pair AS c_pair,
+       ua.c AS c_a, ub.c AS c_b,
+       (CAST((pc.c_pair * ut.u_tot * ut.u_tot) AS DOUBLE)
+        / CAST((tt.t_tot * ua.c * ub.c) AS DOUBLE)) AS pmi_ratio
+FROM pc
+JOIN uni ua ON (ua.w = pc.term_a)
+JOIN uni ub ON (ub.w = pc.term_b)
+CROSS JOIN ut CROSS JOIN tt
+WHERE (pc.c_pair >= 5)
+ORDER BY pmi_ratio DESC, term_a, term_b
+LIMIT 100
+"""
+
+
 def q_funnel(spark, sf_dir):
     """view → click → purchase funnel over events: per-user monotone
     stage chain (earliest stage-i event STRICTLY after stage i−1's
@@ -4710,6 +4807,93 @@ def _sql_image_sharpness() -> str:
         rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
                ("n_interior", "BIGINT"), ("lap_sum", "BIGINT"),
                ("lap_sq_sum", "BIGINT")]) + " ORDER BY image_id"
+
+
+def q_image_resize(spark, sf_dir):
+    """Thumbnail generation over the 9-format corpus — EXACT integer
+    box-filter downscale (per-block int64 sums, round-half-up; no float
+    mean) re-encoded as lossless ppm, compared by md5. Oracle: pyref
+    literal table whose thumbnails accumulate row-by-row in python ints
+    (different summation route, same bytes)."""
+    from osm2geojson_spark.operators.images import resize_images
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return (resize_images(imgs)
+            .join(imgs.select("image_id", "fmt"), "image_id")
+            .select("image_id", "fmt", "w", "h",
+                    F.md5("thumb").alias("thumb_md5"))
+            .orderBy("image_id"))
+
+
+def _sql_image_resize() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_resize(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("w", "INTEGER"), ("h", "INTEGER"),
+               ("thumb_md5", "VARCHAR")]) + " ORDER BY image_id"
+
+
+def q_image_mse_dedup(spark, sf_dir):
+    """Two-stage image near-dup: phash band-LSH candidates (cheap, no
+    decode) verified by EXACT integer thumbnail SSE — the classic
+    recall-then-precision pipeline. The verify stage is pure column
+    algebra (zip_with + ordered fold over the int64 thumb vectors), so
+    after the one decode pass everything stays JVM-side. Oracle: pyref
+    literal table (band-LSH + python-int SSE, independent route)."""
+    from osm2geojson_spark.operators.images import (
+        mse_verify_pairs,
+        phash_near_dup_pairs,
+        thumb_vectors,
+    )
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    pairs = phash_near_dup_pairs(imgs, max_hamming=10)
+    thumbs = thumb_vectors(imgs)
+    return (mse_verify_pairs(pairs, thumbs)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming"),
+                    "sse")
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_image_mse_dedup() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_mse_pairs(n=300, seed=42, max_hamming=10)
+    return pyref.values_sql(
+        rows, [("id_a", "VARCHAR"), ("id_b", "VARCHAR"),
+               ("hamming", "BIGINT"), ("sse", "BIGINT")]) \
+        + " ORDER BY id_a, id_b"
+
+
+def q_color_histogram(spark, sf_dir):
+    """Quantized 4³-bin RGB histogram summary per image (bins used,
+    dominant bin + pixel count; ties → lowest bin) — the color-diversity
+    curation signal. Exact integer counts; oracle accumulates with
+    python dicts vs the engine's np.bincount."""
+    from osm2geojson_spark.operators.images import color_histograms
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return (color_histograms(imgs)
+            .select("image_id", "fmt", "n_px", "n_bins_used",
+                    "top_bin", "top_count")
+            .orderBy("image_id"))
+
+
+def _sql_color_histogram() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_color_hist(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("n_px", "BIGINT"), ("n_bins_used", "BIGINT"),
+               ("top_bin", "BIGINT"), ("top_count", "BIGINT")]) \
+        + " ORDER BY image_id"
 
 
 def q_union_area(spark, sf_dir):
@@ -5311,6 +5495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "bm25_topk": q_bm25_topk,
+        "collocations": q_collocations,
+        "image_resize": q_image_resize,
+        "image_mse_dedup": q_image_mse_dedup,
+        "color_histogram": q_color_histogram,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5424,6 +5613,11 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _sql_funnel(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
+        "bm25_topk": _sql_bm25_topk(),
+        "collocations": _sql_collocations(),
+        "image_resize": _sql_image_resize(),
+        "image_mse_dedup": _sql_image_mse_dedup(),
+        "color_histogram": _sql_color_histogram(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
