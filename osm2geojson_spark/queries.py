@@ -4896,6 +4896,211 @@ def _sql_color_histogram() -> str:
         + " ORDER BY image_id"
 
 
+_STR_CAP = 32
+
+
+def q_str_pack(spark, sf_dir):
+    """STR R-tree bulk packing over int-lattice points (the spatial
+    index/layout build): distributed x-rank via monotone value buckets
+    + broadcast prefix offsets (NO single-task global window), per-slice
+    y-rank as a partitioned window, leaf MBR directory as one map-side
+    agg. All integer math — the DuckDB twin replays the identical
+    slice/leaf formulas from its own ROW_NUMBERs, deriving ⌈√P⌉ exactly
+    (min s with s² ≥ P — no float sqrt)."""
+    from osm2geojson_spark.spatial.strpack import str_leaves, str_pack
+
+    p = _t(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * F.lit(_LON_MUL)) % F.lit(360_000_000))
+        .alias("x"),
+        ((F.col("p_partkey") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF))
+         % F.lit(170_000_000)).alias("y"))
+    n = pts.count()
+    assigned = str_pack(pts, n, leaf_capacity=_STR_CAP,
+                        x_bucket=F.expr("x div 36000000"))
+    return str_leaves(assigned).orderBy("leaf_id")
+
+
+def _sql_str_pack() -> str:
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         ((p_partkey * {_LON_MUL}) % 360000000) AS x,
+         ((p_partkey * {_LAT_MUL} + {_LAT_OFF}) % 170000000) AS y
+  FROM part),
+k AS (
+  SELECT GREATEST(1, ((COUNT(*) + {_STR_CAP - 1}) // {_STR_CAP}))
+           AS pages
+  FROM pts),
+s AS (
+  SELECT k.pages AS pages,
+         (SELECT MIN(g.s) FROM generate_series(1, 1000000) g(s)
+          WHERE ((g.s * g.s) >= k.pages)) AS slices
+  FROM k),
+c AS (
+  SELECT pages, slices,
+         ((pages + slices - 1) // slices) AS per_slice,
+         ({_STR_CAP} * ((pages + slices - 1) // slices)) AS slice_sz
+  FROM s),
+rx AS (
+  SELECT pts.*, ROW_NUMBER() OVER (ORDER BY x, id) AS rxn FROM pts),
+sl AS (
+  SELECT rx.id, rx.x, rx.y,
+         ((rx.rxn - 1) // c.slice_sz) AS slc, c.per_slice AS per_slice
+  FROM rx CROSS JOIN c),
+ry AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY slc ORDER BY y, id) AS ryn
+  FROM sl)
+SELECT CAST((slc * per_slice + ((ryn - 1) // {_STR_CAP})) AS BIGINT)
+         AS leaf_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM ry
+GROUP BY (slc * per_slice + ((ryn - 1) // {_STR_CAP}))
+ORDER BY leaf_id
+"""
+
+
+_HAUS_OBJS, _HAUS_PTS = 60, 24
+
+
+def _haus_points(spark):
+    o = F.expr("id div 24")
+    s = F.col("id") % 24
+    return spark.range(_HAUS_OBJS * _HAUS_PTS).select(
+        o.alias("obj_id"), s.alias("seq"),
+        (((o * 31 + s * 17 + 3) * F.lit(_LON_MUL)) % F.lit(1_000_000))
+        .alias("x"),
+        (((o * 29 + s * 13 + 11) * F.lit(_LAT_MUL)) % F.lit(1_000_000))
+        .alias("y"))
+
+
+def q_hausdorff(spark, sf_dir):
+    """Symmetric squared Hausdorff distance between candidate geometry
+    pairs — exact int64 (no sqrt), the O(|A|·|B|) min/max double loop as
+    nested JVM higher-order functions over per-object point arrays
+    (collapse once, then zero per-pair shuffle). Candidates here are
+    same-group pairs (the cell-prefilter stand-in). Oracle: DuckDB takes
+    the OTHER route — unnest → per-direction cross join → GROUP BY
+    min → GROUP BY max."""
+    from osm2geojson_spark.spatial.hausdorff import (
+        collect_geoms,
+        hausdorff_pairs,
+    )
+
+    pts = _haus_points(spark)
+    geoms = collect_geoms(pts)
+    objs = geoms.select("obj_id")
+    pairs = (objs.select(F.col("obj_id").alias("id_a"))
+             .join(objs.select(F.col("obj_id").alias("id_b")),
+                   F.expr("id_a < id_b AND (id_a % 6) = (id_b % 6)"))
+             )
+    return (hausdorff_pairs(geoms, pairs)
+            .select("id_a", "id_b", "h_ab", "h_ba", "h_sq")
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_hausdorff() -> str:
+    return f"""
+WITH g AS (
+  SELECT CAST(v AS BIGINT) AS pid
+  FROM generate_series(0, {_HAUS_OBJS * _HAUS_PTS - 1}) t(v)),
+p AS (
+  SELECT (pid // 24) AS obj_id, (pid % 24) AS seq,
+         ((((pid // 24) * 31 + (pid % 24) * 17 + 3) * {_LON_MUL})
+          % 1000000) AS x,
+         ((((pid // 24) * 29 + (pid % 24) * 13 + 11) * {_LAT_MUL})
+          % 1000000) AS y
+  FROM g),
+objs AS (SELECT DISTINCT obj_id FROM p),
+pairs AS (
+  SELECT a.obj_id AS id_a, b.obj_id AS id_b
+  FROM objs a JOIN objs b
+    ON ((a.obj_id < b.obj_id) AND ((a.obj_id % 6) = (b.obj_id % 6)))),
+dirs AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+mind AS (
+  SELECT d.id_a AS id_a, d.id_b AS id_b, pa.seq AS sa,
+         MIN((pa.x - pb.x) * (pa.x - pb.x)
+             + (pa.y - pb.y) * (pa.y - pb.y)) AS md
+  FROM dirs d
+  JOIN p pa ON (pa.obj_id = d.id_a)
+  JOIN p pb ON (pb.obj_id = d.id_b)
+  GROUP BY d.id_a, d.id_b, pa.seq),
+h AS (SELECT id_a, id_b, MAX(md) AS hv FROM mind GROUP BY id_a, id_b)
+SELECT pr.id_a AS id_a, pr.id_b AS id_b,
+       h1.hv AS h_ab, h2.hv AS h_ba,
+       GREATEST(h1.hv, h2.hv) AS h_sq
+FROM pairs pr
+JOIN h h1 ON ((h1.id_a = pr.id_a) AND (h1.id_b = pr.id_b))
+JOIN h h2 ON ((h2.id_a = pr.id_b) AND (h2.id_b = pr.id_a))
+ORDER BY id_a, id_b
+"""
+
+
+_DENS_K = 4
+
+
+def q_line_densify(spark, sf_dir):
+    """Parameter-space line densification (the RDP inverse): every
+    segment emits k interpolated points ``v_j + (Δ·i) div k`` with exact
+    FLOOR division on signed deltas (Spark ``div`` truncates toward
+    zero, DuckDB ``//`` floors — the engine computes (d − pmod) div k
+    to agree for every sign). Pure map-side array algebra: two shifted
+    slices zipped, nested transform, one flatten — zero shuffle after
+    geometry collection. Oracle: DuckDB derives segments by a seq+1
+    self-join instead."""
+    from osm2geojson_spark.spatial.hausdorff import collect_geoms
+    from osm2geojson_spark.spatial.simplify import densify_paths
+
+    geoms = collect_geoms(_haus_points(spark))
+    return (densify_paths(geoms, _DENS_K)
+            .orderBy("obj_id", "seq"))
+
+
+def _sql_line_densify() -> str:
+    k = _DENS_K
+    return f"""
+WITH g AS (
+  SELECT CAST(v AS BIGINT) AS pid
+  FROM generate_series(0, {_HAUS_OBJS * _HAUS_PTS - 1}) t(v)),
+p AS (
+  SELECT (pid // 24) AS obj_id, (pid % 24) AS seq,
+         ((((pid // 24) * 31 + (pid % 24) * 17 + 3) * {_LON_MUL})
+          % 1000000) AS x,
+         ((((pid // 24) * 29 + (pid % 24) * 13 + 11) * {_LAT_MUL})
+          % 1000000) AS y
+  FROM g),
+seg AS (
+  SELECT a.obj_id AS obj_id, a.seq AS j,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
+  FROM p a JOIN p b
+    ON ((b.obj_id = a.obj_id) AND (b.seq = (a.seq + 1)))),
+iv AS (SELECT CAST(v AS BIGINT) AS i FROM generate_series(0, {k - 1}) t(v)),
+dd AS (
+  SELECT obj_id, ((j * {k}) + iv.i) AS seq, ax, ay,
+         ((bx - ax) * iv.i) AS dx, ((b_y - ay) * iv.i) AS dy
+  FROM seg CROSS JOIN iv),
+mid AS (
+  -- DuckDB // truncates toward zero (checked), so FLOOR division is
+  -- spelled with the same pmod trick the engine uses
+  SELECT obj_id, seq,
+         (ax + ((dx - (((dx % {k}) + {k}) % {k})) // {k})) AS x,
+         (ay + ((dy - (((dy % {k}) + {k}) % {k})) // {k})) AS y
+  FROM dd),
+fin AS (
+  SELECT obj_id, CAST(({_HAUS_PTS - 1} * {k}) AS BIGINT) AS seq, x, y
+  FROM p WHERE (seq = {_HAUS_PTS - 1}))
+SELECT obj_id, seq, x, y
+FROM (SELECT * FROM mid UNION ALL SELECT * FROM fin)
+ORDER BY obj_id, seq
+"""
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -5500,6 +5705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_mse_dedup": q_image_mse_dedup,
         "color_histogram": q_color_histogram,
+        "str_pack": q_str_pack,
+        "hausdorff": q_hausdorff,
+        "line_densify": q_line_densify,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5618,6 +5826,9 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": _sql_image_resize(),
         "image_mse_dedup": _sql_image_mse_dedup(),
         "color_histogram": _sql_color_histogram(),
+        "str_pack": _sql_str_pack(),
+        "hausdorff": _sql_hausdorff(),
+        "line_densify": _sql_line_densify(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

@@ -88,3 +88,55 @@ def simplify_ways(assembled: DataFrame, tolerance: float,
     return assembled.withColumn("simple_nodes", simp(F.col(nodes_col))) \
         .withColumn("n_pts", F.size(nodes_col)) \
         .withColumn("n_simple", F.size("simple_nodes"))
+
+
+def densify_paths(geoms: DataFrame, k: int,
+                  id_col: str = "obj_id",
+                  pts_col: str = "pts") -> DataFrame:
+    """RDP's inverse — parameter-space densification: each segment
+    (v_j → v_{j+1}) emits ``k`` points ``v_j + ((v_{j+1}−v_j)·i) div k``
+    for i = 0..k−1, plus the final vertex (seq = j·k + i). The step a
+    renderer/map-matcher runs before distance-based ops so long segments
+    can't tunnel through cells.
+
+    EXACT integer semantics with FLOOR division on signed deltas —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so the engine computes ``(d − pmod(d, k)) div k`` (pmod ≥ 0), which
+    equals floor division for every sign. All map-side JVM array algebra
+    (two shifted slices zipped, nested transform, one flatten) — zero
+    shuffle, zero Python; posexplode fans back to point rows.
+
+    ``geoms``: (id, pts array<struct<x,y>>) from e.g.
+    ``hausdorff.collect_geoms``. Single-point objects emit their one
+    vertex. Returns (id, seq, x, y).
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+
+    def seg_points(a, b):
+        # (d − pmod(d,k)) is divisible by k, so the double division is
+        # exact (|d| « 2^53) and the long cast loses nothing
+        def at(i):
+            dx = (b["x"] - a["x"]) * i
+            dy = (b["y"] - a["y"]) * i
+            return F.struct(
+                (a["x"] + (dx - ((dx % kk) + kk) % kk) / kk)
+                .cast("long").alias("x"),
+                (a["y"] + (dy - ((dy % kk) + kk) % kk) / kk)
+                .cast("long").alias("y"))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(kk - 1)), at)
+
+    pts = F.col(pts_col)
+    n = F.size(pts)
+    segs = F.zip_with(
+        F.slice(pts, F.lit(1), n - 1),
+        F.slice(pts, F.lit(2), n - 1),
+        seg_points)
+    last = F.array(F.element_at(pts, -1))
+    dense = F.when(n >= 2, F.concat(F.flatten(segs), last)).otherwise(pts)
+    return (geoms.select(F.col(id_col), F.posexplode(dense)
+                         .alias("seq", "p"))
+            .select(F.col(id_col), F.col("seq").cast("long").alias("seq"),
+                    F.col("p.x").alias("x"), F.col("p.y").alias("y")))
