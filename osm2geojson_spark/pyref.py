@@ -1278,6 +1278,75 @@ def ref_color_hist(n: int = 300, seed: int = 42, fmts=None,
     return out
 
 
+def ref_traj_sim(n_objs: int = 60, m: int = 24,
+                 group_mod: int = 6) -> "list[tuple]":
+    """Twin of the ``trajectory_dtw`` catalog query: same int-lattice
+    synth as queries._haus_points, but the DPs run as MEMOIZED
+    RECURSION from the (end,end) corner (the engine rolls rows forward
+    — different evaluation order, same integers). Returns sorted
+    [(id_a, id_b, dtw_sq_sum, frechet_sq)]."""
+    import sys
+
+    lon_mul, lat_mul = 2654435761, 2246822519
+
+    def pts(obj):
+        return [(((obj * 31 + i * 17 + 3) * lon_mul) % 1_000_000,
+                 ((obj * 29 + i * 13 + 11) * lat_mul) % 1_000_000)
+                for i in range(m)]
+
+    def solve(pa, pb):
+        c = [[(ax - bx) ** 2 + (ay - by) ** 2 for bx, by in pb]
+             for ax, ay in pa]
+        memo_d: "dict[tuple, int]" = {}
+        memo_f: "dict[tuple, int]" = {}
+
+        def dtw(i, j):
+            if (i, j) in memo_d:
+                return memo_d[(i, j)]
+            if i == 0 and j == 0:
+                v = c[0][0]
+            elif i == 0:
+                v = dtw(0, j - 1) + c[0][j]
+            elif j == 0:
+                v = dtw(i - 1, 0) + c[i][0]
+            else:
+                v = c[i][j] + min(dtw(i - 1, j), dtw(i, j - 1),
+                                  dtw(i - 1, j - 1))
+            memo_d[(i, j)] = v
+            return v
+
+        def fre(i, j):
+            if (i, j) in memo_f:
+                return memo_f[(i, j)]
+            if i == 0 and j == 0:
+                v = c[0][0]
+            elif i == 0:
+                v = max(fre(0, j - 1), c[0][j])
+            elif j == 0:
+                v = max(fre(i - 1, 0), c[i][0])
+            else:
+                v = max(c[i][j], min(fre(i - 1, j), fre(i, j - 1),
+                                     fre(i - 1, j - 1)))
+            memo_f[(i, j)] = v
+            return v
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 4 * (len(pa) + len(pb)) + 100))
+        try:
+            return dtw(len(pa) - 1, len(pb) - 1), \
+                fre(len(pa) - 1, len(pb) - 1)
+        finally:
+            sys.setrecursionlimit(old)
+
+    out = []
+    for a in range(n_objs):
+        for b in range(a + 1, n_objs):
+            if a % group_mod == b % group_mod:
+                d, f = solve(pts(a), pts(b))
+                out.append((a, b, d, f))
+    return sorted(out)
+
+
 def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
     """Twin of the sharpness catalog query: re-synthesize the corpus,
     decode with the pure-Python codecs, accumulate the Laplacian

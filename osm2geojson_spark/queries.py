@@ -5101,6 +5101,38 @@ ORDER BY obj_id, seq
 """
 
 
+def q_trajectory_dtw(spark, sf_dir):
+    """Alignment-aware trajectory similarity: exact-integer DTW (min
+    SUM of aligned squared distances) + discrete Fréchet (minimax) over
+    the same candidate pairs as ``hausdorff`` — the DP row recurrence
+    serializes, so it runs as an Arrow-batched mapInPandas kernel over
+    joined point arrays (per-pair bounded, zero per-pair shuffle,
+    python ints — no silent int64 wrap). Oracle: pyref literal table
+    computed by MEMOIZED RECURSION from the far corner (different
+    evaluation order, same integers)."""
+    from osm2geojson_spark.spatial.dtw import trajectory_similarity_pairs
+    from osm2geojson_spark.spatial.hausdorff import collect_geoms
+
+    geoms = collect_geoms(_haus_points(spark))
+    objs = geoms.select("obj_id")
+    pairs = (objs.select(F.col("obj_id").alias("id_a"))
+             .join(objs.select(F.col("obj_id").alias("id_b")),
+                   F.expr("id_a < id_b AND (id_a % 6) = (id_b % 6)")))
+    return (trajectory_similarity_pairs(geoms, pairs)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_trajectory_dtw() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_traj_sim(n_objs=_HAUS_OBJS, m=_HAUS_PTS,
+                              group_mod=6)
+    return pyref.values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+               ("dtw_sq_sum", "BIGINT"), ("frechet_sq", "BIGINT")]) \
+        + " ORDER BY id_a, id_b"
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -5708,6 +5740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack": q_str_pack,
         "hausdorff": q_hausdorff,
         "line_densify": q_line_densify,
+        "trajectory_dtw": q_trajectory_dtw,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5829,6 +5862,7 @@ def oracle_sql() -> dict[str, str]:
         "str_pack": _sql_str_pack(),
         "hausdorff": _sql_hausdorff(),
         "line_densify": _sql_line_densify(),
+        "trajectory_dtw": _sql_trajectory_dtw(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
