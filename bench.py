@@ -178,6 +178,26 @@ def zonal_stats_full(spark, sf_dir):
     return zonal_stats(imgs, zones, zoom=6)
 
 
+def str_pack_full(spark, sf_dir):
+    """STR R-tree bulk packing over ALL 600k lineitem-derived int-lattice
+    points (leaf capacity 512, 256 x-rank value buckets) → leaf MBR
+    directory. The one count() is the layout op's real contract (exact n
+    up front); the rank itself never single-tasks."""
+    from osm2geojson_spark.spatial.strpack import str_leaves, str_pack
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    pts = li.select(
+        key.alias("id"),
+        ((key * F.lit(2654435761)) % F.lit(360_000_000)).alias("x"),
+        ((key * F.lit(2246822519) + F.lit(1013904223))
+         % F.lit(170_000_000)).alias("y"))
+    n = pts.count()
+    assigned = str_pack(pts, n, leaf_capacity=512,
+                        x_bucket=F.expr("x div 1406250"))
+    return str_leaves(assigned)
+
+
 BENCH_QUERIES = {
     "spatial_pipeline": spatial_pipeline,
     "osm_assembly": osm_assembly,
@@ -230,6 +250,12 @@ BENCH_QUERIES = {
     # map-side generator) over the sf0.1 documents table
     "url_dedup": Q.q_url_dedup,
     "chunk_windows": Q.q_chunk_windows,
+    # round 4 fifth wave: ranked retrieval (ratio-BM25 — corpus-sized
+    # token scan, everything downstream broadcast/doc-keyed) and STR
+    # R-tree bulk packing over the full 600k-point set (distributed
+    # global rank via monotone value buckets, no single-task window)
+    "bm25_topk": Q.q_bm25_topk,
+    "str_pack": str_pack_full,
 }
 
 
