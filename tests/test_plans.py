@@ -310,3 +310,69 @@ def test_union_area_strip_join_then_windows(spark):
     plan = plan_of(union_area(boxes))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_no_joins_single_corpus_agg(spark):
+    """Fifth wave: ratio-BM25 is ONE corpus token pass — no SortMergeJoin
+    anywhere, the only non-broadcast exchange is the per-doc aggregation
+    boundary (plus the repartition hint on the tiny test file), stats
+    attach by broadcast, and the top-k is TakeOrderedAndProject (per-
+    partition top-k, no global sort)."""
+    df = Q.q_bm25_topk(spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash exchange is the per-doc agg boundary; it prints once
+    # per InMemoryRelation branch (main + broadcast stats), so dedup by
+    # partition key rather than counting occurrences
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"doc_id"}, keys
+
+
+def test_collocations_broadcasts_unigram_tables(spark):
+    """Pair counts join vocabulary-sized unigram tables by broadcast —
+    no shuffle join of the bigram stream."""
+    df = Q.q_collocations(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_str_pack_no_global_sort(spark):
+    """The distributed rank never single-tasks: no Sort over the full
+    point set without a partition key upstream of a window (the two
+    windows are bucket-/slice-partitioned), offsets broadcast."""
+    from osm2geojson_spark.spatial.strpack import str_leaves, str_pack
+
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    pts = p.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * F.lit(2654435761)) % F.lit(360_000_000))
+        .alias("x"),
+        ((F.col("p_partkey") * F.lit(2246822519) + F.lit(1013904223))
+         % F.lit(170_000_000)).alias("y"))
+    df = str_leaves(str_pack(pts, pts.count(), leaf_capacity=32,
+                             x_bucket=F.expr("x div 36000000")))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan          # offsets attach broadcast
+    # every Window sorts WITHIN a partitioning, never globally: each
+    # window's sort spec carries its partition column first
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Window "):
+            assert "_b" in ln or "_slice" in ln, ln
+
+
+def test_densify_adds_no_exchange_after_collect(spark):
+    """densify_paths is map-side array algebra: zero exchanges beyond
+    the one geometry-collection aggregation."""
+    from osm2geojson_spark.spatial.hausdorff import collect_geoms
+    from osm2geojson_spark.spatial.simplify import densify_paths
+
+    rows = spark.createDataFrame(
+        [(0, 0, 0, 0), (0, 1, 10, 4), (1, 0, 5, 5)],
+        "obj_id long, seq long, x long, y long")
+    df = densify_paths(collect_geoms(rows), 4)
+    assert plan_of(df).count("Exchange") <= 1
