@@ -4170,6 +4170,141 @@ ORDER BY y, x
 """
 
 
+def q_dem_crosstab(spark, sf_dir):
+    """Raster reclassify × categorical cross-tabulation (the GIS
+    "tabulate area" op): elevation class (dem div 25) against D8 flow
+    direction, with per-cell elevation sums — one map-side-combinable
+    agg over the focal substrate's flow_dir output; the class comes
+    from the SAME closed form both engines share, so the oracle needs
+    NO join (the focal-family trick)."""
+    dirs = q_flow_dir(spark, sf_dir)  # (x, y, dir); agg discards order
+    dem = (((F.col("x") * 73 + F.col("y") * 19) % 100)
+           + ((F.col("x") * F.col("x")
+               + 3 * (F.col("y") * F.col("y"))) % 7))
+    return (dirs.withColumn("dem", dem)
+            .groupBy(F.expr("dem div 25").alias("elev_class"), "dir")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("dem").cast("long").alias("sum_elev"))
+            .orderBy("elev_class", "dir"))
+
+
+def _sql_dem_crosstab() -> str:
+    return f"""
+WITH fd AS ({_sql_flow_dir()}),
+d AS (
+  SELECT x, y, dir,
+         (((x * 73 + y * 19) % 100)
+          + (((x * x) + 3 * (y * y)) % 7)) AS dem
+  FROM fd)
+SELECT (dem // 25) AS elev_class, dir,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(dem) AS BIGINT) AS sum_elev
+FROM d
+GROUP BY (dem // 25), dir
+ORDER BY elev_class, dir
+"""
+
+
+_KWIC_TERMS = ("dup", "spark")
+_KWIC_W = 3
+
+
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context concordance (search-result snippets) straight
+    from the token arrays: every occurrence of the query terms emits a
+    ±3-token window — generate + filter + slice, ZERO shuffles (the
+    snippet never leaves the doc's partition). Completes the search
+    family: build (inverted_index) → rank (bm25) → phrase → snippet."""
+    from osm2geojson_spark.functions.text import tokens_expr
+
+    w = _KWIC_W
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    occ = (toks.select(
+        "doc_id", "ts", F.posexplode("ts").alias("pos", "term"))
+        .where(F.col("term").isin(*_KWIC_TERMS)))
+    start = F.greatest(F.col("pos") + 1 - w, F.lit(1))
+    end = F.least(F.col("pos") + 1 + w, F.size("ts"))
+    return (occ.select(
+        "doc_id", "term", F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("ts", start, end - start + 1), " ")
+        .alias("snippet"))
+        .orderBy("doc_id", "pos"))
+
+
+def _sql_kwic() -> str:
+    terms = ", ".join(f"'{t}'" for t in _KWIC_TERMS)
+    w = _KWIC_W
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(0, (length(ts) - 1))) AS pos
+  FROM t WHERE (length(ts) > 0)),
+occ AS (
+  SELECT doc_id, ts, pos, ts[(pos + 1)] AS term
+  FROM idx WHERE (ts[(pos + 1)] IN ({terms})))
+SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         list_slice(ts, GREATEST((pos + 1) - {w}, 1),
+                    LEAST((pos + 1) + {w}, length(ts))), ' ') AS snippet
+FROM occ
+ORDER BY doc_id, pos
+"""
+
+
+_EQD_BUCKETS = 16
+
+
+def q_equidepth_hist(spark, sf_dir):
+    """Equi-depth (equi-height) histogram build over lineitem revenue —
+    the optimizer-statistics op: exact global rank via the strpack
+    value-bucket machinery (no single-task sort), bucket = (rank−1) div
+    ⌈n/B⌉, per-bucket count + exact min/max bounds. Values are exact
+    integer cents (decimal × 100), so ranks and bounds are
+    engine-identical."""
+    from osm2geojson_spark.spatial.strpack import global_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        # price is DOUBLE in the parquet; ×100 is the same IEEE product
+        # in both engines but Spark's long cast truncates while DuckDB's
+        # rounds — explicit floor() makes the integerization identical
+        F.floor(F.col("l_extendedprice") * 100).alias("cents"))
+    n = v.count()
+    depth = -(-n // _EQD_BUCKETS)
+    ranked = global_rank(v, ["cents", "id"],
+                         F.expr("cents div 655360"))
+    return (ranked
+            .groupBy(F.expr(f"(rank - 1) div {depth}").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+            .orderBy("bucket"))
+
+
+def _sql_equidepth_hist() -> str:
+    b = _EQD_BUCKETS
+    return f"""
+WITH v AS (
+  SELECT (l_orderkey * 10 + l_linenumber) AS id,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+k AS (SELECT ((COUNT(*) + {b - 1}) // {b}) AS depth FROM v),
+r AS (SELECT v.*, ROW_NUMBER() OVER (ORDER BY cents, id) AS rk FROM v)
+SELECT ((r.rk - 1) // k.depth) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(r.cents) AS lo, MAX(r.cents) AS hi
+FROM r CROSS JOIN k
+GROUP BY ((r.rk - 1) // k.depth)
+ORDER BY bucket
+"""
+
+
 def q_flow_accum(spark, sf_dir):
     """Flow accumulation (upstream drainage area) over the D8 forest:
     a distributed DAG aggregation run as TOPOLOGICAL WAVES — each round
@@ -5741,6 +5876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "line_densify": q_line_densify,
         "trajectory_dtw": q_trajectory_dtw,
+        "dem_crosstab": q_dem_crosstab,
+        "kwic": q_kwic,
+        "equidepth_hist": q_equidepth_hist,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -5863,6 +6001,9 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": _sql_hausdorff(),
         "line_densify": _sql_line_densify(),
         "trajectory_dtw": _sql_trajectory_dtw(),
+        "dem_crosstab": _sql_dem_crosstab(),
+        "kwic": _sql_kwic(),
+        "equidepth_hist": _sql_equidepth_hist(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
