@@ -602,3 +602,39 @@ class IcebergLikeTable:
                     if e["partition"]:
                         out.add(tuple(sorted(e["partition"].items())))
         return out
+
+    def snapshot_diff(self, spark: SparkSession, from_id: int,
+                      to_id: int, key_col: str) -> dict:
+        """CDC changelog between two snapshots (real Iceberg's
+        ``create_changelog_view``): what a downstream consumer must
+        apply to move from ``from_id`` to ``to_id``.
+
+        Returns {"added", "removed", "changed"} DataFrames — added/
+        removed carry the to-/from-side rows; changed carries the
+        to-side row plus every non-key column's before-image as
+        ``<col>_before`` (null-safe comparison, so NULL→value and
+        value→NULL count as changes).
+
+        Scale shape: two key-partitioned anti-joins + one inner join —
+        all on the same key, one partitioning reused; nothing is
+        collected. Time-travel reads resolve from manifests, so the diff
+        scans only the two snapshots' live files (MOR deletes applied
+        per read)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        a = self.read(spark, snapshot_id=from_id)
+        b = self.read(spark, snapshot_id=to_id)
+        added = b.join(a.select(key_col), key_col, "left_anti")
+        removed = a.join(b.select(key_col), key_col, "left_anti")
+        val_cols = [c for c in b.columns if c != key_col]
+        before = a.select(
+            key_col, *[F.col(c).alias(f"{c}_before") for c in val_cols])
+        joined = b.join(before, key_col)
+        neq = reduce(
+            lambda x, y: x | y,
+            [~F.col(c).eqNullSafe(F.col(f"{c}_before"))
+             for c in val_cols])
+        return {"added": added, "removed": removed,
+                "changed": joined.where(neq)}

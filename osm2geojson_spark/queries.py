@@ -5268,6 +5268,82 @@ def _sql_trajectory_dtw() -> str:
         + " ORDER BY id_a, id_b"
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Lakehouse CDC: the changelog between two Iceberg snapshots
+    (create_changelog_view semantics) computed from time-travel reads —
+    v1 = part(id, val); then an MOR equality-delete of id%7 keys, a COW
+    upsert of +100 on id%5 survivors plus 50 inserts; diff = two
+    key-partitioned anti-joins + one null-safe inner compare, one key
+    partitioning reused, nothing collected. The oracle derives the SAME
+    v1/v2 algebraically from part — it never sees the table format, so
+    the match pins the snapshot/manifest/delete machinery end to end."""
+    import shutil
+    import tempfile
+
+    from osm2geojson_spark.plans.iceberg_layout import IcebergLikeTable
+
+    root = tempfile.mkdtemp(prefix="sgraft_snapdiff_")
+    try:
+        tbl = IcebergLikeTable(root)
+        p = _t(spark, sf_dir, "part")
+        v1 = p.select(F.col("p_partkey").alias("id"),
+                      F.col("p_size").cast("long").alias("val"))
+        s1 = tbl.append(v1, stats_cols=["id"])["snapshot_id"]
+        updates = v1.where("id % 5 = 0 AND id % 7 != 0") \
+            .select("id", (F.col("val") + 100).alias("val"))
+        inserts = v1.where("id % 40 = 0") \
+            .select((F.col("id") + 10_000_000).alias("id"),
+                    (F.col("val") + 7).alias("val"))
+        # COW upsert first, MOR delete second (upsert refuses to rewrite
+        # across outstanding equality deletes) — same end state
+        tbl.upsert(spark, updates.unionByName(inserts), "id",
+                   stats_cols=["id"])
+        tbl.delete_keys(spark, v1.where("id % 7 = 0").select("id"), "id")
+        s2 = tbl.snapshots()[-1]["snapshot_id"]
+        d = tbl.snapshot_diff(spark, s1, s2, "id")
+        out = (d["added"].select(F.lit("added").alias("change_type"),
+                                 "id", F.col("val").alias("val_new"),
+                                 F.lit(None).cast("long").alias("val_old"))
+               .unionByName(
+                   d["removed"].select(
+                       F.lit("removed").alias("change_type"), "id",
+                       F.lit(None).cast("long").alias("val_new"),
+                       F.col("val").alias("val_old")))
+               .unionByName(
+                   d["changed"].select(
+                       F.lit("changed").alias("change_type"), "id",
+                       F.col("val").alias("val_new"),
+                       F.col("val_before").alias("val_old"))))
+        # materialize before the table directory disappears
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "change_type string, id long, val_new long, "
+                  "val_old long").orderBy("change_type", "id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_snapshot_diff() -> str:
+    return """
+WITH v1 AS (
+  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS val FROM part),
+removed AS (SELECT id, val FROM v1 WHERE ((id % 7) = 0)),
+changed AS (SELECT id, (val + 100) AS val_new, val AS val_old
+            FROM v1 WHERE (((id % 5) = 0) AND ((id % 7) != 0))),
+added AS (SELECT (id + 10000000) AS id, (val + 7) AS val
+          FROM v1 WHERE ((id % 40) = 0))
+SELECT change_type, id, val_new, val_old FROM (
+  SELECT 'added' AS change_type, id, val AS val_new,
+         CAST(NULL AS BIGINT) AS val_old FROM added
+  UNION ALL
+  SELECT 'removed' AS change_type, id, CAST(NULL AS BIGINT) AS val_new,
+         val AS val_old FROM removed
+  UNION ALL
+  SELECT 'changed' AS change_type, id, val_new, val_old FROM changed)
+ORDER BY change_type, id
+"""
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -5879,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_crosstab": q_dem_crosstab,
         "kwic": q_kwic,
         "equidepth_hist": q_equidepth_hist,
+        "snapshot_diff": q_snapshot_diff,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -6004,6 +6081,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_crosstab": _sql_dem_crosstab(),
         "kwic": _sql_kwic(),
         "equidepth_hist": _sql_equidepth_hist(),
+        "snapshot_diff": _sql_snapshot_diff(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

@@ -156,3 +156,39 @@ def test_upsert_blocked_by_outstanding_deletes(spark, table):
     assert res["rows_upserted"] == 1
     got = {r["id"]: r["val"] for r in table.read(spark).collect()}
     assert got[0] == "x-0" and 9 not in got
+
+
+def test_snapshot_diff_changelog(spark, table):
+    s1 = table.snapshots()[-1]["snapshot_id"]
+    # change 5 keys, insert 3 new, then MOR-delete 4 others
+    table.upsert(spark,
+                 _rows(spark, 10, 15, "v2-").unionByName(
+                     _rows(spark, 900, 903, "new-")), "id",
+                 stats_cols=["id"])
+    table.delete_keys(spark, spark.range(250, 254).select("id"), "id")
+    s2 = table.snapshots()[-1]["snapshot_id"]
+    d = table.snapshot_diff(spark, s1, s2, "id")
+    assert sorted(r.id for r in d["added"].collect()) == [900, 901, 902]
+    assert sorted(r.id for r in d["removed"].collect()) \
+        == [250, 251, 252, 253]
+    ch = {r.id: (r.val, r.val_before) for r in d["changed"].collect()}
+    assert ch == {i: (f"v2-{i}", f"v1-{i}") for i in range(10, 15)}
+
+
+def test_snapshot_diff_identity_is_empty(spark, table):
+    s = table.snapshots()[-1]["snapshot_id"]
+    d = table.snapshot_diff(spark, s, s, "id")
+    assert d["added"].count() == 0
+    assert d["removed"].count() == 0
+    assert d["changed"].count() == 0
+
+
+def test_snapshot_diff_unchanged_upsert_rows_not_flagged(spark, table):
+    # upserting the SAME value must not appear as a change
+    s1 = table.snapshots()[-1]["snapshot_id"]
+    table.upsert(spark, _rows(spark, 20, 22, "v1-"), "id",
+                 stats_cols=["id"])
+    s2 = table.snapshots()[-1]["snapshot_id"]
+    d = table.snapshot_diff(spark, s1, s2, "id")
+    assert d["changed"].count() == 0
+    assert d["added"].count() == 0 and d["removed"].count() == 0
