@@ -326,3 +326,44 @@ def mvt_stream_to_memory(pixel_counts_stream: DataFrame, name: str,
     q = (pixel_counts_stream.writeStream.foreachBatch(handle)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+# ------------------------------------------------------- stream-stream join
+def attribution_pairs(views: DataFrame, clicks: DataFrame,
+                      horizon: str = "30 minutes") -> DataFrame:
+    """view→click attribution pairs within an event-time horizon — the
+    canonical STREAM-STREAM inner join (works identically on batch
+    frames, which is how the twin test pins it). Each side is keyed by
+    user and the click must land in [view_ts, view_ts + horizon].
+
+    Streaming semantics: callers must ``withWatermark("ts", ...)`` BOTH
+    sides before calling (see ``attribution_stream``); the time-bound
+    condition lets Spark evict join state once the watermark passes
+    view_ts + horizon — state is bounded by the horizon, not the stream
+    length. Late rows beyond the watermark are dropped (standard
+    semantics); the twin test uses a horizon covering the replay span
+    so batch == stream exactly."""
+    v = views.select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts"))
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("click_ts"))
+    cond = ((v["user_id"] == c["c_user_id"])
+            & (c["click_ts"] >= v["view_ts"])
+            & (c["click_ts"] <= v["view_ts"]
+               + F.expr(f"INTERVAL {horizon}")))
+    return (v.join(c, cond)
+            .select("view_id", "click_id", "user_id",
+                    F.expr("timestampdiff(SECOND, view_ts, click_ts)")
+                    .cast("long").alias("delay_sec")))
+
+
+def attribution_stream(events: DataFrame,
+                       horizon: str = "30 minutes") -> DataFrame:
+    """Split one event stream into view/click sides, watermark both,
+    and run the stream-stream attribution join (append-mode capable)."""
+    views = (events.where(F.col("event_type") == "view")
+             .withWatermark("ts", horizon))
+    clicks = (events.where(F.col("event_type") == "click")
+              .withWatermark("ts", horizon))
+    return attribution_pairs(views, clicks, horizon)

@@ -151,3 +151,36 @@ def test_mvt_stream_matches_batch(spark):
     lay = decode_tile(bytes.fromhex(any_tile[2]))[0]
     assert sum(lay["values"][f["tags"][1]]
                for f in lay["features"]) == any_tile[1]
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with time bound: multi-file replay ==
+    the same join on the static table (horizon covers the replay span,
+    so no late drops — see attribution_pairs docstring)."""
+    from osm2geojson_spark.streaming.events import (
+        attribution_pairs,
+        attribution_stream,
+    )
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    # land as 4 drops so view/click matches must cross micro-batches
+    ev.repartition(4).write.parquet(str(tmp_path / "evdrops"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "evdrops")))
+    q = (attribution_stream(stream, horizon="30 days").writeStream
+         .format("memory").queryName("attrib_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.view_id, r.click_id, r.user_id, r.delay_sec)
+                 for r in spark.sql("SELECT * FROM attrib_t").collect())
+
+    views = ev.where("event_type = 'view'")
+    clicks = ev.where("event_type = 'click'")
+    want = sorted((r.view_id, r.click_id, r.user_id, r.delay_sec)
+                  for r in attribution_pairs(
+                      views, clicks, horizon="30 days").collect())
+    assert got == want and len(got) > 0
+    # delays respect the bound and are non-negative
+    assert all(0 <= d <= 30 * 86400 for *_x, d in got)
