@@ -424,3 +424,46 @@ def lm_score(
                 F.lit(0.0), lambda a, v: a + v)
              / F.size("pss").cast("double")).alias("lm_score"))
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Gopher/RedPajama
+    "compressibility" filter): highly repetitive or boilerplate text
+    compresses far below natural prose, random/encrypted junk barely
+    compresses at all — both tails get filtered before training.
+
+    Returns ``(id, raw_len, zlib_len, compress_ratio)`` with the ratio
+    one IEEE division of exact byte counts (module determinism rules).
+    zlib with a FIXED level is bit-deterministic for a given input on
+    any zlib build (the oracle twin recomputes the byte counts with the
+    same stdlib — a plumbing-identity oracle, like html_extract).
+
+    Scale shape: one Arrow-batched map pass, no shuffle; utf-8 encode +
+    deflate are the whole cost and both stream per batch."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    lvl = int(level)
+    out_schema = (f"{id_col} long, raw_len long, zlib_len long, "
+                  "compress_ratio double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                raw = (getattr(t, text_col) or "").encode("utf-8")
+                comp = zlib.compress(raw, lvl)
+                rows.append((getattr(t, id_col), len(raw), len(comp),
+                             float(len(comp)) / float(len(raw))
+                             if raw else 1.0))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "raw_len", "zlib_len", "compress_ratio"])
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

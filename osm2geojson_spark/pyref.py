@@ -1347,6 +1347,26 @@ def ref_traj_sim(n_objs: int = 60, m: int = 24,
     return sorted(out)
 
 
+def ref_compression(n: int = 300, level: int = 6) -> "list[tuple]":
+    """Twin of the ``compression_ratio`` catalog query: the same
+    deterministic synthetic texts (id-dependent repetition + md5 tail —
+    the Spark side builds them with concat/repeat/md5 expressions),
+    byte counts from stdlib zlib at the same fixed level. Returns
+    [(doc_id, raw_len, zlib_len, compress_ratio)]."""
+    import hashlib
+    import zlib
+
+    out = []
+    for i in range(n):
+        text = (f"doc {i} " + ("spam ham " * (i % 23)) + ("x" * (i % 17))
+                + hashlib.md5(str(i).encode()).hexdigest()[:8])
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, level)
+        out.append((i, len(raw), len(comp),
+                    float(len(comp)) / float(len(raw))))
+    return out
+
+
 def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
     """Twin of the sharpness catalog query: re-synthesize the corpus,
     decode with the pure-Python codecs, accumulate the Laplacian

@@ -5344,6 +5344,84 @@ ORDER BY change_type, id
 """
 
 
+_COMP_N = 300
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressibility quality filter (Gopher/RedPajama signal):
+    repetitive text compresses too well, junk too little — both tails
+    filtered before training. Texts are synthesized sf-independently by
+    concat/repeat/md5 COLUMN expressions (id-dependent repetition + an
+    md5 tail so ratios spread); the kernel is one Arrow map pass, no
+    shuffle. Oracle: pyref literal table building the SAME strings in
+    python and counting stdlib-zlib bytes (plumbing-identity oracle,
+    the html_extract precedent — zlib at a fixed level is
+    bit-deterministic for a given input)."""
+    from osm2geojson_spark.operators.corpus import compression_ratio
+
+    ids = spark.range(_COMP_N)
+    s = F.col("id").cast("string")
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), s, F.lit(" "),
+                 F.repeat(F.lit("spam ham "), (F.col("id") % 23)
+                          .cast("int")),
+                 F.repeat(F.lit("x"), (F.col("id") % 17).cast("int")),
+                 F.substring(F.md5(s), 1, 8)).alias("text"))
+    return compression_ratio(docs).orderBy("doc_id")
+
+
+def _sql_compression_ratio() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_compression(n=_COMP_N)
+    return pyref.values_sql(
+        rows, [("doc_id", "BIGINT"), ("raw_len", "BIGINT"),
+               ("zlib_len", "BIGINT"), ("compress_ratio", "DOUBLE")]) \
+        + " ORDER BY doc_id"
+
+
+def q_copurchase(spark, sf_dir):
+    """Item co-occurrence mining (the recommender/e-commerce basket op):
+    distinct parts per order collapse to a sorted array ONCE, pairs
+    generate map-side as nested HOFs (no basket self-join — fanout is
+    C(|basket|,2) with baskets bounded), one pair-key count shuffle;
+    top pairs under a total order. Oracle: DuckDB takes the self-join
+    route (the other path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    n = F.size("parts")
+    pairs = (baskets.where(n >= 2)
+             .select(F.explode(F.flatten(F.transform(
+                 F.sequence(F.lit(0), n - 2),
+                 lambda i: F.transform(
+                     F.slice(F.col("parts"), i + 2, n - 1 - i),
+                     lambda b: F.struct(
+                         F.element_at(F.col("parts"), (i + 1)
+                                      .cast("int")).alias("part_a"),
+                         b.alias("part_b")))))).alias("p"))
+             .select("p.part_a", "p.part_b"))
+    return (pairs.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+            .limit(500))
+
+
+def _sql_copurchase() -> str:
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON ((b.l_orderkey = a.l_orderkey) AND (a.l_partkey < b.l_partkey))
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 500
+"""
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -5956,6 +6034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,
         "equidepth_hist": q_equidepth_hist,
         "snapshot_diff": q_snapshot_diff,
+        "compression_ratio": q_compression_ratio,
+        "copurchase": q_copurchase,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -6082,6 +6162,8 @@ def oracle_sql() -> dict[str, str]:
         "kwic": _sql_kwic(),
         "equidepth_hist": _sql_equidepth_hist(),
         "snapshot_diff": _sql_snapshot_diff(),
+        "compression_ratio": _sql_compression_ratio(),
+        "copurchase": _sql_copurchase(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

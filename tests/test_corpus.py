@@ -376,3 +376,43 @@ def test_chunk_windows_validates_args(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pt.raises(ValueError, match="window and stride"):
         chunk_windows(df, window=0, stride=4)
+
+
+def test_compression_ratio_signal(spark):
+    from osm2geojson_spark.operators.corpus import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200),                      # highly repetitive
+         (2, "the quick brown fox jumps over the lazy dog " * 5),
+         (3, ""),                                 # empty -> ratio 1.0
+         (4, "".join(__import__("hashlib").md5(str(i).encode())
+                     .hexdigest() for i in range(64)))],  # aperiodic junk
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    import zlib
+    assert got[1].zlib_len == len(zlib.compress(b"spam " * 200, 6))
+    assert got[1].compress_ratio < 0.05          # repetition collapses
+    assert got[3].raw_len == 0 and got[3].compress_ratio == 1.0
+    assert got[4].compress_ratio > got[2].compress_ratio  # junk > prose
+
+
+def test_copurchase_pairs_match_bruteforce(spark):
+    from itertools import combinations
+
+    from osm2geojson_spark import queries as Q
+
+    got = {(r.part_a, r.part_b): r.n_orders
+           for r in Q.q_copurchase(spark, "/root/testdata/sf0.001")
+           .collect()}
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+    want = Counter()
+    for parts in baskets.values():
+        want.update(combinations(sorted(parts), 2))
+    top = dict(sorted(want.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:500])
+    assert got == top
