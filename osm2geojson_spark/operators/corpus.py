@@ -467,3 +467,51 @@ def compression_ratio(
                 id_col, "raw_len", "zlib_len", "compress_ratio"])
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style cross-document LINE dedup: a (normalized) line
+    survives only in the FIRST document that contains it (order =
+    (doc, position) — deterministic), every later copy is dropped and
+    the documents are rebuilt from their surviving lines. The standard
+    pre-training pass that strips boilerplate headers/footers/cookie
+    banners replicated across a crawl.
+
+    Returns ``(id, n_lines, n_kept, text)`` with ``text`` the kept
+    lines re-joined in original order.
+
+    Scale shape: one shuffle on the line-hash key (the dedup window —
+    md5 keys are uniform, no skew), one doc-key regroup for the ordered
+    rebuild; both map-side-combinable none, but the hash window beats
+    the groupBy-collect alternative by carrying only (hash → winner)
+    decisions, never line text, through the second stage."""
+    from pyspark.sql import Window
+
+    lines = (df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        .withColumn("h", F.md5(F.trim(F.col("line")))))
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    kept = (lines.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn", "h"))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.sort_array(F.collect_list(F.struct("pos", "line")))
+                    .alias("pl"),
+                    F.count(F.lit(1)).cast("long").alias("n_kept")))
+    totals = (df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long")
+        .alias("n_lines")))
+    return (totals.join(rebuilt, "id", "left")
+            .select(
+                "id", "n_lines",
+                F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+                F.coalesce(
+                    F.array_join(F.transform(
+                        "pl", lambda s: s["line"]), sep),
+                    F.lit("")).alias("text")))

@@ -5422,6 +5422,72 @@ LIMIT 500
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup: boilerplate lines planted
+    deterministically (a mod-3 header, the unique original text, a
+    mod-5 promo, a footer shared by ALL docs) survive only in the first
+    (doc, position) occurrence corpus-wide; docs rebuilt from surviving
+    lines. One uniform md5-key window shuffle + one doc regroup. The
+    DuckDB twin replays the same window semantics over its own
+    string_split."""
+    from osm2geojson_spark.operators.corpus import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header v"), (F.col("doc_id") % 3)
+                     .cast("string")),
+            F.col("text"),
+            F.concat(F.lit("promo "), (F.col("doc_id") % 5)
+                     .cast("string")),
+            F.lit("footer common")).alias("text"))
+    out = line_dedup(docs)
+    return (out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5("text").alias("text_md5"))
+        .orderBy("doc_id"))
+
+
+def _sql_line_dedup() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id,
+         (('header v' || CAST((doc_id % 3) AS VARCHAR)) || chr(10)
+          || text || chr(10)
+          || ('promo ' || CAST((doc_id % 5) AS VARCHAR)) || chr(10)
+          || 'footer common') AS text
+  FROM documents),
+ln AS (
+  SELECT doc_id, ls, unnest(generate_series(1, length(ls))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)),
+lines AS (
+  SELECT doc_id, (i - 1) AS pos, ls[i] AS line, md5(trim(ls[i])) AS h
+  FROM ln),
+kept AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM lines),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text
+  FROM kept WHERE (rn = 1) GROUP BY doc_id),
+totals AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines
+  FROM docs)
+SELECT t.doc_id AS doc_id, t.n_lines AS n_lines,
+       COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       CAST(length(COALESCE(r.text, '')) AS BIGINT) AS text_len,
+       md5(COALESCE(r.text, '')) AS text_md5
+FROM totals t LEFT JOIN rebuilt r ON (r.doc_id = t.doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -6036,6 +6102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "compression_ratio": q_compression_ratio,
         "copurchase": q_copurchase,
+        "line_dedup": q_line_dedup,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -6164,6 +6231,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _sql_snapshot_diff(),
         "compression_ratio": _sql_compression_ratio(),
         "copurchase": _sql_copurchase(),
+        "line_dedup": _sql_line_dedup(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),

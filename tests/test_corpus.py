@@ -416,3 +416,29 @@ def test_copurchase_pairs_match_bruteforce(spark):
     top = dict(sorted(want.items(),
                       key=lambda kv: (-kv[1], kv[0]))[:500])
     assert got == top
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from osm2geojson_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "common\nunique one\nfooter"),
+         (2, "common\nunique two\nfooter"),
+         (3, "common\nfooter")],                 # nothing unique
+        "doc_id long, text string")
+    got = {r.id: (r.n_lines, r.n_kept, r.text)
+           for r in line_dedup(docs).collect()}
+    assert got[1] == (3, 3, "common\nunique one\nfooter")
+    assert got[2] == (3, 1, "unique two")
+    assert got[3] == (2, 0, "")
+
+
+def test_line_dedup_normalizes_whitespace(spark):
+    from osm2geojson_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "  promo  \nalpha"), (2, "promo\nbeta")],
+        "doc_id long, text string")
+    got = {r.id: r.n_kept for r in line_dedup(docs).collect()}
+    # trimmed hash: '  promo  ' and 'promo' collide; doc 1 wins
+    assert got == {1: 2, 2: 1}
