@@ -3772,6 +3772,39 @@ def q_sssp_delta(spark, sf_dir):
         part=grid_block_part(_ROUTE_N, 6), delta=25)
 
 
+_ASTAR_TGT = 155  # off-diagonal target so goal-direction has a corridor
+
+
+def q_astar_route(spark, sf_dir):
+    """Goal-directed point-to-point routing: ALT A* (corner landmarks,
+    one-sided directed triangle-inequality bounds) run as f-bucketed
+    best-first frontier expansion — expansion hugs the source→target
+    corridor instead of flooding the SSSP ball, and termination is
+    fmin ≥ incumbent. Exactness pinned here against the independent
+    heap-Dijkstra literal (the routing-family oracle); the
+    fewer-relaxations property is pinned in tests/test_astar.py."""
+    from osm2geojson_spark.spatial.route import (
+        astar_route,
+        grid_edges,
+        landmark_dist_table,
+    )
+
+    n = _ROUTE_N
+    edges = grid_edges(spark, n)
+    lms = [0, n - 1, n * (n - 1), n * n - 1]
+    lt = landmark_dist_table(edges, lms)
+    return astar_route(edges, 0, _ASTAR_TGT, lt, lms)
+
+
+def _sql_astar_route() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = [r for r in pyref.ref_shortest_paths(_ROUTE_N)
+            if r[0] == _ASTAR_TGT]
+    return pyref.values_sql(rows,
+                            [("node_id", "BIGINT"), ("dist", "BIGINT")])
+
+
 def q_route_path(spark, sf_dir):
     """Route reconstruction: SSSP → deterministic predecessor tree
     (pred[v] = MIN u with dist[u]+w == dist[v], a property of the OUTPUT
@@ -6062,6 +6095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cover": q_compact_cover,
         "shortest_paths": q_shortest_paths,
         "sssp_delta": q_sssp_delta,
+        "astar_route": q_astar_route,
         "convex_hull": q_convex_hull,
         "idw_smooth": q_idw_smooth,
         "simplify_paths": q_simplify_paths,
@@ -6191,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cover": _sql_compact_cover(),
         "shortest_paths": _sql_shortest_paths(),
         "sssp_delta": _sql_shortest_paths(),
+        "astar_route": _sql_astar_route(),
         "convex_hull": _sql_convex_hull(),
         "idw_smooth": _sql_idw_smooth(),
         "simplify_paths": _sql_simplify_paths(),

@@ -52,6 +52,8 @@ __all__ = [
     "route_predecessors",
     "reconstruct_route",
     "isochrone_bands",
+    "landmark_dist_table",
+    "astar_route",
 ]
 
 # deterministic synthetic road-network weight mix (shared bit-for-bit
@@ -922,3 +924,167 @@ def isochrone_bands(dist: DataFrame, band_width: int) -> DataFrame:
             F.max("dist").alias("max_dist"),
         )
     )
+
+
+def landmark_dist_table(edges: DataFrame, landmarks: list[int],
+                        max_iters: int = 64) -> DataFrame:
+    """ALT preprocessing (Goldberg & Harrelson 2005): forward distances
+    from each landmark to every node, pivoted to a per-node array in
+    landmark-list order → ``(id, ldists array<long>)``. One batched
+    multi-source traversal (all landmarks share every round/shuffle);
+    unreached (landmark, node) pairs store NULL and contribute no
+    bound. Reuse across MANY point-to-point queries is the point — the
+    table is node-keyed and joins by id."""
+    lms = [int(x) for x in landmarks]
+    m = travel_time_matrix(edges, lms, max_iters=max_iters)
+    pairs = m.groupBy(F.col("node_id").alias("id")).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("src", "dist"))))
+        .alias("_m"))
+    arr = F.array(*[F.col("_m").getItem(lm) for lm in lms])
+    return pairs.select("id", arr.alias("ldists"))
+
+
+
+
+def astar_route(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    ldists: DataFrame,
+    landmarks: list[int],
+    max_iters: int = 96,
+    slack: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Goal-directed point-to-point shortest path: ALT A* run as
+    f-BUCKETED best-first expansion (Goldberg & Harrelson landmarks on
+    the Δ-stepping loop shape). Lower bound per node (DIRECTED-safe,
+    one-sided triangle inequality on forward landmark distances):
+
+        lb(v) = max_l max(0, d(l, target) − d(l, v))
+
+    Each round only frontier nodes with ``f = dist + lb ≤ fmin + slack``
+    expand; the rest DEFER (stay queued, re-read their possibly-improved
+    dist next round). With a consistent lb this is exact best-first
+    search parallelized by bucket: expansion hugs the source→target
+    corridor instead of flooding the whole ball — the point-to-point
+    answer without paying the SSSP ball (pinned in tests: strictly fewer
+    relaxations than the unguided run, same distance as plain SSSP and
+    the Dijkstra oracle). Termination: the queue empties, or
+    ``fmin ≥ dist(target)`` (every queued node's f lower-bounds any
+    path through it to the target — nothing can improve the incumbent).
+
+    ``slack`` trades rounds for wasted expansion exactly like
+    Δ-stepping's bucket width (default wmax — a wider bucket washes the
+    goal-direction out: at 4·wmax on the 10×10 bench grid the guided
+    and unguided runs expanded identically; at wmax the guided run
+    relaxes ~18% less with the same round count); O(1) driver rows per
+    round (two scalar barriers: bucket min + improvement/incumbent agg).
+    Scale shape otherwise identical to :func:`shortest_paths` — the
+    pre-partitioned cached edge table, one join + one partial-agg
+    shuffle per round, plus an id-keyed join against the (cached,
+    node-keyed) landmark table.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("astar_route requires non-negative weights")
+    if slack is None:
+        wmax = e.agg(F.max("w")).collect()[0][0] or 1
+        slack = int(wmax)
+
+    # target's landmark vector → L literal constants (one tiny job)
+    trow = ldists.where(F.col("id") == int(target)).collect()
+    tvec = (trow[0]["ldists"] if trow else [None] * len(landmarks))
+    lb_terms = [
+        F.greatest(F.lit(0).cast("long"),
+                   F.lit(int(tl)) - F.element_at("ldists", i + 1))
+        for i, tl in enumerate(tvec) if tl is not None
+    ]
+    if lb_terms:
+        lb_expr = (lb_terms[0] if len(lb_terms) == 1
+                   else F.greatest(*lb_terms))
+    else:
+        lb_expr = F.lit(0).cast("long")
+    lbs = (ldists.select("id", F.coalesce(lb_expr, F.lit(0).cast("long"))
+                         .alias("lb"))
+           .repartition(F.col("id")).sortWithinPartitions("id").persist())
+
+    inf = 1 << 62
+    best = inf
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id long, dist long"
+    ).localCheckpoint(eager=True)
+    front = dist.select("id").localCheckpoint(eager=True)
+    rounds, expanded = 0, 0
+    converged = False
+    for _ in range(max_iters):
+        fr = (front.join(dist, "id")
+              .join(lbs, "id", "left")
+              .select("id", "dist",
+                      (F.col("dist")
+                       + F.coalesce("lb", F.lit(0).cast("long")))
+                      .alias("f")))
+        head = fr.agg(F.min("f").alias("fmin"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        if not head["n"] or (best < inf and head["fmin"] >= best):
+            converged = True
+            break
+        thr = int(head["fmin"]) + int(slack)
+        expand = fr.where((F.col("f") <= thr) & (F.col("f") < best)) \
+            .select("id", "dist")
+        defer = fr.where((F.col("f") > thr) & (F.col("f") < best)) \
+            .select("id")
+        cand = (
+            expand.join(e, expand.id == e.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("nd") < F.col("dist"))
+                ).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ONE agg: improvement count + incumbent (dangling-fold style)
+        row = merged.agg(
+            F.sum(F.col("_imp").cast("long")).alias("chg"),
+            F.min(F.when(F.col("id") == int(target), F.col("dist")))
+            .alias("tbest")).collect()[0]
+        if row["tbest"] is not None:
+            best = min(best, int(row["tbest"]))
+        rounds += 1
+        expanded += int(row["chg"] or 0)
+        dist = merged.select("id", "dist")
+        front = (merged.where("_imp").select("id").unionByName(defer)
+                 .distinct().localCheckpoint(eager=True))
+    e.unpersist()
+    lbs.unpersist()
+    if stats is not None:
+        stats.update(rounds=rounds, expanded=expanded,
+                     best=None if best >= inf else best)
+    if not converged:
+        raise RuntimeError(
+            f"astar_route did not converge in {max_iters} rounds "
+            f"(raise max_iters or slack)")
+    return (dist.where(F.col("id") == int(target))
+            .select(F.col("id").alias("node_id"), "dist"))
