@@ -5521,6 +5521,58 @@ ORDER BY doc_id
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Daily retention-cohort matrix (the product-analytics staple):
+    cohort = a user's first active day, one row per (cohort, day
+    offset) with active-user counts, cohort size, and the retention
+    ratio as a single IEEE division of exact counts. Two distinct
+    aggregates + one user-keyed join — all map-side-combinable, the
+    user partitioning reused."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " CAST(ts AS TIMESTAMP_NTZ)) div 86400").alias("week"))
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = cohort.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    ret = (active.join(cohort, "user_id")
+           .groupBy("cohort", (F.col("week") - F.col("cohort"))
+                    .alias("week_offset"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_active")))
+    return (ret.join(sizes, "cohort")
+            .select("cohort", "week_offset", "n_active", "n_cohort",
+                    (F.col("n_active").cast("double")
+                     / F.col("n_cohort").cast("double"))
+                    .alias("retention"))
+            .orderBy("cohort", "week_offset"))
+
+
+def _sql_retention_cohorts() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS week
+  FROM events),
+active AS (SELECT DISTINCT user_id, week FROM ev),
+cohort AS (SELECT user_id, MIN(week) AS cohort FROM active
+           GROUP BY user_id),
+sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+          FROM cohort GROUP BY cohort),
+ret AS (
+  SELECT c.cohort AS cohort, (a.week - c.cohort) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active a JOIN cohort c ON (c.user_id = a.user_id)
+  GROUP BY c.cohort, (a.week - c.cohort))
+SELECT r.cohort AS cohort, r.week_offset AS week_offset,
+       r.n_active AS n_active, s.n_cohort AS n_cohort,
+       (CAST(r.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE))
+         AS retention
+FROM ret r JOIN sizes s ON (s.cohort = r.cohort)
+ORDER BY cohort, week_offset
+"""
+
+
 def q_union_area(spark, sf_dir):
     """Rectilinear dissolve (ST_Union → ST_Area) — exact union area of
     int boxes per group via strip decomposition + interval-union
@@ -6137,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "copurchase": q_copurchase,
         "line_dedup": q_line_dedup,
+        "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
         "strahler": q_strahler,
@@ -6267,6 +6320,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _sql_compression_ratio(),
         "copurchase": _sql_copurchase(),
         "line_dedup": _sql_line_dedup(),
+        "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
         "strahler": _sql_strahler(),
