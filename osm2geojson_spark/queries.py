@@ -6052,6 +6052,164 @@ FROM agg
 """
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Entity resolution between two sources with misaligned keys: a
+    deterministically dirtied registry (per-key deletion / insertion /
+    double substitution) linked back to the clean customer table by
+    blocking on the last-2-digit key + Levenshtein <= 2 verify. The
+    blocked equi-join is the ONLY shuffle; the edit-distance runs
+    JVM-side with Spark's early-exit threshold form. Oracle: DuckDB
+    builds the same dirty twin and uses its native levenshtein()."""
+    from osm2geojson_spark.operators.linkage import fuzzy_match_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    clean = cust.select(F.col("c_custkey").alias("id"),
+                        F.col("c_name").alias("name"))
+    dirty = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("""
+          CASE WHEN ((c_custkey % 3) = 0)
+                 THEN (substring(c_name, 1, 3) || substring(c_name, 5))
+               WHEN ((c_custkey % 3) = 1)
+                 THEN (substring(c_name, 1, 5) || 'X'
+                       || substring(c_name, 6))
+               ELSE ('K' || substring(c_name, 2, 7) || '-'
+                     || substring(c_name, 10))
+          END""").alias("name"))
+    pairs = fuzzy_match_pairs(
+        clean, dirty,
+        block_expr=lambda name: F.substring(name, -2, 2),
+        max_distance=2)
+    return (pairs.select("id_a", "id_b", "name_a", "name_b", "dist")
+            .orderBy("id_a", "id_b"))
+
+
+_SQL_FUZZY_JOIN = """
+WITH dirty AS (
+  SELECT c_custkey AS id,
+         (CASE WHEN ((c_custkey % 3) = 0)
+                 THEN (substr(c_name, 1, 3) || substr(c_name, 5))
+               WHEN ((c_custkey % 3) = 1)
+                 THEN (substr(c_name, 1, 5) || 'X' || substr(c_name, 6))
+               ELSE ('K' || substr(c_name, 2, 7) || '-'
+                     || substr(c_name, 10))
+          END) AS name
+  FROM customer),
+clean AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM clean a JOIN dirty b
+  ON (right(a.name, 2) = right(b.name, 2))
+WHERE (levenshtein(a.name, b.name) <= 2)
+ORDER BY id_a, id_b
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream: one
+    lead() window per user (ts, event_id total order), then a count
+    shuffle on the (from, to) pair; transition probability in exact
+    ppm fixed point (integer div — no float summation, bit-exact
+    partials at any parallelism)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.select(F.col("event_type").alias("from_type"),
+                    F.lead("event_type").over(w).alias("to_type"))
+          .where(F.col("to_type").isNotNull()))
+    counts = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("total", F.sum("n").over(tot))
+            .select("from_type", "to_type", "n",
+                    F.expr("(n * 1000000) div total")
+                     .cast("long").alias("p_ppm"))
+            .orderBy("from_type", "to_type"))
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH tr AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tr WHERE (to_type IS NOT NULL)
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       CAST(((n * 1000000) // SUM(n) OVER (PARTITION BY from_type))
+            AS BIGINT) AS p_ppm
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def q_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction over the repeat-co-purchase
+    graph (parts co-bought in >= 2 orders): wedge equi-join on the
+    middle vertex, resource-allocation score in exact ppm ints,
+    anti-join removes existing edges. Edge building reuses the
+    map-side basket HOF (no basket self-join); the oracle takes the
+    self-join route end-to-end — two independent paths to the same
+    scores."""
+    from osm2geojson_spark.operators.linkage import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    n = F.size("parts")
+    pair_rows = (baskets.where(n >= 2)
+                 .select(F.explode(F.flatten(F.transform(
+                     F.sequence(F.lit(0), n - 2),
+                     lambda i: F.transform(
+                         F.slice(F.col("parts"), i + 2, n - 1 - i),
+                         lambda b: F.struct(
+                             F.element_at(F.col("parts"), (i + 1)
+                                          .cast("int")).alias("src"),
+                             b.alias("dst")))))).alias("p"))
+                 .select("p.src", "p.dst"))
+    edges = (pair_rows.groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n_orders"))
+             .where(F.col("n_orders") >= 2)
+             .select("src", "dst"))
+    return (link_prediction(edges)
+            .orderBy(F.col("common").desc(), F.col("ra_ppm").desc(),
+                     "src", "dst")
+            .limit(500))
+
+
+_SQL_LINK_PREDICT = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b
+    ON ((b.l_orderkey = a.l_orderkey) AND (a.l_partkey < b.l_partkey))
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING (COUNT(*) >= 2)),
+und AS (SELECT src AS x, dst AS y FROM e
+        UNION ALL SELECT dst AS x, src AS y FROM e),
+deg AS (SELECT x, COUNT(*) AS deg FROM und GROUP BY x),
+adj AS (SELECT und.x, und.y, deg.deg FROM und JOIN deg USING (x)),
+wedges AS (
+  SELECT l.y AS src, r.y AS dst, l.deg AS mdeg
+  FROM adj l JOIN adj r ON (l.x = r.x)
+  WHERE (l.y < r.y)),
+scored AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM((1000000 // mdeg)) AS BIGINT) AS ra_ppm
+  FROM wedges GROUP BY src, dst)
+SELECT s.src, s.dst, s.common, s.ra_ppm
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE ((e.src = s.src) AND (e.dst = s.dst)))
+ORDER BY common DESC, ra_ppm DESC, src, dst
+LIMIT 500
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6189,6 +6347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "copurchase": q_copurchase,
         "line_dedup": q_line_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        "event_transitions": q_event_transitions,
+        "link_predict": q_link_predict,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6320,6 +6481,9 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _sql_compression_ratio(),
         "copurchase": _sql_copurchase(),
         "line_dedup": _sql_line_dedup(),
+        "fuzzy_join": _SQL_FUZZY_JOIN,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "link_predict": _SQL_LINK_PREDICT,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
