@@ -1,0 +1,92 @@
+"""Ordered time-series operators: EWMA and linear gap-fill — engine-new.
+
+Both are "per-key ordered" shapes: one shuffle on the key, then pure
+column algebra over the collected, explicitly ordered series. The
+determinism discipline is the trajectory/IDW one (queries.py module
+docstring): every float fold is LEFT-TO-RIGHT via ``F.aggregate`` so
+the DuckDB twin's ``list_reduce`` over the same ``ORDER BY`` list
+reproduces the doubles bit-for-bit — a parallel float sum would
+reorder IEEE additions and drift.
+
+Scale note: the per-key series is collected into one array, so the
+contract is "series per key fits an executor row" (same bound as
+collect_list sessionization and every window over the key). At 100 TB
+the shuffle is the key-hash exchange only; no global sort, no driver
+data. For unbounded per-key streams the streaming twins keep running
+state instead (streaming/events.py keeps that family's patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    sec_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially weighted moving average per key, returning the
+    final smoothed level: ``e_1 = v_1``, ``e_t = e_{t-1} + (v_t -
+    e_{t-1}) * alpha`` folded in (sec, id) order. Returns
+    ``(key, n_events, last_value, ewma)``."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(sec_col).alias("s"),
+                                F.col(id_col).alias("i"),
+                                F.col(value_col).alias("v"))))
+    g = df.groupBy(key).agg(arr.alias("arr"))
+    vs = F.transform(F.col("arr"), lambda e: e["v"])
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest, F.element_at(vs, 1),
+        lambda a, b: a + ((b - a) * F.lit(alpha)))
+    return g.select(
+        key,
+        F.size("arr").cast("long").alias("n_events"),
+        F.element_at(vs, -1).alias("last_value"),
+        folded.alias("ewma"))
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key: str,
+    sec_col: str,
+    id_col: str,
+    value_col: str,
+    step: int = 60,
+) -> DataFrame:
+    """Linear interpolation onto the regular ``step``-second grid:
+    for every consecutive pair of observations per key, emit the grid
+    instants STRICTLY between them with
+    ``v0 + (v1 - v0) * ((t - t0) / (t1 - t0))``.
+
+    Grid bounds in pure int64 (``div`` truncation — positive epochs),
+    so Spark and the SQL twin enumerate identical instants; the
+    interpolation expression is written identically on both sides, so
+    the doubles match bit-for-bit. Returns
+    ``(key, t_sec, value_interp)``."""
+    w = Window.partitionBy(key).orderBy(sec_col, id_col)
+    paired = (df.select(
+        key, F.col(sec_col).alias("t0"), F.col(value_col).alias("v0"),
+        F.lead(sec_col).over(w).alias("t1"),
+        F.lead(value_col).over(w).alias("v1"))
+        .where(F.col("t1").isNotNull()))
+    m0 = F.expr(f"(t0 div {step}) + 1")
+    m1 = F.expr(f"(t1 - 1) div {step}")
+    grid = (paired
+            .withColumn("mi", F.explode(
+                F.when(m1 >= m0, F.sequence(m0, m1))
+                 .otherwise(F.array().cast("array<bigint>")))))
+    t = F.col("mi") * step
+    frac = (t - F.col("t0")).cast("double") \
+        / (F.col("t1") - F.col("t0")).cast("double")
+    return grid.select(
+        key,
+        t.cast("long").alias("t_sec"),
+        (F.col("v0") + ((F.col("v1") - F.col("v0")) * frac))
+            .alias("value_interp"))

@@ -6210,6 +6210,93 @@ LIMIT 500
 """
 
 
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of the event value (alpha 0.25): one key shuffle,
+    then a LEFT-TO-RIGHT F.aggregate fold in (sec, event_id) order —
+    the IDW/trajectory determinism pattern, so DuckDB's list_reduce
+    over the same ORDER BY list reproduces the doubles bit-for-bit."""
+    from osm2geojson_spark.operators.timeseries import ewma_last
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .alias("sec"))
+    return (ewma_last(ev, "user_id", "sec", "event_id", "value",
+                      alpha=0.25)
+            .orderBy("user_id"))
+
+
+_SQL_EWMA = """
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+series AS (
+  SELECT user_id,
+         list(value ORDER BY sec ASC, event_id ASC) AS vs
+  FROM ev GROUP BY user_id)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       vs[len(vs)] AS last_value,
+       CAST(list_reduce(vs, (a, b) -> (a + ((b - a) * 0.25)))
+            AS DOUBLE) AS ewma
+FROM series
+ORDER BY user_id
+"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Resampling with linear interpolation: every whole-minute grid
+    instant strictly inside each consecutive-event gap gets
+    v0 + (v1-v0)*(t-t0)/(t1-t0). Grid enumeration is pure int64 div
+    (identical truncation in both engines); the interpolation
+    expression is written identically on both sides (bit-exact
+    doubles). One lead() window + an explode — no join. Catalog entry
+    uses the HOURLY grid over a 1-in-10 user sample to keep the
+    compare-gate output bounded (the minute grid at sf0.01 is 6.3M
+    rows — fine for the engine, hostile to a value-hash diff)."""
+    from osm2geojson_spark.operators.timeseries import gap_fill_linear
+
+    ev = (_t(spark, sf_dir, "events")
+          .where((F.col("user_id") % 10) == 0)
+          .select(
+              "user_id", "event_id", "value",
+              F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                     "'1970-01-01 00:00:00', ts)").alias("sec")))
+    return (gap_fill_linear(ev, "user_id", "sec", "event_id", "value",
+                            step=3600)
+            .orderBy("user_id", "t_sec"))
+
+
+_SQL_GAP_FILL = """
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+  WHERE ((user_id % 10) = 0)),
+nx AS (
+  SELECT user_id, sec AS t0, value AS v0,
+         LEAD(sec) OVER w AS t1, LEAD(value) OVER w AS v1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+gaps AS (
+  SELECT * FROM nx
+  WHERE ((t1 IS NOT NULL)
+         AND (((t1 - 1) // 3600) >= ((t0 // 3600) + 1)))),
+grid AS (
+  SELECT user_id, t0, v0, t1, v1,
+         unnest(range(((t0 // 3600) + 1), (((t1 - 1) // 3600) + 1)))
+           AS mi
+  FROM gaps)
+SELECT user_id,
+       CAST((mi * 3600) AS BIGINT) AS t_sec,
+       (v0 + ((v1 - v0)
+              * (CAST(((mi * 3600) - t0) AS DOUBLE)
+                 / CAST((t1 - t0) AS DOUBLE)))) AS value_interp
+FROM grid
+ORDER BY user_id, t_sec
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6350,6 +6437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "event_transitions": q_event_transitions,
         "link_predict": q_link_predict,
+        "ewma": q_ewma,
+        "gap_fill": q_gap_fill,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6484,6 +6573,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join": _SQL_FUZZY_JOIN,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "link_predict": _SQL_LINK_PREDICT,
+        "ewma": _SQL_EWMA,
+        "gap_fill": _SQL_GAP_FILL,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
