@@ -413,6 +413,129 @@ def color_histograms(df: DataFrame, bins_per_channel: int = 4) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
 
 
+def _label_blobs(fg: np.ndarray) -> np.ndarray:
+    """4-connected component labels of a boolean mask via whole-array
+    min-label propagation to a fixpoint (rounds = max blob diameter —
+    bounded by w+h; every round is vectorized numpy, no per-pixel
+    Python). Background cells get -1; foreground cells get the minimum
+    flat index of their component."""
+    h, w = fg.shape
+    lab = np.where(fg, np.arange(h * w, dtype=np.int64).reshape(h, w),
+                   np.int64(-1))
+    while True:
+        new = lab.copy()
+        m = fg[1:, :] & fg[:-1, :]
+        new[1:, :][m] = np.minimum(new[1:, :][m], lab[:-1, :][m])
+        new[:-1, :][m] = np.minimum(new[:-1, :][m], lab[1:, :][m])
+        m = fg[:, 1:] & fg[:, :-1]
+        new[:, 1:][m] = np.minimum(new[:, 1:][m], lab[:, :-1][m])
+        new[:, :-1][m] = np.minimum(new[:, :-1][m], lab[:, 1:][m])
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def blob_stats(df: DataFrame, luma_threshold: int = 128) -> DataFrame:
+    """Bright-region connected-component statistics per image (the
+    "is this frame mostly one big highlight or speckle?" curation
+    signal): integer Rec.601 luma (×1000) thresholded at
+    ``luma_threshold``·1000, 4-connected components labeled by numpy
+    min-propagation, and exact integer summary — foreground pixel
+    count, blob count, largest blob, and the order-independent
+    ``sum(size²)`` fingerprint that pins the partition itself.
+    Oracle twin flood-fills with an explicit python BFS stack — a
+    different labeling route that must produce the same partition."""
+    thr = int(luma_threshold) * 1000
+    out_schema = ("image_id string, fmt string, ok boolean, error string, "
+                  "n_fg long, n_blobs long, max_blob long, "
+                  "blob_sq_sum long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                err, n_fg, n_b, mx, sq, ok = None, 0, 0, 0, 0, False
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                    lum = (px[..., 0] * 299 + px[..., 1] * 587
+                           + px[..., 2] * 114)
+                    fg = lum >= thr
+                    n_fg = int(fg.sum())
+                    if n_fg:
+                        lab = _label_blobs(fg)
+                        sizes = np.bincount(
+                            lab[lab >= 0].reshape(-1)).astype(np.int64)
+                        sizes = sizes[sizes > 0]
+                        n_b = int(sizes.size)
+                        mx = int(sizes.max())
+                        sq = int((sizes * sizes).sum())
+                    ok = True
+                except Exception as ex:  # noqa: BLE001 — quarantine path
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append((t.image_id, t.fmt, ok, err,
+                             n_fg, n_b, mx, sq))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "ok", "error", "n_fg", "n_blobs",
+                "max_blob", "blob_sq_sum"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def border_margins(df: DataFrame) -> DataFrame:
+    """Letterbox/pillarbox detection (the crop-before-train curation
+    step): a margin row/column is one whose pixels ALL equal the
+    corner pixel exactly. Returns the four margins plus the content
+    box. Whole-array numpy per image; lossless-format corpora only
+    (lossy codecs smear the bar edge by design)."""
+    out_schema = ("image_id string, fmt string, ok boolean, error string, "
+                  "top int, bottom int, left_m int, right_m int, "
+                  "content_w int, content_h int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                err, tm, bm, lm, rm, cw, ch, ok = \
+                    None, 0, 0, 0, 0, 0, 0, False
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                    h, w = px.shape[0], px.shape[1]
+                    # top/left margins reference the top-left corner,
+                    # bottom/right the bottom-right one — a single
+                    # corner would miss the opposite side's bar when
+                    # this side has none
+                    tl = px[0:1, 0:1, :]
+                    br = px[h - 1:h, w - 1:w, :]
+                    r_tl = (px == tl).all(axis=(1, 2))
+                    c_tl = (px == tl).all(axis=(0, 2))
+                    r_br = (px == br).all(axis=(1, 2))
+                    c_br = (px == br).all(axis=(0, 2))
+
+                    def lead(mask):
+                        run_len = 0
+                        for v in mask:
+                            if not v:
+                                break
+                            run_len += 1
+                        return run_len
+
+                    tm = lead(r_tl)
+                    bm = lead(r_br[::-1]) if tm < h else 0
+                    lm = lead(c_tl)
+                    rm = lead(c_br[::-1]) if lm < w else 0
+                    cw, ch = w - lm - rm, h - tm - bm
+                    ok = True
+                except Exception as ex:  # noqa: BLE001 — quarantine path
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append((t.image_id, t.fmt, ok, err,
+                             tm, bm, lm, rm, cw, ch))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "ok", "error", "top", "bottom",
+                "left_m", "right_m", "content_w", "content_h"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """DEPRECATED shim — real video frame sampling now lives in
     operators/video.py (sample_frames over the fpack container; mp4/webm

@@ -1402,6 +1402,95 @@ def ref_sharpness(n: int = 300, seed: int = 42, fmts=None) -> "list[tuple]":
     return out
 
 
+def ref_blobs(n: int = 300, seed: int = 42, fmts=None,
+              luma_threshold: int = 128) -> "list[tuple]":
+    """Twin of the image_blobs catalog query: decode with the same
+    pure-Python codecs, then label 4-connected bright components with
+    an explicit BFS flood-fill stack (row-major seed order) — a
+    different route from the engine's numpy min-label propagation.
+    Returns [(image_id, fmt, n_fg, n_blobs, max_blob, blob_sq_sum)]."""
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        FMTS_TIFF,
+        make_image_row,
+    )
+
+    fmts = fmts or FMTS_TIFF
+    thr = luma_threshold * 1000
+    out = []
+    for i in range(n):
+        image_id, buf, w, h, fmt, _cap, _ph, _lon, _lat = make_image_row(
+            i * 2 + seed, fmts)
+        px = DECODERS[fmt](buf)
+        fg = [[(int(px[y, x, 0]) * 299 + int(px[y, x, 1]) * 587
+                + int(px[y, x, 2]) * 114) >= thr
+               for x in range(w)] for y in range(h)]
+        seen = [[False] * w for _ in range(h)]
+        sizes = []
+        for y in range(h):
+            for x in range(w):
+                if fg[y][x] and not seen[y][x]:
+                    stack, size = [(y, x)], 0
+                    seen[y][x] = True
+                    while stack:
+                        cy, cx = stack.pop()
+                        size += 1
+                        for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                                       (cy, cx - 1), (cy, cx + 1)):
+                            if (0 <= ny < h and 0 <= nx < w
+                                    and fg[ny][nx] and not seen[ny][nx]):
+                                seen[ny][nx] = True
+                                stack.append((ny, nx))
+                    sizes.append(size)
+        out.append((image_id, fmt, sum(sizes), len(sizes),
+                    max(sizes) if sizes else 0,
+                    sum(s * s for s in sizes)))
+    return out
+
+
+def ref_borders(n: int = 300, seed: int = 42) -> "list[tuple]":
+    """Twin of the image_borders catalog query over the letterboxed
+    lossless corpus: python-loop margin scan (top/left vs the top-left
+    corner, bottom/right vs the bottom-right). Returns
+    [(image_id, fmt, top, bottom, left_m, right_m, content_w,
+    content_h)]."""
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        make_letterboxed_row,
+    )
+
+    out = []
+    for i in range(n):
+        image_id, buf, w, h, fmt, _cap, _ph, _lon, _lat = \
+            make_letterboxed_row(i * 2 + seed)
+        px = DECODERS[fmt](buf)
+
+        def row_is(y, ref):
+            return all(tuple(px[y, x]) == ref for x in range(w))
+
+        def col_is(x, ref):
+            return all(tuple(px[y, x]) == ref for y in range(h))
+
+        tl, br = tuple(px[0, 0]), tuple(px[h - 1, w - 1])
+        tm = 0
+        while tm < h and row_is(tm, tl):
+            tm += 1
+        bm = 0
+        if tm < h:
+            while bm < h and row_is(h - 1 - bm, br):
+                bm += 1
+        lm = 0
+        while lm < w and col_is(lm, tl):
+            lm += 1
+        rm = 0
+        if lm < w:
+            while rm < w and col_is(w - 1 - rm, br):
+                rm += 1
+        out.append((image_id, fmt, tm, bm, lm, rm,
+                    w - lm - rm, h - tm - bm))
+    return out
+
+
 _COST_OFFS_REF = [(1, 0, 70), (-1, 0, 70), (0, 1, 70), (0, -1, 70),
                   (1, 1, 99), (-1, 1, 99), (1, -1, 99), (-1, -1, 99)]
 

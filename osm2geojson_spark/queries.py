@@ -6297,6 +6297,61 @@ ORDER BY user_id, t_sec
 """
 
 
+def q_image_blobs(spark, sf_dir):
+    """Bright-region connected components per image over the full
+    9-format rotation: integer luma threshold, 4-connected labels by
+    numpy min-propagation, exact integer summary incl. the sum(size²)
+    partition fingerprint. Oracle: pyref literal table labeled by an
+    explicit python BFS flood fill — an independent labeling route."""
+    from osm2geojson_spark.operators.images import blob_stats
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return (blob_stats(imgs, luma_threshold=128)
+            .select("image_id", "fmt", "n_fg", "n_blobs", "max_blob",
+                    "blob_sq_sum")
+            .orderBy("image_id"))
+
+
+def _sql_image_blobs() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_blobs(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("n_fg", "BIGINT"), ("n_blobs", "BIGINT"),
+               ("max_blob", "BIGINT"), ("blob_sq_sum", "BIGINT")]) \
+        + " ORDER BY image_id"
+
+
+def q_image_borders(spark, sf_dir):
+    """Letterbox/pillarbox margin detection over a deterministic
+    lossless-codec corpus with planted 0-3 px black bars per side:
+    exact-match margin scan against the two reference corners, content
+    box derived. The crop-before-train curation op. Oracle: pyref
+    literal table via python-loop scans."""
+    from osm2geojson_spark.operators.images import border_margins
+    from osm2geojson_spark.synth.images import letterboxed_images_table
+
+    imgs = letterboxed_images_table(spark, n=300, seed=42)
+    return (border_margins(imgs)
+            .select("image_id", "fmt", "top", "bottom", "left_m",
+                    "right_m", "content_w", "content_h")
+            .orderBy("image_id"))
+
+
+def _sql_image_borders() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_borders(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("top", "INTEGER"), ("bottom", "INTEGER"),
+               ("left_m", "INTEGER"), ("right_m", "INTEGER"),
+               ("content_w", "INTEGER"), ("content_h", "INTEGER")]) \
+        + " ORDER BY image_id"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6439,6 +6494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "ewma": q_ewma,
         "gap_fill": q_gap_fill,
+        "image_blobs": q_image_blobs,
+        "image_borders": q_image_borders,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6575,6 +6632,8 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _SQL_LINK_PREDICT,
         "ewma": _SQL_EWMA,
         "gap_fill": _SQL_GAP_FILL,
+        "image_blobs": _sql_image_blobs(),
+        "image_borders": _sql_image_borders(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

@@ -51,6 +51,9 @@ FMTS_GIF = FMTS_HEIF + ("gif",)
 # strips, PackBits + TIFF-flavor LZW w/ predictor 2; lossless, encoder
 # round-robins compression/byte-order from pixel content).
 FMTS_TIFF = FMTS_GIF + ("tiff",)
+# the byte-exact round-trip subset — letterbox bars must survive the
+# codec EXACTLY for border detection (qz6/jpg/gif/heif quantize)
+FMTS_LOSSLESS = ("ppm", "bmp", "png", "webp", "tiff")
 
 _CAPTION_WORDS = [
     "aerial", "view", "of", "the", "old", "harbor", "market", "square",
@@ -380,6 +383,44 @@ def make_image_row(seed: int, fmts: tuple = FMTS, exif: bool = False) -> tuple:
     ph = phash64(DECODERS[fmt](buf))
     lon, lat = _coords_for(seed)
     return (f"img-{seed:012d}", buf, w, h, fmt, caption_for(seed), ph, lon, lat)
+
+
+def make_letterboxed_row(seed: int) -> tuple:
+    """Deterministic letterbox/pillarbox variant: black bars of 0-3 px
+    per side (derived from seed bits) around the usual sinusoid
+    pattern, encoded with a LOSSLESS codec so the bar boundary is
+    byte-exact. Same row shape as :func:`make_image_row`."""
+    s = seed >> 1  # table seeds are always even — use the full entropy
+    w = 16 + 8 * (s % 7)
+    h = 16 + 8 * ((s // 7) % 7)
+    top, bottom = s % 4, (s // 4) % 4
+    left, right = (s // 16) % 4, (s // 64) % 4
+    fmt = FMTS_LOSSLESS[s % len(FMTS_LOSSLESS)]
+    inner = gen_pixels(seed, w - left - right, h - top - bottom)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[top:h - bottom, left:w - right, :] = inner
+    buf = ENCODERS[fmt](px)
+    ph = phash64(DECODERS[fmt](buf))
+    lon, lat = _coords_for(seed)
+    return (f"lbx-{seed:012d}", buf, w, h, fmt, caption_for(seed), ph,
+            lon, lat)
+
+
+def letterboxed_images_table(spark: SparkSession, n: int = 300,
+                             seed: int = 42,
+                             partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic letterboxed corpus (lossless codecs)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "lon", "lat"]
+        for pdf in batches:
+            rows = [make_letterboxed_row(int(i) * 2 + seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, IMG_SCHEMA)
 
 
 def images_table(spark: SparkSession, n: int = 1000, seed: int = 42,
