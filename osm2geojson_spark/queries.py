@@ -6352,6 +6352,89 @@ def _sql_image_borders() -> str:
         + " ORDER BY image_id"
 
 
+_DBSCAN_X = """
+CASE WHEN ((id % 10) = 0)
+     THEN (((id * 2654435761) + 97) % 360000000)
+     ELSE ((1000000 + (((id % 50) * 7246889) % 358000000))
+           + (((id * 2654435761)
+               % (CASE WHEN ((id % 7) = 3) THEN 900001 ELSE 200001 END))
+              - (CASE WHEN ((id % 7) = 3) THEN 450000 ELSE 100000 END)))
+END"""
+_DBSCAN_Y = """
+CASE WHEN ((id % 10) = 0)
+     THEN (((id * 2246822519) + 31) % 170000000)
+     ELSE ((1000000 + (((id % 50) * 9576891) % 168000000))
+           + (((id * 2246822519)
+               % (CASE WHEN ((id % 7) = 3) THEN 900001 ELSE 200001 END))
+              - (CASE WHEN ((id % 7) = 3) THEN 450000 ELSE 100000 END)))
+END"""
+
+
+def q_dbscan(spark, sf_dir):
+    """EXACT eps-DBSCAN (grid_cluster is the approximation; this is
+    the real definition) over a deterministic 50-cluster mixture with
+    a fringe band and 10% scattered noise — all int64 formulas, both
+    engines synthesize identical points. Candidates via ONE 9-image
+    cell equi-join, cores by exact integer eps-count, clusters = CC of
+    the core-core graph (distributed min-label propagation), border
+    ties broken to the smallest adjacent cluster. Oracle replays the
+    cell join in SQL and closes components with a recursive CTE."""
+    from osm2geojson_spark.spatial.cluster import dbscan
+
+    pts = spark.range(4000).select(
+        "id",
+        F.expr(_DBSCAN_X).alias("x"),
+        F.expr(_DBSCAN_Y).alias("y"))
+    return dbscan(pts, eps=250_000, min_pts=6).orderBy("id")
+
+
+_SQL_DBSCAN = f"""
+WITH RECURSIVE pts AS (
+  SELECT id, ({_DBSCAN_X}) AS x, ({_DBSCAN_Y}) AS y
+  FROM (SELECT range AS id FROM range(4000))),
+cel AS (SELECT id, x, y, (x // 250000) AS cx, (y // 250000) AS cy
+        FROM pts),
+img AS (SELECT id AS id_b, x AS xb, y AS yb,
+               (cx + o.dx) AS cx, (cy + o.dy) AS cy
+        FROM cel CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1),
+                                    (0, -1), (0, 0), (0, 1),
+                                    (1, -1), (1, 0), (1, 1))
+             AS o(dx, dy)),
+prs AS (SELECT a.id AS id_a, i.id_b
+        FROM cel a JOIN img i ON ((i.cx = a.cx) AND (i.cy = a.cy))
+        WHERE ((a.id != i.id_b)
+               AND ((((a.x - i.xb) * (a.x - i.xb))
+                     + ((a.y - i.yb) * (a.y - i.yb)))
+                    <= 62500000000))),
+cnt AS (SELECT id_a, COUNT(*) AS nn FROM prs GROUP BY id_a),
+core AS (SELECT id_a AS id FROM cnt WHERE ((nn + 1) >= 6)),
+ce AS (SELECT p.id_a AS src, p.id_b AS dst FROM prs p
+       WHERE ((p.id_a IN (SELECT id FROM core))
+              AND (p.id_b IN (SELECT id FROM core)))),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.dst AS id, reach.r AS r
+  FROM reach JOIN ce e ON (e.src = reach.id)),
+clab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+bord AS (
+  SELECT p.id_a AS id, MIN(c.cluster_id) AS cluster_id
+  FROM prs p JOIN clab c ON (c.id = p.id_b)
+  WHERE (p.id_a NOT IN (SELECT id FROM core))
+  GROUP BY p.id_a)
+SELECT t.id AS id,
+       (CASE WHEN (cl.id IS NOT NULL) THEN 'core'
+             WHEN (b.id IS NOT NULL) THEN 'border'
+             ELSE 'noise' END) AS role,
+       CAST(COALESCE(cl.cluster_id, b.cluster_id, -1) AS BIGINT)
+         AS cluster_id
+FROM pts t
+LEFT JOIN clab cl ON (cl.id = t.id)
+LEFT JOIN bord b ON (b.id = t.id)
+ORDER BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6496,6 +6579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "image_blobs": q_image_blobs,
         "image_borders": q_image_borders,
+        "dbscan": q_dbscan,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6634,6 +6718,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _SQL_GAP_FILL,
         "image_blobs": _sql_image_blobs(),
         "image_borders": _sql_image_borders(),
+        "dbscan": _SQL_DBSCAN,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
