@@ -576,6 +576,34 @@ def ref_bpe_merges(docs: list[tuple], num_merges: int = 30) -> list[tuple]:
     return merges
 
 
+def ref_bpe_encode(docs: list[tuple], num_merges: int = 24) -> list[tuple]:
+    """Twin of the bpe_encode catalog query: train with
+    :func:`ref_bpe_merges`, then tokenize every document by replaying
+    the merge list per word (same carry-scan semantics as
+    operators/bpe.apply_bpe). Returns [(doc_id, n_words,
+    n_bpe_tokens)] for documents with at least one word."""
+    import re
+
+    merges = [(l, r) for _rank, l, r, _f
+              in ref_bpe_merges(docs, num_merges)]
+    cache: dict = {}
+
+    def enc_len(w: str) -> int:
+        if w not in cache:
+            syms = list(w[:-1]) + [w[-1] + "</w>"]
+            for l, r in merges:
+                syms = _bpe_merge_word(syms, l, r)
+            cache[w] = len(syms)
+        return cache[w]
+
+    out = []
+    for doc_id, text in docs:
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if ws:
+            out.append((doc_id, len(ws), sum(enc_len(w) for w in ws)))
+    return out
+
+
 # ------------------------------------------------------------------- PQ
 
 def ref_pq_topk(ids: list[int], vecs: list[list[float]],

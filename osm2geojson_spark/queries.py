@@ -6435,6 +6435,84 @@ ORDER BY id
 """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale: train 24 merges (the
+    oracle-proven distributed trainer), then encode every document —
+    each merge is a JVM carry-scan over the word's symbol array, the
+    whole encode stays codegen (no Python in the hot path). The merge
+    list is O(vocab) driver data by design — exactly what a production
+    job broadcasts. Oracle: pyref literal table (python replay of the
+    same greedy semantics)."""
+    from osm2geojson_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges_df = train_bpe(docs, num_merges=24)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("rank").collect()]
+    return apply_bpe(docs, merges).orderBy("doc_id")
+
+
+def _sql_bpe_encode() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_bpe_encode(
+        _oracle_parquet("documents", ["doc_id", "text"]), num_merges=24)
+    return pyref.values_sql(
+        rows, [("doc_id", "BIGINT"), ("n_words", "BIGINT"),
+               ("n_bpe_tokens", "BIGINT")]) + " ORDER BY doc_id"
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-event-type z-score outliers: moments via exact decimal sums
+    (order-independent partials — the pricing discipline), then the
+    mean/variance/z expressions written IDENTICALLY in both engines so
+    every double matches bit-for-bit (sqrt is correctly rounded). The
+    5-row stats table broadcasts back onto the stream; one shuffle
+    total. The squares sum uses scale 4, NOT 12: the decimal→double
+    cast is only exact while the decimal's RAW integer stays under
+    2^53 (the documented DuckDB lossy-cast trap — scale 12 tripped it
+    at a mere 1e7 sum; scale 4 has headroom through sf10)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,4)"))
+         .cast("double").alias("ss"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = "(s / CAST(n AS DOUBLE))"
+    var = (f"((ss - (CAST(n AS DOUBLE) * ({mean} * {mean})))"
+           " / CAST(n AS DOUBLE))")
+    z = f"((value - {mean}) / sqrt({var}))"
+    return (j.select("event_id", "event_type", "value",
+                     F.expr(z).alias("z"))
+            .where(F.expr(f"abs({z}) > 2.5"))
+            .orderBy("event_id"))
+
+
+_SQL_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST((value * value) AS DECIMAL(38,4))) AS DOUBLE)
+           AS ss
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ((e.value - (s / CAST(n AS DOUBLE)))
+        / sqrt(((ss - (CAST(n AS DOUBLE)
+                       * ((s / CAST(n AS DOUBLE))
+                          * (s / CAST(n AS DOUBLE)))))
+                / CAST(n AS DOUBLE)))) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE (abs(((e.value - (s / CAST(n AS DOUBLE)))
+            / sqrt(((ss - (CAST(n AS DOUBLE)
+                           * ((s / CAST(n AS DOUBLE))
+                              * (s / CAST(n AS DOUBLE)))))
+                    / CAST(n AS DOUBLE))))) > 2.5)
+ORDER BY e.event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6580,6 +6658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_blobs": q_image_blobs,
         "image_borders": q_image_borders,
         "dbscan": q_dbscan,
+        "bpe_encode": q_bpe_encode,
+        "anomaly_zscore": q_anomaly_zscore,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6719,6 +6799,8 @@ def oracle_sql() -> dict[str, str]:
         "image_blobs": _sql_image_blobs(),
         "image_borders": _sql_image_borders(),
         "dbscan": _SQL_DBSCAN,
+        "bpe_encode": _sql_bpe_encode(),
+        "anomaly_zscore": _SQL_ANOMALY_ZSCORE,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

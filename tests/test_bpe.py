@@ -111,3 +111,24 @@ class TestApply:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_ref_bpe_encode_matches_engine(spark):
+    from osm2geojson_spark.operators.bpe import train_bpe
+    from osm2geojson_spark.pyref import ref_bpe_encode
+
+    docs = [(1, "the cat sat on the mat"),
+            (2, "the cats sat"),
+            (3, "mats and cats and hats"),
+            (4, "   "),  # whitespace-only: dropped on both sides
+            (5, "on on on the the")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges_df = train_bpe(df, num_merges=6)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("rank").collect()]
+    from osm2geojson_spark.operators.bpe import apply_bpe
+    got = {(r.doc_id, r.n_words, r.n_bpe_tokens)
+           for r in apply_bpe(df, merges).collect()}
+    want = set(ref_bpe_encode(docs, num_merges=6))
+    assert got == want
+    assert not any(d == 4 for d, _, _ in got)
