@@ -6513,6 +6513,69 @@ ORDER BY e.event_id
 """
 
 
+def q_line_merge(spark, sf_dir):
+    """JTS-style linemerge / OSM way stitching over a deterministic
+    grid world (6 horizontal polylines crossed by 4 vertical ones):
+    chains extend through degree-2 nodes, break at junctions (crossing
+    nodes have degree 4, T-nodes 3) and turn corners where exactly two
+    terminals meet. Links come from ONE deg-2-restricted equi-join
+    (each deg-2 node emits exactly one pair — no fanout); chains close
+    via the distributed min-label CC. Oracle replays degrees + links
+    in SQL and closes with a recursive CTE."""
+    from osm2geojson_spark.spatial.linemerge import merge_lines
+
+    rows_df = spark.range(354).select(
+        F.col("id").alias("seg_id"),
+        F.expr("(((id div 59) * 10) * 1000) + (id % 59)")
+         .alias("node_a"),
+        F.expr("((((id div 59) * 10) * 1000) + (id % 59)) + 1")
+         .alias("node_b"))
+    cols_df = spark.range(236).select(
+        (F.col("id") + 1000).alias("seg_id"),
+        F.expr("((id % 59) * 1000) + ((id div 59) * 15)")
+         .alias("node_a"),
+        F.expr("(((id % 59) + 1) * 1000) + ((id div 59) * 15)")
+         .alias("node_b"))
+    segs = rows_df.unionByName(cols_df)
+    return (merge_lines(segs, max_iters=60)
+            .orderBy("chain_id"))
+
+
+_SQL_LINE_MERGE = """
+WITH RECURSIVE segs AS (
+  SELECT id AS seg_id,
+         ((((id // 59) * 10) * 1000) + (id % 59)) AS node_a,
+         (((((id // 59) * 10) * 1000) + (id % 59)) + 1) AS node_b
+  FROM (SELECT range AS id FROM range(354))
+  UNION ALL
+  SELECT (id + 1000) AS seg_id,
+         (((id % 59) * 1000) + ((id // 59) * 15)) AS node_a,
+         ((((id % 59) + 1) * 1000) + ((id // 59) * 15)) AS node_b
+  FROM (SELECT range AS id FROM range(236))),
+ends AS (
+  SELECT seg_id, node_a AS node FROM segs
+  UNION ALL
+  SELECT seg_id, node_b AS node FROM segs),
+deg2 AS (SELECT node FROM ends GROUP BY node HAVING (COUNT(*) = 2)),
+lnk AS (
+  SELECT a.seg_id AS src, b.seg_id AS dst
+  FROM ends a JOIN ends b ON (a.node = b.node)
+  WHERE ((a.seg_id != b.seg_id)
+         AND (a.node IN (SELECT node FROM deg2)))),
+reach(id, r) AS (
+  SELECT seg_id, seg_id FROM segs
+  UNION
+  SELECT e.dst AS id, reach.r AS r
+  FROM reach JOIN lnk e ON (e.src = reach.id)),
+lab AS (SELECT id AS seg_id, MIN(r) AS chain_id FROM reach GROUP BY id)
+SELECT chain_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(seg_id) AS BIGINT) AS seg_sum
+FROM lab GROUP BY chain_id
+ORDER BY chain_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6660,6 +6723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "bpe_encode": q_bpe_encode,
         "anomaly_zscore": q_anomaly_zscore,
+        "line_merge": q_line_merge,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6801,6 +6865,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": _SQL_DBSCAN,
         "bpe_encode": _sql_bpe_encode(),
         "anomaly_zscore": _SQL_ANOMALY_ZSCORE,
+        "line_merge": _SQL_LINE_MERGE,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
