@@ -6576,6 +6576,64 @@ ORDER BY chain_id
 """
 
 
+def q_colocation(spark, sf_dir):
+    """Spatiotemporal co-location (co-travel detection): pings within
+    500k µdeg AND 30 min of each other, users in 20 deterministic
+    city hotspots with ±1M µdeg per-event jitter. ONE 27-image bucket
+    equi-join (space 3x3 × time 3) — both marginal joins exist in the
+    engine; this is the combined primitive. Rolled up to user pairs
+    with exact integer d2/dt fingerprints. Oracle replays the buckets
+    as a range join."""
+    from osm2geojson_spark.spatial.colocation import cotravel_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("(1000000 + (((user_id % 20) * 7246889) % 358000000))"
+               " + (((event_id * 2654435761) % 2000001) - 1000000)")
+         .alias("x"),
+        F.expr("(1000000 + (((user_id % 20) * 9576891) % 168000000))"
+               " + (((event_id * 2246822519) % 2000001) - 1000000)")
+         .alias("y"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+               "'1970-01-01 00:00:00', ts)").alias("sec"))
+    return (cotravel_counts(ev, eps=500_000, window_sec=1800)
+            .orderBy("user_a", "user_b"))
+
+
+_SQL_COLOCATION = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         ((1000000 + (((user_id % 20) * 7246889) % 358000000))
+          + (((event_id * 2654435761) % 2000001) - 1000000)) AS x,
+         ((1000000 + (((user_id % 20) * 9576891) % 168000000))
+          + (((event_id * 2246822519) % 2000001) - 1000000)) AS y,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+cel AS (SELECT *, (x // 500000) AS cx, (y // 500000) AS cy,
+               (sec // 1800) AS tb
+        FROM ev),
+prs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         (((a.x - b.x) * (a.x - b.x))
+          + ((a.y - b.y) * (a.y - b.y))) AS d2,
+         abs(a.sec - b.sec) AS dt_sec
+  FROM cel a JOIN cel b
+    ON ((b.cx BETWEEN (a.cx - 1) AND (a.cx + 1))
+        AND (b.cy BETWEEN (a.cy - 1) AND (a.cy + 1))
+        AND (b.tb BETWEEN (a.tb - 1) AND (a.tb + 1)))
+  WHERE ((a.user_id < b.user_id)
+         AND ((((a.x - b.x) * (a.x - b.x))
+               + ((a.y - b.y) * (a.y - b.y))) <= 250000000000)
+         AND (abs(a.sec - b.sec) <= 1800)))
+SELECT user_a, user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_meetings,
+       CAST(SUM(d2) AS BIGINT) AS d2_sum,
+       CAST(SUM(dt_sec) AS BIGINT) AS dt_sum
+FROM prs GROUP BY user_a, user_b
+ORDER BY user_a, user_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6724,6 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "anomaly_zscore": q_anomaly_zscore,
         "line_merge": q_line_merge,
+        "colocation": q_colocation,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6866,6 +6925,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _sql_bpe_encode(),
         "anomaly_zscore": _SQL_ANOMALY_ZSCORE,
         "line_merge": _SQL_LINE_MERGE,
+        "colocation": _SQL_COLOCATION,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
