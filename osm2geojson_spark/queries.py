@@ -6634,6 +6634,48 @@ ORDER BY user_a, user_b
 """
 
 
+def q_dem_upsample(spark, sf_dir):
+    """EXACT 2x bilinear raster upsample on the tiled DEM (values ×4
+    so halves/quarters stay int64): the same halo-exchange substrate
+    as focal_sum — right/bottom/diagonal samples come from the shipped
+    strips, edge replication IS the coordinate clamp. Oracle computes
+    every output pixel closed-form (4 clamped DEM terms, no join)."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, 2, 2, t)
+    out = focal_op(tiles, op="bilin2x", tile_size=t)
+    t2 = 2 * t
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "v4"))
+        .select(
+            (F.col("tx") * t2 + F.col("i") % t2).alias("x"),
+            (F.col("ty") * t2 + (F.col("i") - F.col("i") % t2) / t2)
+            .cast("long").alias("y"),
+            "v4")
+        .orderBy("y", "x"))
+
+
+def _sql_dem_upsample() -> str:
+    w = _FOCAL_T * 2  # 2x2 tiles of _FOCAL_T
+
+    def f(a, b):
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    x0, y0 = "(x // 2)", "(y // 2)"
+    x1 = f"least(((x // 2) + (x % 2)), {w - 1})"
+    y1 = f"least(((y // 2) + (y % 2)), {w - 1})"
+    v4 = " + ".join([f(x0, y0), f(x1, y0), f(x0, y1), f(x1, y1)])
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {2 * w})) AS x),
+ys AS (SELECT unnest(range(0, {2 * w})) AS y)
+SELECT x, y, ({v4}) AS v4
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6783,6 +6825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "line_merge": q_line_merge,
         "colocation": q_colocation,
+        "dem_upsample": q_dem_upsample,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6926,6 +6969,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore": _SQL_ANOMALY_ZSCORE,
         "line_merge": _SQL_LINE_MERGE,
         "colocation": _SQL_COLOCATION,
+        "dem_upsample": _sql_dem_upsample(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

@@ -138,11 +138,30 @@ def _flowdir8(padded: np.ndarray) -> np.ndarray:
     return np.where(scores.max(axis=0) > 0, codes[best], 0)
 
 
+def _bilinear2x(padded: np.ndarray) -> np.ndarray:
+    """EXACT 2x bilinear upsample, values scaled by 4 so the halves
+    and quarters stay int64: out(2i+a, 2j+b) = the 4-sample sum
+    c + [a]down + [b]right + [ab]diag with clamped samples at the
+    raster boundary (the padded edge replication IS the clamp)."""
+    c = padded[1:-1, 1:-1]
+    down = padded[2:, 1:-1]
+    right = padded[1:-1, 2:]
+    diag = padded[2:, 2:]
+    h, w = c.shape
+    out = np.empty((2 * h, 2 * w), dtype=np.int64)
+    out[0::2, 0::2] = 4 * c
+    out[0::2, 1::2] = 2 * (c + right)
+    out[1::2, 0::2] = 2 * (c + down)
+    out[1::2, 1::2] = c + right + down + diag
+    return out
+
+
 _OPS = {
     "sum3": (_focal_sum, "array<long>"),
     "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
     "hillshade": (hillshade_kernel, "array<long>"),
     "flowdir8": (_flowdir8, "array<long>"),
+    "bilin2x": (_bilinear2x, "array<long>"),
 }
 
 

@@ -79,6 +79,32 @@ def test_hillshade_range_and_sensitivity():
     assert not (shade == hillshade_kernel(flat)).all()
 
 
+def test_bilinear_upsample_matches_reference(tiles):
+    # 2x upsample: tile (tx,ty) holds a 2Tx2T block of the full-raster
+    # reference (clamped samples at the raster edge, halo in between)
+    out = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(2 * T, 2 * T)
+           for r in focal_op(tiles, op="bilin2x", tile_size=T).collect()}
+    assert len(out) == TX * TY
+    full = focal_reference(_full(), op="bilin2x")
+    assert full.shape == (2 * TY * T, 2 * TX * T)
+    for (tx, ty), got in out.items():
+        exp = full[2 * ty * T:2 * (ty + 1) * T, 2 * tx * T:2 * (tx + 1) * T]
+        assert (got == exp).all(), (tx, ty)
+
+
+def test_bilinear_upsample_exact_values():
+    # hand-checkable 2x2 (values x4): even/even = 4*sample, odd axes
+    # average the two/four neighbors, the far edge replicates (clamp)
+    g = np.array([[0, 4], [8, 20]], np.int64)
+    out = focal_reference(g, op="bilin2x")
+    exp = np.array([
+        [0, 8, 16, 16],
+        [16, 32, 48, 48],
+        [32, 56, 80, 80],
+        [32, 56, 80, 80]], np.int64)
+    assert (out == exp).all()
+
+
 def test_unknown_op_raises(tiles):
     with pytest.raises(ValueError, match="op must be"):
         focal_op(tiles, op="median3", tile_size=T)
