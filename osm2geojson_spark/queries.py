@@ -6676,6 +6676,209 @@ ORDER BY y, x
 """
 
 
+def q_skyline(spark, sf_dir):
+    """3-D Pareto skyline over lineitem (dims = modular int64 mixes of
+    the keys, all minimized): pivot prefilter (one agg + broadcast) →
+    per-partition numpy local skylines → bounded exact merge. The
+    oracle replays the ALGEBRA, not the algorithm: the same min-sum
+    pivot prefilter (sound by dominance transitivity, and it leaves
+    only a few hundred candidates) then literal NOT-EXISTS dominance."""
+    from osm2geojson_spark.operators.skyline import skyline
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("((l_orderkey * 2654435761 + l_linenumber) % 1000003)")
+        .alias("c1"),
+        F.expr("((l_partkey * 2246822519 + l_orderkey) % 1000033)")
+        .alias("c2"),
+        F.expr("((l_suppkey * 3266489917 + l_linenumber * 7"
+               " + l_orderkey * 3) % 1000151)").alias("c3"))
+    return (skyline(pts, ["c1", "c2", "c3"])
+            .orderBy("c1", "c2", "c3", "l_orderkey", "l_linenumber"))
+
+
+_SQL_SKYLINE = """
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         ((l_orderkey * 2654435761 + l_linenumber) % 1000003) AS c1,
+         ((l_partkey * 2246822519 + l_orderkey) % 1000033) AS c2,
+         ((l_suppkey * 3266489917 + l_linenumber * 7
+           + l_orderkey * 3) % 1000151) AS c3
+  FROM lineitem),
+piv AS (
+  SELECT c1 AS p1, c2 AS p2, c3 AS p3 FROM pts
+  ORDER BY (c1 + c2 + c3), c1, c2, c3 LIMIT 1),
+cand AS (
+  SELECT p.* FROM pts p, piv
+  WHERE NOT ((p1 <= c1 AND p2 <= c2 AND p3 <= c3)
+             AND (p1 < c1 OR p2 < c2 OR p3 < c3)))
+SELECT l_orderkey, l_linenumber, c1, c2, c3
+FROM cand p
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand q
+  WHERE q.c1 <= p.c1 AND q.c2 <= p.c2 AND q.c3 <= p.c3
+    AND (q.c1 < p.c1 OR q.c2 < p.c2 OR q.c3 < p.c3))
+ORDER BY c1, c2, c3, l_orderkey, l_linenumber
+"""
+
+
+def q_shard_pack(spark, sf_dir):
+    """WebDataset-style training-shard manifests: every document gets a
+    deterministic global byte offset in shuffled (modular-bijection)
+    order via the strpack bucketed distributed prefix sum — no 1-task
+    global window — then shard = offset div capacity and one manifest
+    aggregation (count, bytes, first/last doc in shard order)."""
+    from osm2geojson_spark.operators.shards import (
+        pack_shards, shard_manifest)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.expr("((doc_id * 2654435761) % 999999937)").alias("okey"))
+    a = pack_shards(docs, size_col="n_chars", order_col="okey",
+                    bucket=F.expr("okey div 1048576"), capacity=32768)
+    return (shard_manifest(a, id_col="doc_id", size_col="n_chars",
+                           order_col="okey")
+            .orderBy("shard_id"))
+
+
+_SQL_SHARD_PACK = """
+WITH o AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 999999937) AS okey
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars, okey,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY okey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM o),
+a AS (SELECT doc_id, n_chars, okey, (pos // 32768) AS shard_id FROM c)
+SELECT shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes,
+       arg_min(doc_id, okey) AS first_id,
+       arg_max(doc_id, okey) AS last_id
+FROM a GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def q_scd2_build(spark, sf_dir):
+    """SCD type-2 dimension build from the event changelog: per-user
+    change detection (lag) → segment numbering (cumulative flag sum) →
+    validity intervals closed off by lead(valid_from); the open current
+    version carries valid_to = -1. Pure window algebra, identical in
+    both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " ts)").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.withColumn(
+        "new_seg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0))
+    seg = flagged.withColumn(
+        "version",
+        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    g = seg.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("sec").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"))
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (g.select(
+        "user_id", "version", "event_type", "valid_from",
+        F.coalesce(F.lead("valid_from").over(wv), F.lit(-1).cast("long"))
+        .alias("valid_to"),
+        "n_events")
+        .orderBy("user_id", "version"))
+
+
+_SQL_SCD2_BUILD = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+f AS (
+  SELECT *,
+         (CASE WHEN (LAG(event_type) OVER w IS NULL)
+                    OR (LAG(event_type) OVER w <> event_type)
+               THEN 1 ELSE 0 END) AS new_seg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+s AS (
+  SELECT *,
+         CAST(SUM(new_seg) OVER (
+           PARTITION BY user_id ORDER BY sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS version
+  FROM f),
+g AS (
+  SELECT user_id, version, MIN(event_type) AS event_type,
+         MIN(sec) AS valid_from, COUNT(*) AS n_events
+  FROM s GROUP BY user_id, version)
+SELECT user_id, version, event_type, valid_from,
+       COALESCE(LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY version), -1) AS valid_to,
+       n_events
+FROM g
+ORDER BY user_id, version
+"""
+
+
+def q_twap(spark, sf_dir):
+    """Time-weighted average price per user over the irregular event
+    stream: each sample holds until the next one (step function), so
+    TWAP = Σ value·dur / Σ dur. value goes through DECIMAL(18,2)
+    BEFORE the multiply (exact, order-independent partials — the
+    pricing discipline; scale 2 keeps the summed raw integer far under
+    2^53, the documented lossy-cast trap), one double division at the
+    end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " ts)").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = (ev.withColumn("dur", F.lead("sec").over(w) - F.col("sec"))
+         .where(F.col("dur").isNotNull())
+         .withColumn(
+             "vd",
+             F.col("value").cast("decimal(18,2)")
+             * F.col("dur").cast("decimal(18,0)")))
+    return (d.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_holds"),
+                 F.sum("dur").alias("total_dur"),
+                 F.sum("vd").alias("_sv"))
+            .where(F.col("total_dur") > 0)
+            .select("user_id", "n_holds", "total_dur",
+                    (F.col("_sv").cast("double")
+                     / F.col("total_dur").cast("double")).alias("twap"))
+            .orderBy("user_id"))
+
+
+_SQL_TWAP = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+d AS (
+  SELECT user_id,
+         (LEAD(sec) OVER w - sec) AS dur,
+         (CAST(value AS DECIMAL(18,2)) * CAST((LEAD(sec) OVER w - sec)
+            AS DECIMAL(18,0))) AS vd
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+g AS (
+  SELECT user_id, COUNT(*) AS n_holds,
+         CAST(SUM(dur) AS BIGINT) AS total_dur, SUM(vd) AS sv
+  FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_holds, total_dur,
+       (CAST(sv AS DOUBLE) / CAST(total_dur AS DOUBLE)) AS twap
+FROM g WHERE total_dur > 0
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6826,6 +7029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_merge": q_line_merge,
         "colocation": q_colocation,
         "dem_upsample": q_dem_upsample,
+        "skyline": q_skyline,
+        "shard_pack": q_shard_pack,
+        "scd2_build": q_scd2_build,
+        "twap": q_twap,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -6970,6 +7177,10 @@ def oracle_sql() -> dict[str, str]:
         "line_merge": _SQL_LINE_MERGE,
         "colocation": _SQL_COLOCATION,
         "dem_upsample": _sql_dem_upsample(),
+        "skyline": _SQL_SKYLINE,
+        "shard_pack": _SQL_SHARD_PACK,
+        "scd2_build": _SQL_SCD2_BUILD,
+        "twap": _SQL_TWAP,
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
