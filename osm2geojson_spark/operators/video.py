@@ -115,3 +115,39 @@ def video_stats(df: DataFrame) -> DataFrame:
                                               "mean_frame_delta", "error"])
 
     return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def scene_cuts(df: DataFrame, thr_per_px: int = 100) -> DataFrame:
+    """Scene-change (shot-boundary) detection: exact int64 sum of
+    squared RGB deltas between consecutive frames; frame ``k`` starts a
+    new scene iff ``d2 > thr_per_px * w*h*3`` (integer compare, no
+    division). ONE sequential decode pass per clip inside the Arrow
+    kernel — zero shuffle, the per-clip cost is the honest decode;
+    undecodable clips quarantine as ``cut_at = -1`` with the error.
+
+    The per-frame sampling shape a video-training pipeline needs before
+    keyframe extraction: cuts partition a clip into shots, and shots —
+    not raw frame indices — are the dedup/caption unit at 100 TB."""
+    out_schema = "media_id string, cut_at int, d2 long, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    n, _, get_frame = _open_clip(bytes(t.bytes), t.fmt)
+                    prev = get_frame(0).astype(np.int64)
+                    npix = prev.size
+                    for k in range(1, n):
+                        cur = get_frame(k).astype(np.int64)
+                        d2 = int(((cur - prev) ** 2).sum())
+                        if d2 > thr_per_px * npix:
+                            rows.append((t.media_id, k, d2, None))
+                        prev = cur
+                except Exception as ex:  # noqa: BLE001 — quarantine row
+                    rows.append((t.media_id, -1, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=["media_id", "cut_at",
+                                              "d2", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)

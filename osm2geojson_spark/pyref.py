@@ -1596,3 +1596,32 @@ def ref_multimodal_clusters(n: int = 500, seed: int = 42,
             parent[rb] = ra
     nodes = sorted({x for e in edges for x in e})
     return [(x, find(x)) for x in nodes]
+
+
+# ------------------------------------------------------------- scene cuts
+
+def ref_scene_cuts(n: int = 300, seed: int = 42,
+                   thr_per_px: int = 100) -> "list[tuple]":
+    """Spark-free twin of operators/video.scene_cuts over the
+    scene-structured synth corpus: direct fpack slicing (no container
+    dispatch) + plain numpy int64 squared-diff sums."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.video import (
+        fpack_frame,
+        make_scene_video_row,
+    )
+
+    out = []
+    for i in range(n):
+        media_id, buf, w, h, nf, _fps, _fmt = make_scene_video_row(
+            i * 2 + seed)
+        npix = w * h * 3
+        prev = fpack_frame(buf, 0).astype(np.int64)
+        for k in range(1, nf):
+            cur = fpack_frame(buf, k).astype(np.int64)
+            d2 = int(((cur - prev) ** 2).sum())
+            if d2 > thr_per_px * npix:
+                out.append((media_id, k, d2))
+            prev = cur
+    return out

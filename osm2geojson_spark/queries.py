@@ -6879,6 +6879,31 @@ ORDER BY user_id
 """
 
 
+def q_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over the scene-structured clip corpus:
+    exact int64 inter-frame squared-diff sums in one sequential decode
+    pass per clip, cut iff d2 > 100·npix (integer compare). In-scene
+    deltas are exactly 9·npix by construction, boundaries ≈ 6,600·npix.
+    Oracle: pyref literal table via direct fpack slicing."""
+    from osm2geojson_spark.operators.video import scene_cuts
+    from osm2geojson_spark.synth.video import scene_video_table
+
+    vids = scene_video_table(spark, n=300, seed=42)
+    return (scene_cuts(vids, thr_per_px=100)
+            .where(F.col("error").isNull())
+            .select("media_id", "cut_at", "d2")
+            .orderBy("media_id", "cut_at"))
+
+
+def _sql_scene_cuts() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_scene_cuts(n=300, seed=42)
+    return pyref.values_sql(
+        rows, [("media_id", "VARCHAR"), ("cut_at", "INTEGER"),
+               ("d2", "BIGINT")]) + " ORDER BY media_id, cut_at"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7033,6 +7058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": q_shard_pack,
         "scd2_build": q_scd2_build,
         "twap": q_twap,
+        "scene_cuts": q_scene_cuts,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7181,6 +7207,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_pack": _SQL_SHARD_PACK,
         "scd2_build": _SQL_SCD2_BUILD,
         "twap": _SQL_TWAP,
+        "scene_cuts": _sql_scene_cuts(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

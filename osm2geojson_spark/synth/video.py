@@ -99,6 +99,41 @@ def make_video_row(seed: int, fmts: tuple = VFMTS) -> tuple:
     return (f"vid-{seed:012d}", buf, w, h, n_frames, 10, fmt)
 
 
+def make_scene_video_row(seed: int) -> tuple:
+    """Scene-structured clip for cut detection: within a scene,
+    consecutive frames differ by EXACTLY +3 per channel (bases rescaled
+    into [0,200) so +3·k never wraps — in-scene d2 is 9·npix on the
+    nose), while scene boundaries switch to an independent base pattern
+    (d2 ≈ 6,600·npix). Scene layout is closed-form: ``n_scenes`` scenes
+    of ``per_scene`` frames ⇒ true cuts at multiples of per_scene."""
+    w = 16 + 8 * (seed % 2)
+    h = 16
+    n_scenes = 2 + seed % 3
+    per_scene = 3 + (seed // 3) % 3
+    frames = []
+    for j in range(n_scenes):
+        base = gen_pixels(seed * 131 + j * 977 + 7, w, h).astype(np.int64)
+        base = base * 200 // 256
+        for k in range(per_scene):
+            frames.append((base + 3 * k).astype(np.uint8))
+    buf = encode_fpack(frames, fps=10)
+    return (f"scn-{seed:012d}", buf, w, h, len(frames), 10, "fpack")
+
+
+def scene_video_table(spark: SparkSession, n: int = 300, seed: int = 42,
+                      partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
+        for pdf in batches:
+            rows = [make_scene_video_row(int(i) * 2 + seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
+
+
 def video_table(spark: SparkSession, n: int = 200, seed: int = 66,
                 partitions: int | None = None,
                 fmts: tuple = VFMTS) -> DataFrame:
