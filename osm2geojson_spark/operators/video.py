@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from osm2geojson_spark.synth.avi import avi_frame, avi_frame_index, avi_header
 from osm2geojson_spark.synth.images import encode_ppm
@@ -151,3 +152,90 @@ def scene_cuts(df: DataFrame, thr_per_px: int = 100) -> DataFrame:
                                               "d2", "error"])
 
     return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def shot_signatures(df: DataFrame, thr_per_px: int = 100) -> DataFrame:
+    """Shot-level video signatures: detect cuts with the scene_cuts
+    integer threshold, then emit ONE row per shot with the 64-bit
+    perceptual hash (synth.images.phash64) of the shot's FIRST frame —
+    all in the same single sequential decode pass, zero shuffle. The
+    shot, not the clip or the raw frame, is the dedup unit at 100 TB:
+    re-cut/extended/trimmed uploads share shots even when no two clips
+    are byte- or even frame-count-equal. Undecodable clips quarantine
+    as ``shot_idx = -1`` with the error."""
+    from osm2geojson_spark.synth.images import phash64
+
+    out_schema = ("media_id string, shot_idx int, start_frame int, "
+                  "n_frames int, phash long, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    n, _, get_frame = _open_clip(bytes(t.bytes), t.fmt)
+                    first = get_frame(0)
+                    prev = first.astype(np.int64)
+                    npix = prev.size
+                    starts = [0]
+                    hashes = [phash64(first)]
+                    for k in range(1, n):
+                        cur_u8 = get_frame(k)
+                        cur = cur_u8.astype(np.int64)
+                        if int(((cur - prev) ** 2).sum()) > thr_per_px * npix:
+                            starts.append(k)
+                            hashes.append(phash64(cur_u8))
+                        prev = cur
+                    bounds = starts + [n]
+                    for s, (st, hv) in enumerate(zip(starts, hashes)):
+                        rows.append((t.media_id, s, st, bounds[s + 1] - st,
+                                     hv, None))
+                except Exception as ex:  # noqa: BLE001 — quarantine row
+                    rows.append((t.media_id, -1, None, None, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=["media_id", "shot_idx",
+                                              "start_frame", "n_frames",
+                                              "phash", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(run, out_schema)
+
+
+def video_dup_pairs(shots: DataFrame, min_shared: int = 2,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate video pairs from shot signatures: collapse each
+    clip to its DISTINCT shot-phash set, equi-join the set with itself
+    on phash (the only data-sized shuffle — the LSH-bucket discipline;
+    ``max_bucket_size`` caps near-universal shots like black frames or
+    channel idents), count shared phashes per ordered pair, and keep
+    pairs sharing ≥ ``min_shared``. Jaccard is exact integer ppm:
+    ``shared·10⁶ div (|A| + |B| − shared)`` — all values positive, so
+    Spark ``div`` == DuckDB ``//``. Per-clip set sizes are a tiny
+    aggregate, broadcast to both join sides."""
+    from .dedup import cap_bucket_size
+
+    sigs = (shots.where(F.col("error").isNull())
+            .select("media_id", "phash").distinct())
+    sigs = cap_bucket_size(sigs, ["phash"], max_bucket_size)
+    counts = sigs.groupBy("media_id").agg(F.count("*").alias("n_shots"))
+    pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"),
+              (F.col("a.phash") == F.col("b.phash"))
+              & (F.col("a.media_id") < F.col("b.media_id")))
+        .groupBy(F.col("a.media_id").alias("id_a"),
+                 F.col("b.media_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    ca = F.broadcast(counts).alias("ca")
+    cb = F.broadcast(counts).alias("cb")
+    return (
+        pairs
+        .join(ca, F.col("id_a") == F.col("ca.media_id"))
+        .join(cb, F.col("id_b") == F.col("cb.media_id"))
+        .select(
+            "id_a", "id_b", "shared",
+            F.expr("shared * 1000000 div "
+                   "(ca.n_shots + cb.n_shots - shared)").alias("jaccard_ppm"),
+        )
+    )

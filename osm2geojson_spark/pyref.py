@@ -1625,3 +1625,37 @@ def ref_scene_cuts(n: int = 300, seed: int = 42,
                 out.append((media_id, k, d2))
             prev = cur
     return out
+
+
+def ref_shot_signatures(n: int = 240, seed: int = 0,
+                        thr_per_px: int = 100) -> "list[tuple]":
+    """Spark-free twin of operators/video.shot_signatures over the
+    shot-pool dup corpus: direct fpack slicing + the same integer cut
+    threshold + phash64 of each shot's first frame."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import phash64
+    from osm2geojson_spark.synth.video import (
+        fpack_frame,
+        make_shotpool_video_row,
+    )
+
+    out = []
+    for i in range(n):
+        media_id, buf, w, h, nf, _fps, _fmt = make_shotpool_video_row(
+            i + seed)
+        npix = w * h * 3
+        first = fpack_frame(buf, 0)
+        prev = first.astype(np.int64)
+        starts, hashes = [0], [phash64(first)]
+        for k in range(1, nf):
+            cur_u8 = fpack_frame(buf, k)
+            cur = cur_u8.astype(np.int64)
+            if int(((cur - prev) ** 2).sum()) > thr_per_px * npix:
+                starts.append(k)
+                hashes.append(phash64(cur_u8))
+            prev = cur
+        bounds = starts + [nf]
+        for s, (st, hv) in enumerate(zip(starts, hashes)):
+            out.append((media_id, s, st, bounds[s + 1] - st, hv))
+    return out

@@ -6904,6 +6904,77 @@ def _sql_scene_cuts() -> str:
                ("d2", "BIGINT")]) + " ORDER BY media_id, cut_at"
 
 
+def q_shot_phash(spark, sf_dir):
+    """Shot-level video signatures over the shot-pool dup corpus: cuts
+    via the scene_cuts integer threshold, one phash64 per shot's first
+    frame, single sequential decode pass per clip. Oracle: pyref
+    literal table (direct fpack slicing, same phash64)."""
+    from osm2geojson_spark.operators.video import shot_signatures
+    from osm2geojson_spark.synth.video import shotpool_video_table
+
+    vids = shotpool_video_table(spark, n=240, seed=0)
+    return (shot_signatures(vids, thr_per_px=100)
+            .where(F.col("error").isNull())
+            .select("media_id", "shot_idx", "start_frame",
+                    "n_frames", "phash")
+            .orderBy("media_id", "shot_idx"))
+
+
+def _sql_shot_phash() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_shot_signatures(n=240, seed=0)
+    return pyref.values_sql(
+        rows, [("media_id", "VARCHAR"), ("shot_idx", "INTEGER"),
+               ("start_frame", "INTEGER"), ("n_frames", "INTEGER"),
+               ("phash", "BIGINT")]) + " ORDER BY media_id, shot_idx"
+
+
+def q_video_dedup(spark, sf_dir):
+    """Near-duplicate VIDEO pairs: distinct shot-phash sets equi-joined
+    on phash (the only data-sized shuffle), shared-shot counts ≥ 2,
+    exact integer-ppm Jaccard. Oracle: DuckDB runs the same set algebra
+    over the pyref shot-signature literal table — only the signatures
+    are shared; the dedup join/agg logic is checked cross-engine."""
+    from osm2geojson_spark.operators.video import (
+        shot_signatures,
+        video_dup_pairs,
+    )
+    from osm2geojson_spark.synth.video import shotpool_video_table
+
+    vids = shotpool_video_table(spark, n=240, seed=0)
+    return (video_dup_pairs(shot_signatures(vids, thr_per_px=100),
+                            min_shared=2)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_video_dedup() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = [(m, h) for (m, _s, _st, _nf, h)
+            in pyref.ref_shot_signatures(n=240, seed=0)]
+    vals = pyref.values_sql(rows, [("media_id", "VARCHAR"),
+                                   ("phash", "BIGINT")])
+    return f"""
+WITH sigs AS (SELECT DISTINCT media_id, phash FROM ({vals}) raw),
+cnt AS (SELECT media_id, COUNT(*) AS n_shots FROM sigs GROUP BY media_id),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS shared
+  FROM sigs a JOIN sigs b
+    ON (a.phash = b.phash) AND (a.media_id < b.media_id)
+  GROUP BY a.media_id, b.media_id
+)
+SELECT p.id_a, p.id_b, p.shared,
+       (p.shared * 1000000) // (ca.n_shots + cb.n_shots - p.shared)
+         AS jaccard_ppm
+FROM pairs p
+JOIN cnt ca ON (ca.media_id = p.id_a)
+JOIN cnt cb ON (cb.media_id = p.id_b)
+WHERE p.shared >= 2
+ORDER BY p.id_a, p.id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7059,6 +7130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "twap": q_twap,
         "scene_cuts": q_scene_cuts,
+        "shot_phash": q_shot_phash,
+        "video_dedup": q_video_dedup,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7208,6 +7281,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_build": _SQL_SCD2_BUILD,
         "twap": _SQL_TWAP,
         "scene_cuts": _sql_scene_cuts(),
+        "shot_phash": _sql_shot_phash(),
+        "video_dedup": _sql_video_dedup(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

@@ -120,6 +120,44 @@ def make_scene_video_row(seed: int) -> tuple:
     return (f"scn-{seed:012d}", buf, w, h, len(frames), 10, "fpack")
 
 
+def make_shotpool_video_row(seed: int) -> tuple:
+    """Clip assembled from a SHARED pool of 60 shot base patterns —
+    the planted near-duplicate structure for video dedup. Group
+    ``g = seed // 3`` has three variants ``v = seed % 3`` with
+    ``3 + v`` shots drawn as the arithmetic progression
+    ``(17g + 5j) mod 60``: variants of one group share their first 3
+    shots, and groups congruent mod 5 overlap in a structured way
+    (17·(g−g') lands back on the step-5 progression iff g ≡ g' mod 5).
+    Within a shot, frames drift by exactly +3/channel (the scene-cut
+    corpus rule), so shot boundaries are detectable by the same
+    integer threshold."""
+    w = h = 16
+    g, v = divmod(seed, 3)
+    pool_ids = [(17 * g + 5 * j) % 60 for j in range(3 + v)]
+    frames = []
+    for pid in pool_ids:
+        base = gen_pixels(1000 + pid * 977, w, h).astype(np.int64)
+        base = base * 200 // 256
+        for k in range(3):
+            frames.append((base + 3 * k).astype(np.uint8))
+    buf = encode_fpack(frames, fps=10)
+    return (f"dup-{seed:012d}", buf, w, h, len(frames), 10, "fpack")
+
+
+def shotpool_video_table(spark: SparkSession, n: int = 240, seed: int = 0,
+                         partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
+        for pdf in batches:
+            rows = [make_shotpool_video_row(int(i) + seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
+
+
 def scene_video_table(spark: SparkSession, n: int = 300, seed: int = 42,
                       partitions: int | None = None) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism
