@@ -6975,6 +6975,79 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+_MORAN_T, _MORAN_TILES, _MORAN_ZT = 32, 8, 2   # 256² px, 16 zones of 64²
+
+
+def q_moran(spark, sf_dir):
+    """Global Moran's I per zone (spatial/autocorr.py): rook-adjacency
+    spatial autocorrelation rewritten over five integer power sums so
+    the mean-centered statistic is EXACT (the N² scale of dᵢ = N·xᵢ−S
+    cancels in the ratio). Tiles ship only their left column + top row
+    to same-zone west/north neighbors (half the focal halo), partials
+    shrink to one row per tile, zones aggregate in a tiny final agg.
+    Oracle: closed-form DEM — DuckDB evaluates neighbor products
+    directly from the formula, no join, HUGEINT algebra."""
+    from osm2geojson_spark.spatial.autocorr import moran_zone_stats
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, _MORAN_TILES, _MORAN_TILES, _MORAN_T)
+    return (moran_zone_stats(tiles, _MORAN_T, _MORAN_ZT)
+            .orderBy("zone_y", "zone_x"))
+
+
+def _sql_moran() -> str:
+    t, nt, zt = _MORAN_T, _MORAN_TILES, _MORAN_ZT
+    wpx, z = t * nt, t * zt
+
+    def v(ax, ay):
+        return (f"(((({ax}) * 73 + ({ay}) * 19) % 100)"
+                f" + ((({ax}) * ({ax}) + 3 * (({ay}) * ({ay}))) % 7))")
+
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {wpx})) AS x),
+ys AS (SELECT unnest(range(0, {wpx})) AS y),
+px AS (
+  SELECT (x // {z}) AS zone_x, (y // {z}) AS zone_y,
+         {v('x', 'y')} AS val,
+         (CASE WHEN ((x % {z}) <> {z - 1})
+               THEN ({v('x', 'y')} * {v('x + 1', 'y')}) ELSE 0 END) AS hx,
+         (CASE WHEN ((y % {z}) <> {z - 1})
+               THEN ({v('x', 'y')} * {v('x', 'y + 1')}) ELSE 0 END) AS vy,
+         (4 - (CASE WHEN ((x % {z}) = 0) THEN 1 ELSE 0 END)
+            - (CASE WHEN ((x % {z}) = {z - 1}) THEN 1 ELSE 0 END)
+            - (CASE WHEN ((y % {z}) = 0) THEN 1 ELSE 0 END)
+            - (CASE WHEN ((y % {z}) = {z - 1}) THEN 1 ELSE 0 END)) AS deg
+  FROM xs, ys
+),
+agg AS (
+  SELECT zone_x, zone_y,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(val * val) AS BIGINT) AS q,
+         CAST(SUM(hx + vy) AS BIGINT) AS e_xy,
+         CAST(SUM(deg * val) AS BIGINT) AS e_dx,
+         CAST(SUM(deg) AS BIGINT) AS w
+  FROM px GROUP BY zone_x, zone_y
+),
+md AS (
+  SELECT *,
+         ((CAST(n AS HUGEINT) * n * 2 * e_xy)
+          - (CAST(2 AS HUGEINT) * n * s * e_dx)
+          + (CAST(s AS HUGEINT) * s * w)) AS num_h,
+         (CAST(n AS HUGEINT) * ((CAST(n AS HUGEINT) * q)
+          - (CAST(s AS HUGEINT) * s))) AS den_h
+  FROM agg
+)
+SELECT zone_x, zone_y, n, s, q, e_xy, e_dx, w,
+       CAST(num_h AS DECIMAL(38,0)) AS num,
+       CAST(den_h AS DECIMAL(38,0)) AS den,
+       CAST(((CAST(1000000 AS HUGEINT) * n * num_h)
+             // (CAST(w AS HUGEINT) * den_h)) AS BIGINT) AS moran_ppm
+FROM md
+ORDER BY zone_y, zone_x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7132,6 +7205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_cuts": q_scene_cuts,
         "shot_phash": q_shot_phash,
         "video_dedup": q_video_dedup,
+        "moran": q_moran,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7283,6 +7357,7 @@ def oracle_sql() -> dict[str, str]:
         "scene_cuts": _sql_scene_cuts(),
         "shot_phash": _sql_shot_phash(),
         "video_dedup": _sql_video_dedup(),
+        "moran": _sql_moran(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
