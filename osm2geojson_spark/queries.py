@@ -7048,6 +7048,70 @@ ORDER BY zone_y, zone_x
 """
 
 
+_VS_OX, _VS_OY, _VS_H, _VS_R = 128, 128, 5, 40
+
+
+def q_viewshed(spark, sf_dir):
+    """Exact-R3 viewshed (spatial/viewshed.py): per-target profile
+    samples generated as pure column math (posexplode(sequence), zero
+    Python), ONE equi-join against the DEM cell table for the profile
+    elevations, per-target max of the integer cross-multiplied slope
+    test. Oracle: closed-form DEM ⇒ DuckDB evaluates every sample
+    in-row with list_filter, NO join — the focal family's two-path
+    pattern."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.viewshed import viewshed
+
+    t = _MORAN_T
+    tiles = synth_dem_tiles(spark, _MORAN_TILES, _MORAN_TILES, t)
+    cells = tiles.select(
+        "tx", "ty", F.posexplode("data").alias("i", "e")).select(
+        (F.col("tx") * t + F.col("i") % t).alias("x"),
+        (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+        .cast("long").alias("y"),
+        "e")
+    return (viewshed(cells, _VS_OX, _VS_OY, _VS_H, _VS_R)
+            .orderBy("y", "x"))
+
+
+def _sql_viewshed() -> str:
+    ox, oy, h, r = _VS_OX, _VS_OY, _VS_H, _VS_R
+
+    def v(ax, ay):
+        return (f"(((({ax}) * 73 + ({ay}) * 19) % 100)"
+                f" + ((({ax}) * ({ax}) + 3 * (({ay}) * ({ay}))) % 7))")
+
+    eo = f"({v(str(ox), str(oy))} + {h})"
+    sx = (f"(CASE WHEN (adx >= ady)"
+          f" THEN ({ox} + (k * (CASE WHEN (dx > 0) THEN 1 ELSE -1 END)))"
+          f" ELSE ((((2 * {ox}) * ady) + ((2 * k) * dx) + ady)"
+          f" // (2 * ady)) END)")
+    sy = (f"(CASE WHEN (adx >= ady)"
+          f" THEN ((((2 * {oy}) * adx) + ((2 * k) * dy) + adx)"
+          f" // (2 * adx))"
+          f" ELSE ({oy} + (k * (CASE WHEN (dy > 0) THEN 1 ELSE -1 END)))"
+          f" END)")
+    blocked = (f"len(list_filter(range(1, delta), k ->"
+               f" (({v(sx, sy)} - {eo}) * delta)"
+               f" >= ((et - {eo}) * k))) > 0")
+    return f"""
+WITH xs AS (SELECT unnest(range({ox - r}, {ox + r + 1})) AS x),
+ys AS (SELECT unnest(range({oy - r}, {oy + r + 1})) AS y),
+tgt AS (
+  SELECT x, y, {v('x', 'y')} AS et,
+         (x - {ox}) AS dx, (y - {oy}) AS dy,
+         abs(x - {ox}) AS adx, abs(y - {oy}) AS ady,
+         greatest(abs(x - {ox}), abs(y - {oy})) AS delta
+  FROM xs, ys
+  WHERE NOT ((x = {ox}) AND (y = {oy}))
+)
+SELECT x, y, et AS e, delta,
+       (CASE WHEN ({blocked}) THEN 0 ELSE 1 END) AS visible
+FROM tgt
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7206,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_phash": q_shot_phash,
         "video_dedup": q_video_dedup,
         "moran": q_moran,
+        "viewshed": q_viewshed,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7358,6 +7423,7 @@ def oracle_sql() -> dict[str, str]:
         "shot_phash": _sql_shot_phash(),
         "video_dedup": _sql_video_dedup(),
         "moran": _sql_moran(),
+        "viewshed": _sql_viewshed(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
