@@ -393,3 +393,113 @@ def cosine_topk_pq(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "cosine", "rank"))
+
+
+# ------------------------------------------------------------- PCA family
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                scale_bits: int = 20) -> DataFrame:
+    """EXACT int64 Gram matrix over an embedding column: vectors
+    quantized to ``floor(x·2^scale_bits)`` (float32→double is exact and
+    the scale is a power of two, so the quantization is bit-identical
+    in every engine), then ``G = Σ qqᵀ`` — a per-partition numpy
+    int64 matmul emitting one upper-triangle partial per Arrow batch,
+    finished by a d²-sized groupBy sum. The d×d result is O(metadata):
+    this is THE 100 TB pattern for second-moment statistics (PCA,
+    whitening, ridge normal equations) — the corpus is touched once,
+    map-side, and the shuffle is d(d+1)/2 rows per partition.
+    Indices are 1-based (matches SQL list indexing)."""
+    sb = int(scale_bits)
+
+    def run(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q = np.floor(v * (1 << sb)).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame({"i": (iu + 1).astype("int64"),
+                            "j": (ju + 1).astype("int64"),
+                            "g": acc[iu, ju]})
+
+    partials = df.select(vec_col).mapInPandas(run, "i long, j long, g long")
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def vector_moments(df: DataFrame, vec_col: str = "embedding",
+                   scale_bits: int = 20) -> DataFrame:
+    """Exact first moments of the quantized vectors: (i, s) with
+    s_i = Σ q_i, plus row count as i = 0. Same one-pass map-side
+    partial shape as :func:`gram_matrix`."""
+    sb = int(scale_bits)
+
+    def run(batches):
+        acc, n = None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q = np.floor(v * (1 << sb)).astype(np.int64)
+            acc = q.sum(axis=0) if acc is None else acc + q.sum(axis=0)
+            n += q.shape[0]
+        if acc is None:
+            return
+        yield pd.DataFrame({
+            "i": np.arange(0, len(acc) + 1, dtype="int64"),
+            "s": np.concatenate([[n], acc]).astype("int64")})
+
+    partials = df.select(vec_col).mapInPandas(run, "i long, s long")
+    return partials.groupBy("i").agg(F.sum("s").alias("s"))
+
+
+def pca_project(df: DataFrame, k: int = 3, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                scale_bits: int = 20) -> DataFrame:
+    """Top-k PCA projection, exact end-to-end: the centered covariance
+    is assembled driver-side from the EXACT integer Gram and moments
+    (``C_raw = n·G − s·sᵀ``, O(d²) driver rows — bounded metadata, not
+    data), eigenvectors come from the deterministic pure-numpy Jacobi
+    solver (pyref.jacobi_eigh — no LAPACK, so twins are bit-identical),
+    get quantized to int64, and the projection
+    ``z_c = Σᵢ (n·qᵢ − sᵢ)·vqᵢ`` is pure int64 arithmetic — order
+    independent, engine independent. Output: (vec_id, z1..zk)."""
+    from osm2geojson_spark.pyref import jacobi_eigh
+
+    sb = int(scale_bits)
+    d_rows = gram_matrix(df, vec_col, scale_bits).collect()  # O(d²)
+    m_rows = vector_moments(df, vec_col, scale_bits).collect()  # O(d)
+    d = max(r["i"] for r in d_rows)
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in d_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+        g[r["j"] - 1, r["i"] - 1] = r["g"]
+    s = np.zeros(d, dtype=np.int64)
+    n = 0
+    for r in m_rows:
+        if r["i"] == 0:
+            n = int(r["s"])
+        else:
+            s[r["i"] - 1] = r["s"]
+    craw = (n * g - np.outer(s, s)).astype(np.float64)
+    _vals, evecs = jacobi_eigh(craw)
+    vq = np.floor(evecs[:, :k] * (1 << sb)).astype(np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q = np.floor(v * (1 << sb)).astype(np.int64)
+            z = (n * q - s[None, :]) @ vq
+            out = {"vec_id": pdf[id_col].astype("int64")}
+            for c in range(k):
+                out[f"z{c + 1}"] = z[:, c]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"z{c + 1} long" for c in range(k))
+    return df.select(id_col, vec_col).mapInPandas(run, schema)

@@ -1659,3 +1659,80 @@ def ref_shot_signatures(n: int = 240, seed: int = 0,
         for s, (st, hv) in enumerate(zip(starts, hashes)):
             out.append((media_id, s, st, bounds[s + 1] - st, hv))
     return out
+
+
+# ----------------------------------------------------------- PCA (exact)
+
+def jacobi_eigh(c) -> "tuple":
+    """Deterministic symmetric eigensolver: classical cyclic Jacobi in
+    pure numpy scalar ops — NO LAPACK, so the Spark driver and this
+    Spark-free twin produce bit-identical eigenvectors regardless of
+    BLAS threading. Returns (eigvals desc, eigvecs as columns), each
+    eigenvector sign-fixed so its largest-|component| (first index on
+    ties) is positive."""
+    import numpy as np
+
+    a = np.array(c, dtype=np.float64, copy=True)
+    d = a.shape[0]
+    v = np.eye(d)
+    for _sweep in range(30):
+        off = 0.0
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = a[p, q]
+                off += apq * apq
+                if apq == 0.0:
+                    continue
+                # negligible off-diagonal (Numerical Recipes test):
+                # annihilate directly, keeps theta finite below
+                ga = 100.0 * abs(apq)
+                if (abs(a[p, p]) + ga == abs(a[p, p])
+                        and abs(a[q, q]) + ga == abs(a[q, q])):
+                    a[p, q] = a[q, p] = 0.0
+                    continue
+                theta = (a[q, q] - a[p, p]) / (2.0 * apq)
+                if abs(theta) > 1.0e150:   # theta² would overflow;
+                    t = 1.0 / (2.0 * theta)   # exact limit of the formula
+                else:
+                    t = (1.0 if theta >= 0.0 else -1.0) / (
+                        abs(theta) + np.sqrt(theta * theta + 1.0))
+                cs = 1.0 / np.sqrt(t * t + 1.0)
+                sn = t * cs
+                rp, rq = a[:, p].copy(), a[:, q].copy()
+                a[:, p] = cs * rp - sn * rq
+                a[:, q] = sn * rp + cs * rq
+                rp, rq = a[p, :].copy(), a[q, :].copy()
+                a[p, :] = cs * rp - sn * rq
+                a[q, :] = sn * rp + cs * rq
+                rp, rq = v[:, p].copy(), v[:, q].copy()
+                v[:, p] = cs * rp - sn * rq
+                v[:, q] = sn * rp + cs * rq
+        if off == 0.0:
+            break
+    order = np.argsort(-np.diag(a), kind="stable")
+    vals = np.diag(a)[order]
+    vecs = v[:, order]
+    for c_ in range(d):
+        col = vecs[:, c_]
+        if col[int(np.argmax(np.abs(col)))] < 0.0:
+            vecs[:, c_] = -col
+    return vals, vecs
+
+
+def ref_pca_project(ids: "list[int]", vecs: "list[list[float]]",
+                    k: int = 3, scale_bits: int = 20) -> "list[tuple]":
+    """Spark-free twin of operators/similarity.pca_project: exact int64
+    Gram/moments, deterministic Jacobi eigenvectors quantized to int64,
+    exact integer centered projection."""
+    import numpy as np
+
+    v = np.array(vecs, dtype=np.float64)
+    q = np.floor(v * (1 << scale_bits)).astype(np.int64)
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    g = q.T @ q
+    craw = (n * g - np.outer(s, s)).astype(np.float64)
+    _vals, evecs = jacobi_eigh(craw)
+    vq = np.floor(evecs[:, :k] * (1 << scale_bits)).astype(np.int64)
+    z = (n * q - s[None, :]) @ vq            # exact int64
+    return [(int(i), *[int(x) for x in row]) for i, row in zip(ids, z)]

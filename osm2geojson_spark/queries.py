@@ -7112,6 +7112,58 @@ ORDER BY y, x
 """
 
 
+def q_gram_matrix(spark, sf_dir):
+    """EXACT int64 Gram matrix of the embedding corpus — the one-pass
+    second-moment primitive under PCA/whitening/ridge at 100 TB:
+    vectors quantized to floor(x·2²⁰) (bit-identical in every engine:
+    float32→double is exact, the scale is a power of two), per-Arrow-
+    batch numpy int64 matmuls emit upper-triangle partials, a
+    d(d+1)/2-row groupBy finishes. Oracle: DuckDB computes the same
+    Gram from the raw parquet via unnest + self-join — a genuinely
+    different execution route meeting at exact integers."""
+    from osm2geojson_spark.operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(emb).orderBy("i", "j")
+
+
+_SQL_GRAM_MATRIX = """
+WITH e AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+FROM e a JOIN e b ON ((a.vec_id = b.vec_id) AND (a.i <= b.i))
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+def q_pca_project(spark, sf_dir):
+    """Top-3 PCA projection, exact end-to-end: integer Gram + moments
+    → driver-side centered covariance (O(d²) metadata) → deterministic
+    pure-numpy Jacobi eigenvectors (pyref.jacobi_eigh, no LAPACK) →
+    int64-quantized components → pure-integer centered projection
+    z = (n·q − s)·vq. Oracle: pyref twin runs the identical algebra
+    Spark-free on the same parquet."""
+    from osm2geojson_spark.operators.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=3).orderBy("vec_id")
+
+
+def _sql_pca_project() -> str:
+    from osm2geojson_spark import pyref
+
+    data = _oracle_parquet("embeddings", ["vec_id", "embedding"])
+    rows = pyref.ref_pca_project([r[0] for r in data],
+                                 [list(r[1]) for r in data], k=3)
+    return pyref.values_sql(
+        rows, [("vec_id", "BIGINT"), ("z1", "BIGINT"),
+               ("z2", "BIGINT"), ("z3", "BIGINT")]) + " ORDER BY vec_id"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7271,6 +7323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup": q_video_dedup,
         "moran": q_moran,
         "viewshed": q_viewshed,
+        "gram_matrix": q_gram_matrix,
+        "pca_project": q_pca_project,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7424,6 +7478,8 @@ def oracle_sql() -> dict[str, str]:
         "video_dedup": _sql_video_dedup(),
         "moran": _sql_moran(),
         "viewshed": _sql_viewshed(),
+        "gram_matrix": _SQL_GRAM_MATRIX,
+        "pca_project": _sql_pca_project(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
