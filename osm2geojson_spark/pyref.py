@@ -1736,3 +1736,43 @@ def ref_pca_project(ids: "list[int]", vecs: "list[list[float]]",
     vq = np.floor(evecs[:, :k] * (1 << scale_bits)).astype(np.int64)
     z = (n * q - s[None, :]) @ vq            # exact int64
     return [(int(i), *[int(x) for x in row]) for i, row in zip(ids, z)]
+
+
+# ------------------------------------------------------------ polygonize
+
+def ref_polygonize(vals) -> "list[tuple]":
+    """Spark-free twin of spatial/polygonize.polygonize: row-major BFS
+    flood fill over the whole raster (a genuinely different route from
+    the tiled min-propagation + seam-CC path). Region id = global cell
+    id (y·W + x) of the first cell reached in row-major order == the
+    region's min cell id."""
+    import numpy as np
+    from collections import deque
+
+    a = np.asarray(vals, np.int64)
+    h, w = a.shape
+    seen = np.zeros((h, w), dtype=bool)
+    out = []
+    for sy in range(h):
+        for sx in range(w):
+            if seen[sy, sx]:
+                continue
+            v = int(a[sy, sx])
+            q = deque([(sx, sy)])
+            seen[sy, sx] = True
+            n = 0
+            minx = maxx = sx
+            miny = maxy = sy
+            while q:
+                x, y = q.popleft()
+                n += 1
+                minx, maxx = min(minx, x), max(maxx, x)
+                miny, maxy = min(miny, y), max(maxy, y)
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nx, ny = x + dx, y + dy
+                    if (0 <= nx < w and 0 <= ny < h and not seen[ny, nx]
+                            and a[ny, nx] == v):
+                        seen[ny, nx] = True
+                        q.append((nx, ny))
+            out.append((sy * w + sx, v, n, minx, miny, maxx, maxy))
+    return out

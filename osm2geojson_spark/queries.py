@@ -7013,6 +7013,14 @@ px AS (
                THEN ({v('x', 'y')} * {v('x + 1', 'y')}) ELSE 0 END) AS hx,
          (CASE WHEN ((y % {z}) <> {z - 1})
                THEN ({v('x', 'y')} * {v('x', 'y + 1')}) ELSE 0 END) AS vy,
+         (CASE WHEN ((x % {z}) <> {z - 1})
+               THEN (({v('x', 'y')} - {v('x + 1', 'y')})
+                     * ({v('x', 'y')} - {v('x + 1', 'y')}))
+               ELSE 0 END) AS hd2,
+         (CASE WHEN ((y % {z}) <> {z - 1})
+               THEN (({v('x', 'y')} - {v('x', 'y + 1')})
+                     * ({v('x', 'y')} - {v('x', 'y + 1')}))
+               ELSE 0 END) AS vd2,
          (4 - (CASE WHEN ((x % {z}) = 0) THEN 1 ELSE 0 END)
             - (CASE WHEN ((x % {z}) = {z - 1}) THEN 1 ELSE 0 END)
             - (CASE WHEN ((y % {z}) = 0) THEN 1 ELSE 0 END)
@@ -7026,7 +7034,8 @@ agg AS (
          CAST(SUM(val * val) AS BIGINT) AS q,
          CAST(SUM(hx + vy) AS BIGINT) AS e_xy,
          CAST(SUM(deg * val) AS BIGINT) AS e_dx,
-         CAST(SUM(deg) AS BIGINT) AS w
+         CAST(SUM(deg) AS BIGINT) AS w,
+         CAST(SUM(hd2 + vd2) AS BIGINT) AS e_d2
   FROM px GROUP BY zone_x, zone_y
 ),
 md AS (
@@ -7038,11 +7047,13 @@ md AS (
           - (CAST(s AS HUGEINT) * s))) AS den_h
   FROM agg
 )
-SELECT zone_x, zone_y, n, s, q, e_xy, e_dx, w,
+SELECT zone_x, zone_y, n, s, q, e_xy, e_dx, w, e_d2,
        CAST(num_h AS DECIMAL(38,0)) AS num,
        CAST(den_h AS DECIMAL(38,0)) AS den,
        CAST(((CAST(1000000 AS HUGEINT) * n * num_h)
-             // (CAST(w AS HUGEINT) * den_h)) AS BIGINT) AS moran_ppm
+             // (CAST(w AS HUGEINT) * den_h)) AS BIGINT) AS moran_ppm,
+       CAST(((CAST(1000000 AS HUGEINT) * (n - 1) * n * n * e_d2)
+             // (CAST(w AS HUGEINT) * den_h)) AS BIGINT) AS geary_ppm
 FROM md
 ORDER BY zone_y, zone_x
 """
@@ -7162,6 +7173,123 @@ def _sql_pca_project() -> str:
     return pyref.values_sql(
         rows, [("vec_id", "BIGINT"), ("z1", "BIGINT"),
                ("z2", "BIGINT"), ("z3", "BIGINT")]) + " ORDER BY vec_id"
+
+
+def _chi2_cells(spark, sf_dir):
+    from osm2geojson_spark.operators.stats import contingency_chi2
+
+    j = (_t(spark, sf_dir, "orders")
+         .join(_t(spark, sf_dir, "customer"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderpriority", "c_nationkey"))
+    return contingency_chi2(j, "o_orderpriority", "c_nationkey")
+
+
+def q_chi2_assoc(spark, sf_dir):
+    """Exact chi-square contingency cells (operators/stats.py) for
+    order priority × customer nation: ONE data-sized shuffle (the
+    (a,b) count), marginals aggregated over the metadata-sized cell
+    table and broadcast back, zero cells included via distinct²
+    cross join. cell_ppm = 10⁶·(O·N − r·c)²/(N·r·c) in DECIMAL —
+    pure integers both engines."""
+    return _chi2_cells(spark, sf_dir).orderBy("a", "b")
+
+
+_SQL_CHI2_COMMON = """
+WITH j AS (
+  SELECT o_orderpriority AS a, c_nationkey AS b
+  FROM orders JOIN customer ON (o_custkey = c_custkey)
+),
+cnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM j GROUP BY a, b),
+grid AS (SELECT ka.a, kb.b
+         FROM (SELECT DISTINCT a FROM cnt) ka,
+              (SELECT DISTINCT b FROM cnt) kb),
+fullg AS (SELECT g.a, g.b, COALESCE(cnt.o, 0) AS o
+          FROM grid g LEFT JOIN cnt ON ((g.a = cnt.a) AND (g.b = cnt.b))),
+rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM fullg GROUP BY a),
+ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM fullg GROUP BY b),
+nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM fullg),
+cells AS (
+  SELECT f.a, f.b, f.o, rt.r, ct.c, nt.n,
+         CAST(((CAST(1000000 AS HUGEINT)
+                * ((CAST(f.o AS HUGEINT) * nt.n) - (CAST(rt.r AS HUGEINT) * ct.c))
+                * ((CAST(f.o AS HUGEINT) * nt.n) - (CAST(rt.r AS HUGEINT) * ct.c)))
+               // (CAST(nt.n AS HUGEINT) * rt.r * ct.c)) AS BIGINT) AS cell_ppm
+  FROM fullg f
+  JOIN rt ON (f.a = rt.a)
+  JOIN ct ON (f.b = ct.b)
+  CROSS JOIN nt
+)
+"""
+
+_SQL_CHI2_ASSOC = _SQL_CHI2_COMMON + """
+SELECT a, b, o, r, c, n, cell_ppm FROM cells ORDER BY a, b
+"""
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V² (exact ppb) for priority × nation — the one-row
+    association summary over the chi2 cell table."""
+    from osm2geojson_spark.operators.stats import cramers_v2_ppb
+
+    return cramers_v2_ppb(_chi2_cells(spark, sf_dir))
+
+
+_SQL_CRAMERS_V = _SQL_CHI2_COMMON + """
+SELECT n, n_a, n_b, chi2_ppm,
+       CAST(((CAST(1000 AS HUGEINT) * chi2_ppm)
+             // (CAST(n AS HUGEINT) * (least(n_a, n_b) - 1))) AS BIGINT)
+         AS v2_ppb
+FROM (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+         CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm
+  FROM cells
+)
+"""
+
+
+_POLYGONIZE_T, _POLYGONIZE_TILES = 32, 4   # 128² raster
+
+
+def _polygonize_value_np(gx, gy):
+    """Coarse block pattern: equal-value blocks merge across block and
+    tile borders into irregular multi-tile regions."""
+    return ((gx // 5) * 3 + (gy // 7) * 5) % 4
+
+
+def q_polygonize(spark, sf_dir):
+    """Raster polygonize (spatial/polygonize.py): two-phase distributed
+    connected components — map-side per-tile labeling, one labeled-
+    strip shuffle for seam edges, boundary-sized min-label CC
+    (dup_clusters), partial bbox/count rollup. Region ids are the
+    global min cell id. Oracle: pyref whole-raster BFS flood fill —
+    a genuinely different route meeting at exact integers."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.polygonize import polygonize
+
+    t, nt = _POLYGONIZE_T, _POLYGONIZE_TILES
+    tiles = synth_dem_tiles(spark, nt, nt, t,
+                            value_fn=_polygonize_value_np)
+    return polygonize(tiles, t, width=t * nt).orderBy("region_id")
+
+
+def _sql_polygonize() -> str:
+    import numpy as np
+
+    from osm2geojson_spark import pyref
+
+    w = _POLYGONIZE_T * _POLYGONIZE_TILES
+    gx = np.arange(w, dtype=np.int64)[None, :]
+    gy = np.arange(w, dtype=np.int64)[:, None]
+    vals = np.broadcast_to(_polygonize_value_np(gx, gy), (w, w))
+    rows = pyref.ref_polygonize(vals)
+    return pyref.values_sql(
+        rows, [("region_id", "BIGINT"), ("value", "BIGINT"),
+               ("n_cells", "BIGINT"), ("min_x", "BIGINT"),
+               ("min_y", "BIGINT"), ("max_x", "BIGINT"),
+               ("max_y", "BIGINT")]) + " ORDER BY region_id"
 
 
 # --------------------------------------------------------------------------
@@ -7325,6 +7453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "gram_matrix": q_gram_matrix,
         "pca_project": q_pca_project,
+        "chi2_assoc": q_chi2_assoc,
+        "cramers_v": q_cramers_v,
+        "polygonize": q_polygonize,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7480,6 +7611,9 @@ def oracle_sql() -> dict[str, str]:
         "viewshed": _sql_viewshed(),
         "gram_matrix": _SQL_GRAM_MATRIX,
         "pca_project": _sql_pca_project(),
+        "chi2_assoc": _SQL_CHI2_ASSOC,
+        "cramers_v": _SQL_CRAMERS_V,
+        "polygonize": _sql_polygonize(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

@@ -75,16 +75,20 @@ def moran_zone_stats(tiles: DataFrame, tile_size: int,
                  for p, v in zip(pdf["part"], pdf["payload"])}
         if _CENTER not in parts:       # strip for a tile outside grid
             return pd.DataFrame(columns=[
-                "zx", "zy", "n", "s", "q", "e_xy", "e_dx", "w"]).astype(
-                "int64")
+                "zx", "zy", "n", "s", "q", "e_xy", "e_dx", "w",
+                "e_d2"]).astype("int64")
         tx, ty = int(key[0]), int(key[1])
         a = parts[_CENTER].reshape(t, t)
         e_xy = int((a[:, :-1] * a[:, 1:]).sum()) \
             + int((a[:-1, :] * a[1:, :]).sum())
+        e_d2 = int(((a[:, :-1] - a[:, 1:]) ** 2).sum()) \
+            + int(((a[:-1, :] - a[1:, :]) ** 2).sum())
         if _FROM_EAST in parts:        # right tile's left column
             e_xy += int((a[:, -1] * parts[_FROM_EAST]).sum())
+            e_d2 += int(((a[:, -1] - parts[_FROM_EAST]) ** 2).sum())
         if _FROM_SOUTH in parts:       # below tile's top row
             e_xy += int((a[-1, :] * parts[_FROM_SOUTH]).sum())
+            e_d2 += int(((a[-1, :] - parts[_FROM_SOUTH]) ** 2).sum())
         # closed-form in-zone rook degrees (zone is a rectangle)
         z = zt * t
         zgx = (tx % zt) * t + np.arange(t, dtype=np.int64)[None, :]
@@ -94,15 +98,17 @@ def moran_zone_stats(tiles: DataFrame, tile_size: int,
         return pd.DataFrame([(
             tx // zt, ty // zt, a.size, int(a.sum()),
             int((a * a).sum()), e_xy, int((deg * a).sum()),
-            int(deg.sum()))],
-            columns=["zx", "zy", "n", "s", "q", "e_xy", "e_dx", "w"])
+            int(deg.sum()), e_d2)],
+            columns=["zx", "zy", "n", "s", "q", "e_xy", "e_dx", "w",
+                     "e_d2"])
 
     per_tile = halo.groupBy("tx", "ty").applyInPandas(
         partials, schema=("zx long, zy long, n long, s long, q long, "
-                          "e_xy long, e_dx long, w long"))
+                          "e_xy long, e_dx long, w long, e_d2 long"))
 
     agg = per_tile.groupBy("zx", "zy").agg(
-        *[F.sum(c).alias(c) for c in ("n", "s", "q", "e_xy", "e_dx", "w")])
+        *[F.sum(c).alias(c)
+          for c in ("n", "s", "q", "e_xy", "e_dx", "w", "e_d2")])
 
     d = "CAST({} AS DECIMAL(38,0))"
     num = (f"({d.format('n')} * n * 2 * e_xy"
@@ -111,8 +117,12 @@ def moran_zone_stats(tiles: DataFrame, tile_size: int,
     den = f"({d.format('n')} * (n * q - {d.format('s')} * s))"
     return agg.select(
         F.col("zx").alias("zone_x"), F.col("zy").alias("zone_y"),
-        "n", "s", "q", "e_xy", "e_dx", "w",
+        "n", "s", "q", "e_xy", "e_dx", "w", "e_d2",
         F.expr(num).alias("num"), F.expr(den).alias("den"),
         F.expr(f"CAST(({d.format('1000000')} * n * {num})"
                f" div (w * {den}) AS BIGINT)").alias("moran_ppm"),
+        # Geary's C = (N−1)·N²·e_d2 / (W·den): the edge-difference twin
+        # statistic, exact for free from the same halo pass
+        F.expr(f"CAST(({d.format('1000000')} * (n - 1) * n * n * e_d2)"
+               f" div (w * {den}) AS BIGINT)").alias("geary_ppm"),
     )
