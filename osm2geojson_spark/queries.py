@@ -7292,6 +7292,90 @@ def _sql_polygonize() -> str:
                ("max_y", "BIGINT")]) + " ORDER BY region_id"
 
 
+def q_polyline_roundtrip(spark, sf_dir):
+    """Encoded-polyline (precision-6) interop on the microdegree
+    lattice: per-user event paths encode through the PURE-CODEGEN
+    unrolled chunk build (functions/polyline.py — zero Python on the
+    write path), decode through the Arrow kernel, and must re-encode
+    to the identical string. Oracle: DuckDB rebuilds the same strings
+    with list lambdas + chr() — the polyline text itself is under the
+    hash."""
+    from osm2geojson_spark.functions.polyline import (
+        polyline6_decode_udf,
+        polyline6_encode_expr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(300_000_000)
+             - F.lit(150_000_000)).alias("x"),
+            ((F.col("event_id") * F.lit(_LAT_MUL)) % F.lit(120_000_000)
+             - F.lit(60_000_000)).alias("y"))
+        .repartition("user_id")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "x", "y"))).alias("vraw"))
+        .where(F.size("vraw") >= 2)
+        .select(
+            "user_id",
+            F.transform("vraw", lambda s: F.struct(
+                s["x"].alias("x"), s["y"].alias("y"))).alias("pts")))
+    dec = polyline6_decode_udf()
+    enc = paths.select(
+        F.col("user_id").alias("gid"),
+        polyline6_encode_expr(F.col("pts")).alias("polyline"),
+        F.size("pts").cast("int").alias("n_points"))
+    return (enc
+            # materialize the UDF output first: Spark rejects a Python
+            # UDF expression captured inside a HOF lambda
+            .withColumn("p2", dec(F.col("polyline")))
+            .withColumn("poly2", polyline6_encode_expr(F.col("p2")))
+            .select("gid", "polyline", "n_points",
+                    (F.col("polyline") == F.col("poly2"))
+                    .alias("roundtrip_ok"))
+            .orderBy("gid"))
+
+
+def _sql_polyline_roundtrip() -> str:
+    def enc5(v: str) -> str:
+        parts = []
+        for k in range(7):
+            cur = f"({v} >> {5 * k})"
+            code = (f"(({cur} & 31) + (CASE WHEN (({v} >> {5 * (k + 1)})"
+                    f" > 0) THEN 95 ELSE 63 END))")
+            parts.append(f"(CASE WHEN (({cur} > 0) OR ({k} = 0))"
+                         f" THEN chr(CAST({code} AS INT)) ELSE '' END)")
+        return "(" + " || ".join(parts) + ")"
+
+    def zz(d: str) -> str:
+        return (f"(CASE WHEN ({d} < 0) THEN ((-({d})) * 2 - 1)"
+                f" ELSE ({d} * 2) END)")
+
+    dlat = ("(CASE WHEN (i = 1) THEN (p).y"
+            " ELSE ((p).y - (pts[(i - 1)]).y) END)")
+    dlon = ("(CASE WHEN (i = 1) THEN (p).x"
+            " ELSE ((p).x - (pts[(i - 1)]).x) END)")
+    pair = f"({enc5(zz(dlat))} || {enc5(zz(dlon))})"
+    return f"""
+WITH lv AS (
+  SELECT user_id,
+         list(struct_pack(
+                x := ((event_id * {_LON_MUL}) % 300000000) - 150000000,
+                y := ((event_id * {_LAT_MUL}) % 120000000) - 60000000)
+              ORDER BY ts ASC, event_id ASC) AS pts
+  FROM events GROUP BY user_id)
+SELECT user_id AS gid,
+       array_to_string(list_transform(pts, (p, i) -> {pair}), '')
+         AS polyline,
+       CAST(len(pts) AS INT) AS n_points,
+       TRUE AS roundtrip_ok
+FROM lv WHERE (len(pts) >= 2)
+ORDER BY gid
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7456,6 +7540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_assoc": q_chi2_assoc,
         "cramers_v": q_cramers_v,
         "polygonize": q_polygonize,
+        "polyline_roundtrip": q_polyline_roundtrip,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7614,6 +7699,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_assoc": _SQL_CHI2_ASSOC,
         "cramers_v": _SQL_CRAMERS_V,
         "polygonize": _sql_polygonize(),
+        "polyline_roundtrip": _sql_polyline_roundtrip(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
