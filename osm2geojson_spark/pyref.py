@@ -1776,3 +1776,37 @@ def ref_polygonize(vals) -> "list[tuple]":
                         q.append((nx, ny))
             out.append((sy * w + sx, v, n, minx, miny, maxx, maxy))
     return out
+
+
+def ref_audio_segments(n: int = 300, seed: int = 0, frame: int = 160,
+                       thr_per_sample: int = 10_000) -> "list[tuple]":
+    """Spark-free twin of operators/audio.activity_segments over the
+    segmented speech-shaped corpus: direct per-format decode + plain
+    python run-length scan over exact int64 frame energies."""
+    import numpy as np
+
+    from osm2geojson_spark.synth.audio import (
+        decode_aiff,
+        decode_wav,
+        make_segmented_audio_row,
+    )
+    from osm2geojson_spark.synth.flac import decode_flac
+
+    dec = {"wav": decode_wav, "aiff": decode_aiff, "flac": decode_flac}
+    out = []
+    for i in range(n):
+        audio_id, buf, _r, _ns, fmt, _tr = make_segmented_audio_row(i + seed)
+        pcm, _ = dec[fmt](buf)
+        x = pcm.astype(np.int64)
+        nf = len(x) // frame
+        e = (x[:nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+        act = e > thr_per_sample * frame
+        seg = -1
+        for k in range(nf):
+            if act[k] and (k == 0 or not act[k - 1]):
+                seg += 1
+                out.append([audio_id, seg, k, 1, int(e[k])])
+            elif act[k]:
+                out[-1][3] += 1
+                out[-1][4] += int(e[k])
+    return [tuple(r) for r in out]

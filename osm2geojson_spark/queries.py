@@ -7376,6 +7376,33 @@ ORDER BY gid
 """
 
 
+def q_audio_segments(spark, sf_dir):
+    """Voice-activity segmentation over the speech-shaped corpus
+    (operators/audio.activity_segments): exact int64 frame energies,
+    integer threshold, maximal active runs — one sequential decode
+    pass per clip through the real wav/aiff/flac codecs. Oracle: pyref
+    literal table (direct per-format decode, same run-length scan)."""
+    from osm2geojson_spark.operators.audio import activity_segments
+    from osm2geojson_spark.synth.audio import segmented_audio_table
+
+    auds = segmented_audio_table(spark, n=300, seed=0)
+    return (activity_segments(auds)
+            .where(F.col("error").isNull())
+            .select("audio_id", "seg_idx", "start_frame", "n_frames",
+                    "energy")
+            .orderBy("audio_id", "seg_idx"))
+
+
+def _sql_audio_segments() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_audio_segments(n=300, seed=0)
+    return pyref.values_sql(
+        rows, [("audio_id", "VARCHAR"), ("seg_idx", "INTEGER"),
+               ("start_frame", "INTEGER"), ("n_frames", "INTEGER"),
+               ("energy", "BIGINT")]) + " ORDER BY audio_id, seg_idx"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7541,6 +7568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "polygonize": q_polygonize,
         "polyline_roundtrip": q_polyline_roundtrip,
+        "audio_segments": q_audio_segments,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7700,6 +7728,7 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v": _SQL_CRAMERS_V,
         "polygonize": _sql_polygonize(),
         "polyline_roundtrip": _sql_polyline_roundtrip(),
+        "audio_segments": _sql_audio_segments(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

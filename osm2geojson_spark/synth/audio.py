@@ -199,3 +199,59 @@ def audio_table(spark: SparkSession, n: int = 500, seed: int = 24,
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def make_segmented_audio_row(seed: int) -> tuple:
+    """Speech-shaped clip for activity segmentation: alternating
+    silence (peak 50 — energy/sample ≤ 2,500) and tone bursts
+    (peak ~12,000 — energy/sample ≫ the 10,000/sample threshold),
+    with every boundary on a 160-sample frame edge so the planted
+    layout is closed-form: ``n_bursts = 2 + seed % 3`` bursts of
+    ``2 + (seed // 3) % 3`` frames separated by 2-frame silences,
+    leading + trailing silence included. Lossless-codec rotation
+    (wav/aiff/flac) so the PCM survives byte-exactly."""
+    rate, frame = 16_000, 160
+    n_bursts = 2 + seed % 3
+    burst_f = 2 + (seed // 3) % 3
+    parts = []
+    rng_phase = (seed * 2654435761) % 628
+    t0 = 0
+    for j in range(n_bursts + 1):
+        sil = np.arange(2 * frame, dtype=np.float64)
+        parts.append(np.round(
+            50.0 * np.sin(sil * 0.05 + seed + j)).astype(np.int16))
+        t0 += 2 * frame
+        if j < n_bursts:
+            k = np.arange(burst_f * frame, dtype=np.float64)
+            f0 = 2 * np.pi * (200.0 + 40.0 * ((seed + j) % 5)) / rate
+            parts.append(np.round(
+                12_000.0 * np.sin(k * f0 + rng_phase / 100.0)
+            ).astype(np.int16))
+            t0 += burst_f * frame
+    samples = np.concatenate(parts)
+    fmt = ("wav", "aiff", "flac")[seed % 3]
+    if fmt == "flac":
+        from .flac import encode_flac
+
+        buf = encode_flac(samples, rate)
+    elif fmt == "aiff":
+        buf = encode_aiff(samples, rate)
+    else:
+        buf = encode_wav(samples, rate)
+    return (f"seg-{seed:012d}", buf, rate, len(samples), fmt,
+            transcript_for(seed))
+
+
+def segmented_audio_table(spark: SparkSession, n: int = 300, seed: int = 0,
+                          partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["audio_id", "bytes", "sample_rate", "n_samples", "fmt",
+                "transcript"]
+        for pdf in batches:
+            rows = [make_segmented_audio_row(int(i) + seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, AUDIO_SCHEMA)
