@@ -620,3 +620,55 @@ def multimodal_dup_clusters(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b"))
     return dup_clusters(img_edges.unionAll(cap_edges).distinct())
+
+
+def _equalize_px(px: np.ndarray) -> np.ndarray:
+    """Per-channel exact histogram equalization (the GIMP/OpenCV cdf
+    remap with FLOOR division so every engine agrees bit-for-bit):
+    out = ((cdf(v) − cdf_min) · 255) // (npix − cdf_min); a constant
+    channel (denom 0) maps to 0."""
+    out = np.empty_like(px)
+    npx = px.shape[0] * px.shape[1]
+    for c in range(px.shape[2]):
+        h = np.bincount(px[:, :, c].ravel(), minlength=256)
+        cdf = np.cumsum(h)
+        nz = np.nonzero(h)[0]
+        cdf_min = int(cdf[nz[0]])
+        denom = npx - cdf_min
+        if denom <= 0:
+            lut = np.zeros(256, dtype=np.int64)
+        else:
+            lut = (np.maximum(cdf - cdf_min, 0) * 255) // denom
+        out[:, :, c] = lut[px[:, :, c]].astype(np.uint8)
+    return out
+
+
+def equalize_images(df: DataFrame) -> DataFrame:
+    """Histogram equalization — the contrast-normalization pass an
+    image-training pipeline runs before feature extraction. Decodes
+    through the real codecs, remaps with the exact integer LUT above,
+    and re-encodes as canonical PPM so the OUTPUT BYTES are
+    deterministic (md5-pinnable cross-engine). One Arrow map pass,
+    zero shuffle; quarantine rows carry the error."""
+    from osm2geojson_spark.synth.images import encode_ppm
+
+    out_schema = ("image_id string, bytes binary, w int, h int, "
+                  "error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = _decode(bytes(t.bytes), t.fmt)
+                    eq = _equalize_px(px)
+                    rows.append((t.image_id, encode_ppm(eq),
+                                 px.shape[1], px.shape[0], None))
+                except Exception as ex:  # noqa: BLE001 — quarantine row
+                    rows.append((t.image_id, None, None, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes",
+                                              "w", "h", "error"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run, out_schema)

@@ -1810,3 +1810,30 @@ def ref_audio_segments(n: int = 300, seed: int = 0, frame: int = 160,
                 out[-1][3] += 1
                 out[-1][4] += int(e[k])
     return [tuple(r) for r in out]
+
+
+def ref_equalize_md5(n: int = 300, seed: int = 42) -> "list[tuple]":
+    """Spark-free twin of operators/images.equalize_images over the
+    lossless images corpus: decode → exact LUT remap → canonical PPM →
+    md5 hex. Returns (image_id, md5, sum_after)."""
+    import hashlib
+
+    import numpy as np
+
+    from osm2geojson_spark.operators.images import _decode, _equalize_px
+    from osm2geojson_spark.synth.images import (
+        FMTS_LOSSLESS,
+        encode_ppm,
+        make_image_row,
+    )
+
+    out = []
+    for i in range(n):
+        image_id, buf, _w, _h, fmt = make_image_row(
+            i * 2 + seed, fmts=FMTS_LOSSLESS)[:5]
+        px = _decode(buf, fmt)
+        eq = _equalize_px(px)
+        ppm = encode_ppm(eq)
+        out.append((image_id, hashlib.md5(ppm).hexdigest(),
+                    int(eq.astype(np.int64).sum())))
+    return out

@@ -7403,6 +7403,33 @@ def _sql_audio_segments() -> str:
                ("energy", "BIGINT")]) + " ORDER BY audio_id, seg_idx"
 
 
+def q_hist_equalize(spark, sf_dir):
+    """Histogram equalization (operators/images.equalize_images):
+    decode through the real lossless codecs, exact integer cdf-LUT
+    remap (floor division — bit-identical everywhere), re-encode as
+    canonical PPM; the OUTPUT BYTES are pinned via md5. Oracle: pyref
+    replays the identical pipeline Spark-free."""
+    from osm2geojson_spark.operators.images import equalize_images
+    from osm2geojson_spark.synth.images import (
+        FMTS_LOSSLESS,
+        images_table,
+    )
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_LOSSLESS)
+    eq = equalize_images(imgs).where(F.col("error").isNull())
+    return (eq.select("image_id", F.md5("bytes").alias("md5"))
+            .orderBy("image_id"))
+
+
+def _sql_hist_equalize() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = [(m, h) for m, h, _s in pyref.ref_equalize_md5(n=300, seed=42)]
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("md5", "VARCHAR")]) \
+        + " ORDER BY image_id"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7569,6 +7596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "polyline_roundtrip": q_polyline_roundtrip,
         "audio_segments": q_audio_segments,
+        "hist_equalize": q_hist_equalize,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7729,6 +7757,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize": _sql_polygonize(),
         "polyline_roundtrip": _sql_polyline_roundtrip(),
         "audio_segments": _sql_audio_segments(),
+        "hist_equalize": _sql_hist_equalize(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
