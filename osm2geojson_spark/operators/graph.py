@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "k_core"]
+__all__ = ["pagerank", "triangle_count", "k_core",
+           "strongly_connected_components"]
 
 
 def pagerank(
@@ -233,3 +234,121 @@ def k_core(
                .localCheckpoint(eager=True))
     raise RuntimeError(
         f"k_core did not reach a fixpoint within {max_rounds} rounds")
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 12, max_inner: int = 200,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph →
+    ``(id, scc_id)`` with scc_id = the smallest member id (canonical).
+
+    The Pregel/Orzan COLORING algorithm — the standard distributed SCC
+    recipe (Tarjan is inherently sequential):
+
+    per outer phase, over the still-unassigned subgraph:
+      1. **forward max-color fixpoint**: color(v) ← max over v and its
+         in-neighbors' colors, to convergence ⇒ color(v) = the max id
+         that can reach v. A node with color(v) == v is a root.
+      2. **backward reach within color**: starting from the roots, add
+         u whenever an edge u→w has w reached AND color(u) == color(w).
+         The reached set of root r is exactly SCC(r) (w reaches r
+         inside r's color class, and r reaches w by definition of the
+         color) — every color class resolves ONE SCC per phase, all
+         classes in parallel.
+      3. assign, subtract, repeat on the remainder.
+
+    Loop discipline is dup_clusters': every carried frame is
+    localCheckpoint-truncated, the driver sees one count per round,
+    edges live pre-partitioned+persisted per phase. Phases needed =
+    the length of the longest root-chain (≤ #SCCs, O(log) typical);
+    inner rounds = subgraph diameter. Both bounds fail LOUDLY when
+    exceeded (silent partial labels are worse than a retry with a
+    bigger budget)."""
+    nodes = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .unionByName(edges.select(F.col("dst").cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rem_edges = (
+        edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"))
+        .distinct()
+        .repartition(F.col("dst"))
+        .persist()
+    )
+    remaining = nodes
+    assigned = None
+    for _phase in range(max_outer):
+        if remaining.isEmpty():
+            break
+        color = remaining.withColumn(
+            "color", F.col("id")).localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            msgs = (
+                rem_edges.join(color, rem_edges.src == color.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("mc"))
+            )
+            upd = (
+                color.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("color"),
+                               F.coalesce("mc", F.col("color")))
+                    .alias("color"),
+                    (F.col("mc") > F.col("color")).alias("_chg"))
+                .localCheckpoint(eager=True)
+            )
+            chg = upd.filter(F.col("_chg")).count()
+            color = upd.select("id", "color")
+            if chg == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"SCC forward fixpoint exceeded {max_inner} rounds "
+                "(subgraph diameter too large); raise max_inner")
+        reached = (color.where(F.col("color") == F.col("id"))
+                   .localCheckpoint(eager=True))
+        for _ in range(max_inner):
+            cand = (
+                rem_edges
+                .join(reached.select(F.col("id").alias("dst"),
+                                     F.col("color").alias("rcolor")),
+                      "dst")
+                .select(F.col("src").alias("id"), "rcolor")
+                .join(color, "id")
+                .where(F.col("color") == F.col("rcolor"))
+                .select("id", "color")
+            )
+            new_reached = (reached.unionByName(cand).distinct()
+                           .localCheckpoint(eager=True))
+            grew = new_reached.count() - reached.count()
+            reached = new_reached
+            if grew == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"SCC backward reach exceeded {max_inner} rounds; "
+                "raise max_inner")
+        part = reached.select("id", F.col("color").alias("root"))
+        assigned = part if assigned is None else (
+            assigned.unionByName(part).localCheckpoint(eager=True))
+        remaining = (remaining.join(reached.select("id"), "id",
+                                    "left_anti")
+                     .localCheckpoint(eager=True))
+        still = remaining.select("id")
+        rem_edges = (
+            rem_edges
+            .join(still.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(still.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .repartition(F.col("dst"))
+            .persist()
+        )
+    else:
+        raise RuntimeError(
+            f"SCC did not finish in {max_outer} phases; raise max_outer")
+    # canonical relabel: root id (max-reaching) → min member id. Plain
+    # shuffle join — #SCCs is O(n) on a DAG, never assume broadcastable
+    mins = assigned.groupBy("root").agg(F.min("id").alias("scc_id"))
+    return assigned.join(mins, "root").select("id", "scc_id")

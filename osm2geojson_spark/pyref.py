@@ -1837,3 +1837,95 @@ def ref_equalize_md5(n: int = 300, seed: int = 42) -> "list[tuple]":
         out.append((image_id, hashlib.md5(ppm).hexdigest(),
                     int(eq.astype(np.int64).sum())))
     return out
+
+
+# -------------------------------------------------------------------- SCC
+
+def scc_graph_edges(n_blocks: int = 16, b: int = 32,
+                    tail: int = 20) -> "list[tuple[int, int]]":
+    """The deterministic directed test graph shared by the catalog
+    query (closed-form Spark ranges) and this Tarjan twin: n_blocks
+    strongly-connected blocks (ring + internal expander, diameter
+    O(log b)) chained forward first→first; every block with
+    index % 5 == 2 adds a back edge merging it with its predecessor;
+    a ``tail``-node forward chain (singleton SCCs) hangs off the last
+    block."""
+    n = n_blocks * b
+    edges = []
+    for i in range(n):
+        bs = (i // b) * b
+        edges.append((i, bs + ((i - bs + 1) % b)))          # ring
+        edges.append((i, bs + ((2 * (i - bs) + 1) % b)))    # expander
+    for blk in range(n_blocks):
+        bs = blk * b
+        if blk < n_blocks - 1:
+            edges.append((bs, bs + b))                      # cross
+        if blk % 5 == 2:
+            edges.append((bs, bs - b))                      # back-merge
+    edges.append(((n_blocks - 1) * b, n))                   # bridge→tail
+    for j in range(tail - 1):
+        edges.append((n + j, n + j + 1))                    # tail chain
+    return sorted(set(edges))
+
+
+def ref_scc(n_blocks: int = 16, b: int = 32,
+            tail: int = 20) -> "list[tuple[int, int]]":
+    """Iterative Tarjan over scc_graph_edges → (id, scc_id=min member),
+    sorted by id — the sequential ground truth for the distributed
+    coloring algorithm."""
+    edges = scc_graph_edges(n_blocks, b, tail)
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+
+    def strongconnect(v0: int) -> None:
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for j in range(pi, len(succs)):
+                w = succs[j]
+                if w not in index:
+                    work.append((v, j + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    out = []
+    for comp in sccs:
+        m = min(comp)
+        out.extend((x, m) for x in comp)
+    return sorted(out)

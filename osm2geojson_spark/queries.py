@@ -7430,6 +7430,56 @@ def _sql_hist_equalize() -> str:
         + " ORDER BY image_id"
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (operators/graph.py) — the
+    Pregel/Orzan coloring algorithm: forward max-color fixpoint →
+    backward reach within color class → assign/subtract/repeat, with
+    the dup_clusters loop discipline (localCheckpoint, O(1) driver
+    counts, loud budget failures). Test graph is closed-form Spark
+    ranges (ring+expander blocks, forward chain, periodic back-merges,
+    singleton tail). Oracle: pyref iterative Tarjan — the sequential
+    ground truth."""
+    from osm2geojson_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    nb, b, tail = 16, 32, 20
+    n = nb * b
+    blocks = spark.range(n).select(F.col("id").cast("long").alias("i"))
+    bs = (F.col("i") - F.col("i") % b)
+    ring = blocks.select(
+        F.col("i").alias("src"),
+        (bs + (F.col("i") - bs + 1) % b).alias("dst"))
+    expander = blocks.select(
+        F.col("i").alias("src"),
+        (bs + ((F.col("i") - bs) * 2 + 1) % b).alias("dst"))
+    firsts = blocks.where(F.col("i") % b == 0)
+    cross = (firsts.where(F.col("i") < (nb - 1) * b)
+             .select(F.col("i").alias("src"),
+                     (F.col("i") + b).alias("dst")))
+    merge = (firsts.where((F.col("i") / b).cast("long") % 5 == 2)
+             .select(F.col("i").alias("src"),
+                     (F.col("i") - b).alias("dst")))
+    bridge = spark.range(1).select(
+        F.lit((nb - 1) * b).cast("long").alias("src"),
+        F.lit(n).cast("long").alias("dst"))
+    chain = (spark.range(n, n + tail - 1)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst")))
+    edges = ring.unionByName(expander).unionByName(cross) \
+        .unionByName(merge).unionByName(bridge).unionByName(chain)
+    return (strongly_connected_components(edges)
+            .orderBy("id"))
+
+
+def _sql_scc() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_scc()
+    return pyref.values_sql(
+        rows, [("id", "BIGINT"), ("scc_id", "BIGINT")]) + " ORDER BY id"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7597,6 +7647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_roundtrip": q_polyline_roundtrip,
         "audio_segments": q_audio_segments,
         "hist_equalize": q_hist_equalize,
+        "scc": q_scc,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7758,6 +7809,7 @@ def oracle_sql() -> dict[str, str]:
         "polyline_roundtrip": _sql_polyline_roundtrip(),
         "audio_segments": _sql_audio_segments(),
         "hist_equalize": _sql_hist_equalize(),
+        "scc": _sql_scc(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
