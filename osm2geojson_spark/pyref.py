@@ -1929,3 +1929,96 @@ def ref_scc(n_blocks: int = 16, b: int = 32,
         m = min(comp)
         out.extend((x, m) for x in comp)
     return sorted(out)
+
+
+# -------------------------------------------------------------------- ALS
+
+def solve_linear(a, b):
+    """Deterministic dense solve (Gaussian elimination with partial
+    pivoting, pure numpy scalar ops — no LAPACK/BLAS, so executor
+    kernels and this Spark-free twin produce bit-identical results
+    regardless of thread heuristics). For the tiny d×d normal
+    equations of ALS (d ≤ ~64)."""
+    import numpy as np
+
+    a = np.array(a, dtype=np.float64, copy=True)
+    b = np.array(b, dtype=np.float64, copy=True)
+    d = a.shape[0]
+    for col in range(d):
+        p = col + int(np.argmax(np.abs(a[col:, col])))
+        if a[p, col] == 0.0:
+            raise ValueError("singular normal equations")
+        if p != col:
+            a[[col, p]] = a[[p, col]]
+            b[[col, p]] = b[[p, col]]
+        inv = 1.0 / a[col, col]
+        for r in range(col + 1, d):
+            f = a[r, col] * inv
+            if f != 0.0:
+                a[r, col:] -= f * a[col, col:]
+                b[r] -= f * b[col]
+    x = np.zeros(d)
+    for r in range(d - 1, -1, -1):
+        x[r] = (b[r] - float(a[r, r + 1:] @ x[r + 1:])) / a[r, r]
+    return x
+
+
+def als_init_factor(idx: int, d: int = 8) -> "list[float]":
+    """Deterministic item-factor init shared by both engines."""
+    return [(((idx * 2654435761 + k * 40503) % 1000) / 1000.0) - 0.5
+            for k in range(d)]
+
+
+def _als_normal_solve(rows, d, lam):
+    """rows = [(other_id, rating, factor_list)], sorted by other_id —
+    the per-entity ALS update: solve (FᵀWF·? …) here the unweighted
+    regularized normal equations (FᵀF + λI) x = Fᵀr with EXPLICIT
+    per-entry sums (no BLAS matmul; bit-stable across processes)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda t: t[0])
+    f = np.array([t[2] for t in rows], dtype=np.float64)
+    r = np.array([t[1] for t in rows], dtype=np.float64)
+    a = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            s = float(np.sum(f[:, i] * f[:, j]))
+            a[i, j] = a[j, i] = s
+        a[i, i] += lam
+    b = np.array([float(np.sum(r * f[:, i])) for i in range(d)])
+    return solve_linear(a, b)
+
+
+def ref_als_factors(ratings: "list[tuple[int, int, int]]", d: int = 8,
+                    lam: float = 0.1, iters: int = 3,
+                    scale_bits: int = 20) -> "list[tuple]":
+    """Spark-free ALS twin: same init, same alternation order (users
+    first), same deterministic solves. ``ratings`` = (user, item, r).
+    Returns (user, q1..qd) with q = floor(f · 2^scale_bits)."""
+    import numpy as np
+
+    users = sorted({u for u, _, _ in ratings})
+    items = sorted({i for _, i, _ in ratings})
+    fi = {i: np.array(als_init_factor(i, d)) for i in items}
+    fu = {}
+    by_user: dict[int, list] = {}
+    by_item: dict[int, list] = {}
+    for u, i, r in ratings:
+        by_user.setdefault(u, []).append((i, r))
+        by_item.setdefault(i, []).append((u, r))
+    for _ in range(iters):
+        fu = {u: _als_normal_solve(
+            [(i, r, fi[i]) for i, r in by_user[u]], d, lam)
+            for u in users}
+        fi = {i: _als_normal_solve(
+            [(u, r, fu[u]) for u, r in by_item[i]], d, lam)
+            for i in items}
+    # final user solve so the output is consistent with the final items
+    fu = {u: _als_normal_solve(
+        [(i, r, fi[i]) for i, r in by_user[u]], d, lam)
+        for u in users}
+    out = []
+    for u in users:
+        q = np.floor(np.asarray(fu[u]) * (1 << scale_bits)).astype(np.int64)
+        out.append((u, *[int(x) for x in q]))
+    return out

@@ -7480,6 +7480,53 @@ def _sql_scc() -> str:
         rows, [("id", "BIGINT"), ("scc_id", "BIGINT")]) + " ORDER BY id"
 
 
+def _als_ratings(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_custkey").alias("user"),
+                     F.col("l_partkey").alias("item"))
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("rl"))
+            .select("user", "item", F.col("rl").cast("double").alias("r")))
+
+
+def q_als_factors(spark, sf_dir):
+    """Distributed ALS (operators/als.py) over the customer×part
+    quantity matrix: each half-step is ONE shuffle join (ratings ⋈ the
+    other side's factors) + ONE groupBy solve — factors never touch
+    the driver, nothing is broadcast, so the plan survives both sides
+    at billions of rows. Bit-exact under the oracle because all linear
+    algebra is the shared no-BLAS kernel (pyref.solve_linear +
+    explicit-sum normal equations). Output: int64-quantized user
+    factors."""
+    from osm2geojson_spark.operators.als import als_factors
+
+    fu, _fi = als_factors(_als_ratings(spark, sf_dir), d=8, lam=0.1,
+                          iters=2)
+    cols = [F.expr(f"CAST(floor(element_at(f, {k + 1}) * 1048576)"
+                   f" AS BIGINT)").alias(f"q{k + 1}") for k in range(8)]
+    return fu.select("user", *cols).orderBy("user")
+
+
+def _sql_als_factors() -> str:
+    from collections import defaultdict
+
+    from osm2geojson_spark import pyref
+
+    li = _oracle_parquet("lineitem",
+                         ["l_orderkey", "l_partkey", "l_quantity"])
+    od = dict(_oracle_parquet("orders", ["o_orderkey", "o_custkey"]))
+    agg: dict = defaultdict(int)
+    for ok, pk, q in li:
+        agg[(od[ok], pk)] += int(q)
+    rows = pyref.ref_als_factors(
+        [(u, i, r) for (u, i), r in agg.items()], d=8, lam=0.1, iters=2)
+    return pyref.values_sql(
+        rows, [("user", "BIGINT")] + [(f"q{k + 1}", "BIGINT")
+                                      for k in range(8)]) + " ORDER BY user"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7648,6 +7695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "hist_equalize": q_hist_equalize,
         "scc": q_scc,
+        "als_factors": q_als_factors,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7810,6 +7858,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": _sql_audio_segments(),
         "hist_equalize": _sql_hist_equalize(),
         "scc": _sql_scc(),
+        "als_factors": _sql_als_factors(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
