@@ -2022,3 +2022,58 @@ def ref_als_factors(ratings: "list[tuple[int, int, int]]", d: int = 8,
         q = np.floor(np.asarray(fu[u]) * (1 << scale_bits)).astype(np.int64)
         out.append((u, *[int(x) for x in q]))
     return out
+
+
+# ------------------------------------------------------------ bloom / cms
+
+def spark_xxhash64_long_lit(v: int, i: int) -> int:
+    """``F.xxhash64(long_col, F.lit(i))``: LongType → 8 LE bytes, then
+    the IntegerType literal → 4 LE bytes (the committed pitfall)."""
+    h1 = xxh64(struct.pack("<q", v), 42)
+    return signed64(xxh64(struct.pack("<i", i), h1))
+
+
+def _bloom_positions(key: int, k_hashes: int, m_bits: int,
+                     seed: int) -> "list[int]":
+    return [spark_xxhash64_long_lit(key, seed + j) % m_bits
+            for j in range(k_hashes)]
+
+
+def ref_bloom_prune(dim_keys: "list[int]", probe: "list[tuple]",
+                    m_bits: int = 4096, k_hashes: int = 5,
+                    seed: int = 7) -> "list[tuple]":
+    """Spark-free twin of build_bloom + bloom_probe_expr: probe =
+    [(row_id_cols..., key)]; returns rows + (bloom_hit, is_member).
+    False positives are part of the expected output — they are a
+    deterministic function of the hash family."""
+    words = [0] * (m_bits // 64)
+    for k in set(dim_keys):
+        for p in _bloom_positions(k, k_hashes, m_bits, seed):
+            words[p // 64] |= 1 << (p % 64)
+    members = set(dim_keys)
+    out = []
+    for row in probe:
+        key = row[-1]
+        hit = all((words[p // 64] >> (p % 64)) & 1
+                  for p in _bloom_positions(key, k_hashes, m_bits, seed))
+        out.append((*row, 1 if hit else 0, 1 if key in members else 0))
+    return out
+
+
+def ref_cms_counters(keys: "list[int]", w: int = 256, d_rows: int = 4,
+                     seed: int = 11) -> "list[tuple[int, int, int]]":
+    """Spark-free twin of cms_counters over long keys."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for k in keys:
+        for j in range(d_rows):
+            cnt[(j, spark_xxhash64_long_lit(k, seed + j) % w)] += 1
+    return sorted((j, h, c) for (j, h), c in cnt.items())
+
+
+def ref_cms_estimate(counters: "dict", key: int, w: int = 256,
+                     d_rows: int = 4, seed: int = 11) -> int:
+    return min(counters.get(
+        (j, spark_xxhash64_long_lit(key, seed + j) % w), 0)
+        for j in range(d_rows))

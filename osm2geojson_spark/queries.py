@@ -7527,6 +7527,146 @@ def _sql_als_factors() -> str:
                                       for k in range(8)]) + " ORDER BY user"
 
 
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 4096, 5, 7
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning (operators/bloom.py): build the filter
+    in one pass over the filtered supplier dim (bounded m/64-word
+    collect — metadata, not data), probe the fact side with PURE
+    CODEGEN shift/mask — no join, no shuffle; at 100 TB this drops
+    non-matching rows before the real join's exchange. False positives
+    are deterministic outputs of the hash family, so the gate checks
+    them too (is_member marks the truth)."""
+    from osm2geojson_spark.operators.bloom import (
+        bloom_probe_expr,
+        build_bloom,
+    )
+
+    dim = (_t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") > 5000)
+           .select(F.col("s_suppkey").cast("long").alias("k")))
+    words = build_bloom(dim, "k", m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+                        seed=_BLOOM_SEED)
+    probe = (_t(spark, sf_dir, "lineitem")
+             .where(F.col("l_orderkey") < 3000)
+             .select(F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                     F.col("l_linenumber").cast("int").alias("l_linenumber"),
+                     F.col("l_suppkey").cast("long").alias("suppkey")))
+    return (probe
+            .select("l_orderkey", "l_linenumber", "suppkey",
+                    bloom_probe_expr(F.col("suppkey"), words,
+                                     k_hashes=_BLOOM_K,
+                                     seed=_BLOOM_SEED).alias("bloom_hit"))
+            .join(dim.withColumnRenamed("k", "suppkey").distinct()
+                  .withColumn("is_member", F.lit(1)),
+                  "suppkey", "left")
+            .select("l_orderkey", "l_linenumber", "suppkey", "bloom_hit",
+                    F.coalesce("is_member", F.lit(0)).alias("is_member"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+def _sql_bloom_prune() -> str:
+    from osm2geojson_spark import pyref
+
+    dim = [k for k, bal in _oracle_parquet("supplier",
+                                           ["s_suppkey", "s_acctbal"])
+           if bal > 5000]
+    probe = sorted(
+        (ok, ln, sk) for ok, ln, sk in _oracle_parquet(
+            "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey"])
+        if ok < 3000)
+    rows = pyref.ref_bloom_prune([int(k) for k in dim],
+                                 [(int(a), int(b), int(c))
+                                  for a, b, c in probe],
+                                 m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+                                 seed=_BLOOM_SEED)
+    return pyref.values_sql(
+        rows, [("l_orderkey", "BIGINT"), ("l_linenumber", "INTEGER"),
+               ("suppkey", "BIGINT"), ("bloom_hit", "INTEGER"),
+               ("is_member", "INTEGER")]) \
+        + " ORDER BY l_orderkey, l_linenumber"
+
+
+_CMS_W, _CMS_D, _CMS_SEED = 256, 4, 11
+
+
+def q_cms_counters(spark, sf_dir):
+    """Count-min sketch counters over lineitem part keys — the
+    fixed-size frequency summary (one pass, d·w bounded output,
+    estimates never undercount). Value-exact unlike HLL: every counter
+    is a deterministic xxhash64 bucket count, replayed by pyref."""
+    from osm2geojson_spark.operators.bloom import cms_counters
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("k"))
+    return (cms_counters(li, "k", w=_CMS_W, d_rows=_CMS_D,
+                         seed=_CMS_SEED)
+            .orderBy("j", "h"))
+
+
+def _sql_cms_counters() -> str:
+    from osm2geojson_spark import pyref
+
+    keys = [int(k[0]) for k in _oracle_parquet("lineitem", ["l_partkey"])]
+    rows = pyref.ref_cms_counters(keys, w=_CMS_W, d_rows=_CMS_D,
+                                  seed=_CMS_SEED)
+    return pyref.values_sql(
+        rows, [("j", "INTEGER"), ("h", "BIGINT"), ("cnt", "BIGINT")]) \
+        + " ORDER BY j, h"
+
+
+def q_cms_estimates(spark, sf_dir):
+    """CMS point estimates for the 20 most frequent parts vs their true
+    counts (est ≥ true always; overshoot = deterministic collisions).
+    The estimate lookup is pure codegen over the collected d·w counter
+    arrays; truth comes from a plain groupBy. The oracle computes truth
+    with SQL and takes estimates from the pyref sketch — a mixed
+    cross-engine check."""
+    from osm2geojson_spark.operators.bloom import (
+        cms_counters,
+        cms_estimate_expr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("k"))
+    counters = {(r["j"], r["h"]): r["cnt"]
+                for r in cms_counters(li, "k", w=_CMS_W, d_rows=_CMS_D,
+                                      seed=_CMS_SEED).collect()}
+    top = (li.groupBy("k").agg(F.count("*").alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("k")).limit(20))
+    return top.select(
+        F.col("k").alias("partkey"), "true_cnt",
+        cms_estimate_expr(F.col("k"), counters, w=_CMS_W,
+                          d_rows=_CMS_D, seed=_CMS_SEED).alias("est")) \
+        .orderBy("partkey")
+
+
+def _sql_cms_estimates() -> str:
+    from collections import Counter
+
+    from osm2geojson_spark import pyref
+
+    keys = [int(k[0]) for k in _oracle_parquet("lineitem", ["l_partkey"])]
+    counters = {(j, h): c for j, h, c in pyref.ref_cms_counters(
+        keys, w=_CMS_W, d_rows=_CMS_D, seed=_CMS_SEED)}
+    top = sorted(Counter(keys).items(),
+                 key=lambda t: (-t[1], t[0]))[:20]
+    est_rows = [(k, pyref.ref_cms_estimate(counters, k, w=_CMS_W,
+                                           d_rows=_CMS_D, seed=_CMS_SEED))
+                for k, _ in top]
+    vals = pyref.values_sql(est_rows, [("partkey", "BIGINT"),
+                                       ("est", "BIGINT")])
+    return f"""
+WITH est AS ({vals}),
+tc AS (SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+       FROM lineitem GROUP BY l_partkey)
+SELECT e.partkey, tc.true_cnt, e.est
+FROM est e JOIN tc ON (tc.partkey = e.partkey)
+ORDER BY e.partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7696,6 +7836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_equalize": q_hist_equalize,
         "scc": q_scc,
         "als_factors": q_als_factors,
+        "bloom_prune": q_bloom_prune,
+        "cms_counters": q_cms_counters,
+        "cms_estimates": q_cms_estimates,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -7859,6 +8002,9 @@ def oracle_sql() -> dict[str, str]:
         "hist_equalize": _sql_hist_equalize(),
         "scc": _sql_scc(),
         "als_factors": _sql_als_factors(),
+        "bloom_prune": _sql_bloom_prune(),
+        "cms_counters": _sql_cms_counters(),
+        "cms_estimates": _sql_cms_estimates(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
