@@ -1,0 +1,65 @@
+"""One-pass table profiler — the ANALYZE/summary-stats surface every
+engine ships (null rates, exact distinct counts, min/max per column),
+as a single aggregation job.
+
+Scale shape: ONE pass over the data computes every column's stats in
+one agg (count-distincts expand map-side; no per-column jobs, no
+driver loops); the one-row result unpivots to a per-column table with
+``stack`` — pure codegen. Exactness: distinct counts are exact (not
+HLL); numeric min/max ride as DOUBLE (exact for ints < 2^53 and for
+parquet doubles, which pass through untouched); strings compare in
+binary order (Spark and DuckDB default collations agree); timestamps
+are profiled as epoch seconds via the repo's TIMESTAMP_NTZ-stable
+``timestampdiff`` idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["profile_table"]
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """→ (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str); numeric/timestamp columns fill *_num, string
+    columns fill *_str."""
+    cols = cols or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = schema[c]
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            num = F.expr(f"timestampdiff(SECOND, {_EPOCH}, {c})")
+        elif isinstance(dt, T.StringType):
+            num = None
+        else:
+            num = F.col(c).cast("double")
+        if num is not None:
+            aggs.append(F.min(num).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(num).cast("double").alias(f"{c}__mx"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__ms"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__xs"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+            aggs.append(F.min(F.col(c)).alias(f"{c}__ms"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__xs"))
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__ms, {c}__xs"
+        for c in cols)
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(cols)}, {stacked}) AS "
+               "(column, n_nonnull, n_distinct, min_num, max_num, "
+               "min_str, max_str)")) \
+        .select("column", "n_rows",
+                (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+                "n_distinct", "min_num", "max_num", "min_str", "max_str")

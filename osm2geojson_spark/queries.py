@@ -7667,6 +7667,46 @@ ORDER BY e.partkey
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass profiler (operators/profile.py) over lineitem: exact
+    distinct counts, null counts, min/max per column in ONE agg job,
+    unpivoted with stack() — the ANALYZE surface. DuckDB twin computes
+    the identical stats with per-column scalar aggregates."""
+    from osm2geojson_spark.operators.profile import profile_table
+
+    return (profile_table(_t(spark, sf_dir, "lineitem"))
+            .orderBy("column"))
+
+
+def _sql_table_profile() -> str:
+    num = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+           "l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    ts = {"l_shipdate"}
+    strs = {"l_returnflag", "l_linestatus"}
+    legs = []
+    for c in sorted(num | ts | strs):
+        if c in ts:
+            mn = f"CAST(MIN(CAST(floor(epoch({c})) AS BIGINT)) AS DOUBLE)"
+            mx = f"CAST(MAX(CAST(floor(epoch({c})) AS BIGINT)) AS DOUBLE)"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        elif c in strs:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:
+            mn, mx = (f"CAST(MIN({c}) AS DOUBLE)",
+                      f"CAST(MAX({c}) AS DOUBLE)")
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        legs.append(f"""
+  SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {xs} AS max_str
+  FROM lineitem""")
+    return "SELECT * FROM (" + " UNION ALL ".join(legs) \
+        + ') ORDER BY "column"'
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7839,6 +7879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "cms_counters": q_cms_counters,
         "cms_estimates": q_cms_estimates,
+        "table_profile": q_table_profile,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -8005,6 +8046,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": _sql_bloom_prune(),
         "cms_counters": _sql_cms_counters(),
         "cms_estimates": _sql_cms_estimates(),
+        "table_profile": _sql_table_profile(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),

@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import pandas as pd
+
+from osm2geojson_spark.operators.profile import profile_table
+
+
+def test_profile_stats_with_nulls(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2, 2, None, 5],
+        "s": ["x", None, "y", "y", "aa"]}))
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    a, s = got["a"], got["s"]
+    assert (a["n_rows"], a["n_nulls"], a["n_distinct"]) == (5, 1, 3)
+    assert (a["min_num"], a["max_num"]) == (1.0, 5.0)
+    assert a["min_str"] is None
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 3)
+    assert (s["min_str"], s["max_str"]) == ("aa", "y")
+    assert s["min_num"] is None
+
+
+def test_single_job_plan(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2], "b": [3.0, 4.0]}))
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # one aggregation pass: no join, no more than the expand+agg shuffle
+    assert "Join" not in plan
