@@ -2077,3 +2077,17 @@ def ref_cms_estimate(counters: "dict", key: int, w: int = 256,
     return min(counters.get(
         (j, spark_xxhash64_long_lit(key, seed + j) % w), 0)
         for j in range(d_rows))
+
+
+def ref_isotonic(n: int = 5000) -> "list[tuple]":
+    """Sequential PAV ground truth over the closed-form trend+noise
+    series y(x) = x//50 + (x·2654435761) % 17 − 8."""
+    from osm2geojson_spark.operators.isotonic import pav_merge
+
+    pts = [(x, x, x // 50 + (x * 2654435761) % 17 - 8, 1)
+           for x in range(n)]
+    out = []
+    for st, en, s, c in pav_merge(pts):
+        fp = (1_000_000 * s) // c if s >= 0 else -((-1_000_000 * s) // c)
+        out.append((st, en, s, c, fp))
+    return out

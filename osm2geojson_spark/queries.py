@@ -7707,6 +7707,32 @@ def _sql_table_profile() -> str:
         + ') ORDER BY "column"'
 
 
+def q_isotonic(spark, sf_dir):
+    """Distributed isotonic regression (operators/isotonic.py): PAV
+    over range-partitioned sorted points — per-partition exact integer
+    pooling, one guarded compressed-block merge (the MLlib recipe),
+    strict cross-multiplied violation tests so the block list is
+    deterministic. Oracle: sequential PAV ground truth (pyref) over
+    the same closed-form trend+noise series."""
+    from osm2geojson_spark.operators.isotonic import isotonic_blocks
+
+    pts = spark.range(5000).select(
+        F.col("id").alias("x"),
+        (F.expr("id div 50") + (F.col("id") * 2654435761) % 17 - 8)
+        .alias("y"))
+    return isotonic_blocks(pts, partitions=8).orderBy("start_x")
+
+
+def _sql_isotonic() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_isotonic(n=5000)
+    return pyref.values_sql(
+        rows, [("start_x", "BIGINT"), ("end_x", "BIGINT"),
+               ("sum_y", "BIGINT"), ("n", "BIGINT"),
+               ("fit_ppm", "BIGINT")]) + " ORDER BY start_x"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7880,6 +7906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "cms_estimates": q_cms_estimates,
         "table_profile": q_table_profile,
+        "isotonic": q_isotonic,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -8047,6 +8074,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counters": _sql_cms_counters(),
         "cms_estimates": _sql_cms_estimates(),
         "table_profile": _sql_table_profile(),
+        "isotonic": _sql_isotonic(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
