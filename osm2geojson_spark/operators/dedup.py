@@ -427,3 +427,74 @@ def canonical_pick(
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality"), F.asc("id"))
     return j.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def setsim_join(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    tau_ppm: int = 350_000,
+) -> DataFrame:
+    """Set-similarity join with the PREFIX FILTER (PPJoin family) — the
+    LOSSLESS candidate-pruning technique for token-set Jaccard ≥ τ:
+    order every document's distinct tokens by global (frequency, token)
+    ascending — rarest first under one total order — and explode only
+    the first ``m − ceil(τ·m) + 1`` tokens; two sets with Jaccard ≥ τ
+    MUST share a prefix token (pigeonhole), so the equi-join on prefix
+    tokens misses nothing, while common words (which sit at the back of
+    every ordering) never generate candidates. A length filter
+    (τ·|A| ≤ |B| ≤ |A|/τ) prunes further before verification.
+
+    Exact end-to-end: ceil via integer ``(tau_ppm·m + 999999) div 10⁶``,
+    verification via array_intersect on the distinct token arrays and
+    ``jaccard_ppm = 10⁶·inter div (|A|+|B|−inter)``. Unlike
+    ``ngram_jaccard_pairs``'s ``max_df`` cap (lossy, production guard),
+    the prefix filter is exact for the declared τ — the right default
+    when the threshold is known up front."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(F.filter(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: t != ""))).alias("toks"))
+    toks = base.select("id", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("df_"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("df_").alias("f"),
+                     F.col("tok").alias("t")))).alias("ord"))
+        .select("id",
+                F.transform("ord", lambda s: s["t"]).alias("toks"),
+                F.size("ord").alias("m"))
+        .persist()
+    )
+    prefix = ordered.select(
+        "id", "m",
+        F.explode(F.slice(
+            "toks", F.lit(1),
+            F.col("m")
+            - F.expr(f"(({tau_ppm} * m) + 999999) div 1000000")
+            + 1)).alias("tok"))
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.id") < F.col("b.id"))
+              & (F.col("b.m") * 1_000_000 >= F.lit(tau_ppm) * F.col("a.m"))
+              & (F.col("a.m") * 1_000_000 >= F.lit(tau_ppm) * F.col("b.m")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = ordered.select(F.col("id").alias("id_a"),
+                        F.col("toks").alias("ta"), F.col("m").alias("ma"))
+    sb = ordered.select(F.col("id").alias("id_b"),
+                        F.col("toks").alias("tb"), F.col("m").alias("mb"))
+    verified = (cand.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b",
+                        F.size(F.array_intersect("ta", "tb")).alias("inter"),
+                        F.col("ma"), F.col("mb"))
+                .withColumn("jaccard_ppm",
+                            F.expr("(1000000 * inter) div"
+                                   " (ma + mb - inter)"))
+                .where(F.col("jaccard_ppm") >= tau_ppm)
+                .select("id_a", "id_b", "inter", "jaccard_ppm"))
+    return verified

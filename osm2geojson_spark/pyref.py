@@ -2091,3 +2091,44 @@ def ref_isotonic(n: int = 5000) -> "list[tuple]":
         fp = (1_000_000 * s) // c if s >= 0 else -((-1_000_000 * s) // c)
         out.append((st, en, s, c, fp))
     return out
+
+
+def setsim_corpus(n: int = 400) -> "list[tuple[int, str]]":
+    """Sparse-vocab near-dup corpus shared by both engines: group
+    g = i//4 has 4 variants whose token lists share the first 18
+    entries of one arithmetic progression (longer variants extend it),
+    so within-group Jaccard ∈ {0.75..0.92} and cross-group overlap is
+    incidental."""
+    out = []
+    for i in range(n):
+        g, v = divmod(i, 4)
+        toks = [f"t{(g * 37 + j * 11) % 6000}" for j in range(18 + 2 * v)]
+        out.append((i, " ".join(toks)))
+    return out
+
+
+def ref_setsim(docs: "list[tuple[int, str]]",
+               tau_ppm: int = 350_000) -> "list[tuple]":
+    """Brute-force token-set Jaccard ground truth for setsim_join:
+    normalize, distinct tokens, ALL pairs with the length filter only
+    (no prefix pruning — the independent route), exact integer ppm."""
+    sets = {}
+    for i, text in docs:
+        toks = {t for t in normalize_text(text).split(" ") if t}
+        if toks:
+            sets[i] = toks
+    ids = sorted(sets)
+    out = []
+    for a_i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[a_i + 1:]:
+            sb = sets[b]
+            ma, mb = len(sa), len(sb)
+            if mb * 1_000_000 < tau_ppm * ma \
+                    or ma * 1_000_000 < tau_ppm * mb:
+                continue
+            inter = len(sa & sb)
+            j = (1_000_000 * inter) // (ma + mb - inter)
+            if j >= tau_ppm:
+                out.append((a, b, inter, j))
+    return sorted(out)

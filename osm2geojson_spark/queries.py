@@ -7733,6 +7733,37 @@ def _sql_isotonic() -> str:
                ("fit_ppm", "BIGINT")]) + " ORDER BY start_x"
 
 
+def q_setsim_join(spark, sf_dir):
+    """Prefix-filter set-similarity join (operators/dedup.setsim_join,
+    PPJoin family): documents' distinct tokens ordered rarest-first
+    under one global total order; only the length-m − ceil(τm) + 1
+    prefix generates candidates (LOSSLESS by pigeonhole for the
+    declared τ, unlike the lossy max_df cap) + a length filter, then
+    exact integer-ppm Jaccard verification. Corpus: the shared
+    sparse-vocab near-dup groups, built with pure codegen. Oracle:
+    pyref brute-force over ALL pairs — no prefix logic at all."""
+    from osm2geojson_spark.operators.dedup import setsim_join
+
+    docs = spark.range(400).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.expr(
+            "transform(sequence(0, 17 + 2 * CAST(id % 4 AS INT)),"
+            " j -> concat('t', ((id div 4) * 37 + j * 11) % 6000))"))
+        .alias("text"))
+    return (setsim_join(docs, tau_ppm=700_000)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_setsim_join() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_setsim(pyref.setsim_corpus(400), tau_ppm=700_000)
+    return pyref.values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+               ("inter", "INTEGER"), ("jaccard_ppm", "BIGINT")]) \
+        + " ORDER BY id_a, id_b"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7907,6 +7938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": q_cms_estimates,
         "table_profile": q_table_profile,
         "isotonic": q_isotonic,
+        "setsim_join": q_setsim_join,
         "retention_cohorts": q_retention_cohorts,
         "union_area": q_union_area,
         "watershed": q_watershed,
@@ -8075,6 +8107,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": _sql_cms_estimates(),
         "table_profile": _sql_table_profile(),
         "isotonic": _sql_isotonic(),
+        "setsim_join": _sql_setsim_join(),
         "retention_cohorts": _sql_retention_cohorts(),
         "union_area": _sql_union_area(),
         "watershed": _sql_watershed(),
