@@ -256,6 +256,10 @@ BENCH_QUERIES = {
     # global rank via monotone value buckets, no single-task window)
     "bm25_topk": Q.q_bm25_topk,
     "str_pack": str_pack_full,
+    # round 4 sixth wave: the ANALYZE surface — one agg pass computing
+    # exact distinct/null/min-max for all 11 lineitem columns (the
+    # count-distinct expand is the honest cost; scales with sf)
+    "table_profile": Q.q_table_profile,
 }
 
 

@@ -30,11 +30,16 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     columns fill *_str."""
     cols = cols or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
+    # Distinct counts go in their OWN aggregate: mixing multi-column
+    # countDistinct with plain aggs makes Catalyst's distinct rewrite
+    # carry every regular agg through the 12-way expand — measured 6×
+    # slower (38.5 s vs 6.2 s at sf0.1). Two one-row aggs + crossJoin.
+    nd = df.agg(*[F.countDistinct(F.col(c)).alias(f"{c}__nd")
+                  for c in cols])
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         dt = schema[c]
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             num = F.expr(f"timestampdiff(SECOND, {_EPOCH}, {c})")
         elif isinstance(dt, T.StringType):
@@ -51,7 +56,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
             aggs.append(F.min(F.col(c)).alias(f"{c}__ms"))
             aggs.append(F.max(F.col(c)).alias(f"{c}__xs"))
-    one = df.agg(*aggs)
+    one = df.agg(*aggs).crossJoin(nd)
     stacked = ", ".join(
         f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__ms, {c}__xs"
         for c in cols)

@@ -19,9 +19,14 @@ def test_profile_stats_with_nulls(spark):
     assert s["min_num"] is None
 
 
-def test_single_job_plan(spark):
+def test_two_agg_cross_plan(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "a": [1, 2], "b": [3.0, 4.0]}))
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    # one aggregation pass: no join, no more than the expand+agg shuffle
-    assert "Join" not in plan
+    # two one-row aggregates crossed 1x1: the countDistinct Expand must NOT
+    # carry the plain min/max/count aggs (measured 6x at sf0.1) -- so the
+    # plan has exactly one (bounded) cross join and the Expand appears on
+    # the distinct side only.
+    assert plan.count("NestedLoopJoin BuildRight, Cross") == 1
+    plain_side = plan.split("Expand")[0]
+    assert "min(" in plain_side and "Expand" not in plain_side
