@@ -3978,6 +3978,62 @@ ORDER BY y, x
 """
 
 
+def q_morph_raster(spark, sf_dir):
+    """Grayscale morphology (erosion / dilation / morphological
+    gradient, 3×3 square structuring element) over the tiled DEM via
+    the SAME halo exchange as focal_sum — erosion is focal min,
+    dilation focal max, gradient their difference (the classic edge
+    detector for segmentation masks). Two focal passes over the same
+    synthesized tiles joined on (tx, ty), arrays zipped pixel-wise —
+    no second scan of any source. Oracle = LEAST / GREATEST over the
+    9 clamped closed-form DEM terms, no join (the focal_sum
+    discipline: two maximally different paths, exact int64)."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(
+        spark, _FOCAL_TILES, _FOCAL_TILES, t).persist()
+    ero = focal_op(tiles, op="min3", tile_size=t).withColumnRenamed(
+        "data", "ero")
+    dil = focal_op(tiles, op="max3", tile_size=t).withColumnRenamed(
+        "data", "dil")
+    out = (
+        ero.join(dil, ["tx", "ty"])
+        .select("tx", "ty", F.posexplode(
+            F.zip_with("ero", "dil",
+                       lambda e, d: F.struct(e.alias("e"), d.alias("d"))))
+            .alias("i", "p"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            F.col("p.e").alias("erode"),
+            F.col("p.d").alias("dilate"),
+            (F.col("p.d") - F.col("p.e")).alias("gradient"))
+        .orderBy("y", "x"))
+    return out
+
+
+def _sql_morph_raster() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    terms = ", ".join(v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, least({terms}) AS erode, greatest({terms}) AS dilate,
+       (greatest({terms}) - least({terms})) AS gradient
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 def q_wkt_roundtrip(spark, sf_dir):
     """WKT interop on the integer microdegree lattice (float→text is
     the classic cross-engine formatting trap; int64→text is identical
@@ -7871,6 +7927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "focal_sum": q_focal_sum,
+        "morph_raster": q_morph_raster,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8040,6 +8097,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "triangle_count": _sql_triangle_count(),
         "focal_sum": _sql_focal_sum(),
+        "morph_raster": _sql_morph_raster(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

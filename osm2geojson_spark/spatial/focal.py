@@ -156,12 +156,24 @@ def _bilinear2x(padded: np.ndarray) -> np.ndarray:
     return out
 
 
+def _focal_extreme(padded: np.ndarray, fn) -> np.ndarray:
+    h, w = padded[1:-1, 1:-1].shape
+    return fn(np.stack([padded[dy:dy + h, dx:dx + w]
+                        for dy in (0, 1, 2) for dx in (0, 1, 2)]), axis=0)
+
+
 _OPS = {
     "sum3": (_focal_sum, "array<long>"),
     "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
     "hillshade": (hillshade_kernel, "array<long>"),
     "flowdir8": (_flowdir8, "array<long>"),
     "bilin2x": (_bilinear2x, "array<long>"),
+    # grayscale morphology over the same halo exchange: erosion /
+    # dilation are focal min / max with a 3x3 square structuring
+    # element; opening/closing are compositions of the two (pinned in
+    # tests via focal_reference), morphological gradient = max3 - min3.
+    "min3": (lambda p: _focal_extreme(p, np.min), "array<long>"),
+    "max3": (lambda p: _focal_extreme(p, np.max), "array<long>"),
 }
 
 

@@ -32,7 +32,8 @@ def tiles(spark):
     return synth_dem_tiles(spark, TX, TY, T).cache()
 
 
-@pytest.mark.parametrize("op", ["sum3", "mean3", "hillshade", "flowdir8"])
+@pytest.mark.parametrize(
+    "op", ["sum3", "mean3", "hillshade", "flowdir8", "min3", "max3"])
 def test_halo_exchange_matches_reference(tiles, op):
     out = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
            for r in focal_op(tiles, op=op, tile_size=T).collect()}
@@ -41,6 +42,22 @@ def test_halo_exchange_matches_reference(tiles, op):
     for (tx, ty), got in out.items():
         exp = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
         assert (got == exp).all(), (op, tx, ty)
+
+
+def test_morphology_composition(tiles):
+    # opening = dilate(erode(x)); closing = erode(dilate(x)); the
+    # composed distributed pipeline (two halo exchanges back-to-back)
+    # must equal composing the single-array reference, and the
+    # anti-extensive/extensive ordering opening <= x <= closing holds
+    full = _full()
+    opened_ref = focal_reference(focal_reference(full, "min3"), "max3")
+    opened = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
+              for r in focal_op(focal_op(tiles, op="min3", tile_size=T),
+                                op="max3", tile_size=T).collect()}
+    for (tx, ty), got in opened.items():
+        exp = opened_ref[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+        assert (got == exp).all(), (tx, ty)
+        assert (got <= full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]).all()
 
 
 def test_partition_invariance(tiles):
