@@ -4034,6 +4034,113 @@ ORDER BY y, x
 """
 
 
+_SAT_K = 3  # box-filter radius for the catalog entry
+
+
+def _sat_value_np(gx, gy):
+    # polynomial raster: its 2-D prefix sum has a CLOSED FORM, so the
+    # oracle needs no join and no window — pure per-pixel arithmetic
+    return 3 * gx + 5 * gy + 7 + gx * gy
+
+
+def _sat_closed_form(a: str, b: str) -> str:
+    """DuckDB closed-form inclusive SAT of ``_sat_value_np`` at (a, b):
+    Σ_{x≤a, y≤b} (3x + 5y + 7 + xy) with triangular numbers Ta, Tb."""
+    ta = f"((({a}) * (({a}) + 1)) // 2)"
+    tb = f"((({b}) * (({b}) + 1)) // 2)"
+    return (f"((3 * {ta} * (({b}) + 1)) + (5 * {tb} * (({a}) + 1))"
+            f" + (7 * (({a}) + 1) * (({b}) + 1)) + ({ta} * {tb}))")
+
+
+def q_integral_image(spark, sf_dir):
+    """Distributed summed-area table over tiled rasters
+    (spatial/sat.py): per-tile local SATs + two per-LINE exclusive
+    window sums (tiles×T rows each, never the full raster) + a 2-D
+    exclusive prefix over the tiny tile-totals grid, combined in PURE
+    CODEGEN (transform with a[i div T] + b[i mod T] + c). The synth
+    raster is a polynomial whose 2-D prefix sum has a closed form, so
+    the oracle is join-free per-pixel arithmetic — two maximally
+    different paths meeting at exact int64 (the focal_sum discipline,
+    but for a GLOBAL cumulative statistic, not a local window)."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.sat import integral_image_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(
+        spark, _FOCAL_TILES, _FOCAL_TILES, t, value_fn=_sat_value_np)
+    out = integral_image_tiles(tiles, t)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "sat"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "sat")
+        .orderBy("y", "x"))
+
+
+def _sql_integral_image() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, {_sat_closed_form('x', 'y')} AS sat
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
+def q_box_filter(spark, sf_dir):
+    """Radius-k box sum in O(1) per pixel from the distributed SAT —
+    the payoff primitive (adaptive thresholding, Haar features,
+    variance maps all reduce to it). The 4 SAT corners are fetched by
+    a (k+1)-wide halo exchange (the far corner is the EXCLUSIVE
+    S(r-k-1, c-k-1)); borders are zero above/left of the raster and
+    edge-replicated right/below == window clamping, so the oracle is
+    4 clamped closed-form SAT terms with CASE-zeroed negative args —
+    still join-free."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.sat import (
+        box_filter_tiles,
+        integral_image_tiles,
+    )
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(
+        spark, _FOCAL_TILES, _FOCAL_TILES, t, value_fn=_sat_value_np)
+    sat = integral_image_tiles(tiles, t)
+    out = box_filter_tiles(sat, t, _SAT_K, _FOCAL_TILES, _FOCAL_TILES)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "box"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "box")
+        .orderBy("y", "x"))
+
+
+def _sql_box_filter() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+    k = _SAT_K
+
+    hx = f"least((x + {k}), {w - 1})"
+    hy = f"least((y + {k}), {w - 1})"
+    lx, ly = f"(x - {k + 1})", f"(y - {k + 1})"
+    br = _sat_closed_form(hx, hy)
+    tr = f"(CASE WHEN ({ly}) >= 0 THEN {_sat_closed_form(hx, ly)} ELSE 0 END)"
+    bl = f"(CASE WHEN ({lx}) >= 0 THEN {_sat_closed_form(lx, hy)} ELSE 0 END)"
+    tl = (f"(CASE WHEN (({lx}) >= 0 AND ({ly}) >= 0)"
+          f" THEN {_sat_closed_form(lx, ly)} ELSE 0 END)")
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, (({br}) - ({tr}) - ({bl}) + ({tl})) AS box
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 def q_wkt_roundtrip(spark, sf_dir):
     """WKT interop on the integer microdegree lattice (float→text is
     the classic cross-engine formatting trap; int64→text is identical
@@ -7928,6 +8035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "focal_sum": q_focal_sum,
         "morph_raster": q_morph_raster,
+        "integral_image": q_integral_image,
+        "box_filter": q_box_filter,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8098,6 +8207,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _sql_triangle_count(),
         "focal_sum": _sql_focal_sum(),
         "morph_raster": _sql_morph_raster(),
+        "integral_image": _sql_integral_image(),
+        "box_filter": _sql_box_filter(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
