@@ -4141,6 +4141,81 @@ ORDER BY y, x
 """
 
 
+def _sat2_closed_form(a: str, b: str) -> str:
+    """DuckDB closed-form inclusive SAT of ``_sat_value_np``² at (a,b):
+    f = 7 + 3x + 5y + xy ⇒ f² sums factorize over N/T/Q moments
+    (N = a+1, T = a(a+1)/2, Q = a(a+1)(2a+1)/6, both dims)."""
+    na, nb = f"(({a}) + 1)", f"(({b}) + 1)"
+    ta = f"((({a}) * (({a}) + 1)) // 2)"
+    tb = f"((({b}) * (({b}) + 1)) // 2)"
+    qa = f"((({a}) * (({a}) + 1) * ((2 * ({a})) + 1)) // 6)"
+    qb = f"((({b}) * (({b}) + 1) * ((2 * ({b})) + 1)) // 6)"
+    return (f"((49 * {na} * {nb}) + (9 * {qa} * {nb}) + (25 * {na} * {qb})"
+            f" + ({qa} * {qb}) + (42 * {ta} * {nb}) + (70 * {na} * {tb})"
+            f" + (44 * {ta} * {tb}) + (6 * {qa} * {tb})"
+            f" + (10 * {ta} * {qb}))")
+
+
+def _sql_box_corner_sum(sat_form, k: int, w: int) -> str:
+    """4-corner box expression from a closed-form SAT generator:
+    clamped high corners, CASE-zeroed negative exclusive corners."""
+    hx, hy = f"least((x + {k}), {w - 1})", f"least((y + {k}), {w - 1})"
+    lx, ly = f"(x - {k + 1})", f"(y - {k + 1})"
+    br = sat_form(hx, hy)
+    tr = f"(CASE WHEN ({ly}) >= 0 THEN {sat_form(hx, ly)} ELSE 0 END)"
+    bl = f"(CASE WHEN ({lx}) >= 0 THEN {sat_form(lx, hy)} ELSE 0 END)"
+    tl = (f"(CASE WHEN (({lx}) >= 0 AND ({ly}) >= 0)"
+          f" THEN {sat_form(lx, ly)} ELSE 0 END)")
+    return f"(({br}) - ({tr}) - ({bl}) + ({tl}))"
+
+
+def q_box_variance(spark, sf_dir):
+    """Local variance map — the adaptive-threshold / NCC-normalization
+    primitive: per pixel over the radius-k window ∩ raster, window
+    pixel count n (pure codegen closed form), Σv, and the EXACT
+    integer variance numerator n·Σv² − (Σv)² (no division, no floats;
+    ≥ 0 by Cauchy-Schwarz). Two SAT+box pipelines (values and the
+    codegen-squared raster) joined on (tx, ty). Oracle: the squared
+    polynomial's prefix sum also factorizes over N/T/Q moment closed
+    forms, so both Σ terms stay join-free per-pixel arithmetic."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.sat import box_stats_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(
+        spark, _FOCAL_TILES, _FOCAL_TILES, t, value_fn=_sat_value_np)
+    out = box_stats_tiles(tiles, t, _SAT_K, _FOCAL_TILES, _FOCAL_TILES)
+    return (
+        out.select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("n", "s1", "s2")).alias("i", "z"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            F.col("z.n").alias("n"), F.col("z.s1").alias("s1"),
+            (F.col("z.n") * F.col("z.s2") - F.col("z.s1") * F.col("z.s1"))
+            .alias("varnum"))
+        .orderBy("y", "x"))
+
+
+def _sql_box_variance() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+    k = _SAT_K
+    s1 = _sql_box_corner_sum(_sat_closed_form, k, w)
+    s2 = _sql_box_corner_sum(_sat2_closed_form, k, w)
+    n = (f"((least((x + {k}), {w - 1}) - greatest((x - {k}), 0) + 1)"
+         f" * (least((y + {k}), {w - 1}) - greatest((y - {k}), 0) + 1))")
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, {n} AS n, {s1} AS s1,
+       (({n} * {s2}) - ({s1} * {s1})) AS varnum
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 def q_wkt_roundtrip(spark, sf_dir):
     """WKT interop on the integer microdegree lattice (float→text is
     the classic cross-engine formatting trap; int64→text is identical
@@ -8037,6 +8112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morph_raster": q_morph_raster,
         "integral_image": q_integral_image,
         "box_filter": q_box_filter,
+        "box_variance": q_box_variance,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8209,6 +8285,7 @@ def oracle_sql() -> dict[str, str]:
         "morph_raster": _sql_morph_raster(),
         "integral_image": _sql_integral_image(),
         "box_filter": _sql_box_filter(),
+        "box_variance": _sql_box_variance(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

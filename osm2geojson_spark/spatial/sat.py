@@ -39,7 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["integral_image_tiles", "box_filter_tiles"]
+__all__ = ["integral_image_tiles", "box_filter_tiles", "box_stats_tiles"]
 
 
 def integral_image_tiles(tiles: DataFrame, tile_size: int) -> DataFrame:
@@ -216,3 +216,38 @@ def box_filter_tiles(sat_tiles: DataFrame, tile_size: int, k: int,
     return (halo.groupBy("tx", "ty")
             .applyInPandas(assemble, schema="tx long, ty long, "
                                             "data array<long>"))
+
+
+def box_stats_tiles(tiles: DataFrame, tile_size: int, k: int,
+                    grid_w: int, grid_h: int) -> DataFrame:
+    """Local first/second moments per pixel — the adaptive-threshold /
+    variance-map primitive (Sauvola, Haar, NCC normalization all start
+    here): ``(tx, ty, data)`` value tiles → ``(tx, ty, n array<long>,
+    s1 array<long>, s2 array<long>)`` where over the radius-``k``
+    window ∩ raster, ``n`` = pixel count (pure codegen closed form —
+    no data touched), ``s1`` = Σv, ``s2`` = Σv². Exact integer
+    variance numerator = ``n·s2 − s1²`` downstream; no division, no
+    floats anywhere. Cost: the squared raster is a codegen transform,
+    then TWO independent SAT+box pipelines joined on (tx, ty) — all
+    shuffles remain bounded by tiles×T rows."""
+    t, k = int(tile_size), int(k)
+    gw, gh = int(grid_w), int(grid_h)
+    src = tiles.persist()
+    sq = src.select(
+        "tx", "ty", F.transform("data", lambda v: v * v).alias("data"))
+    s1 = (box_filter_tiles(integral_image_tiles(src, t), t, k, gw, gh)
+          .withColumnRenamed("data", "s1"))
+    s2 = (box_filter_tiles(integral_image_tiles(sq, t), t, k, gw, gh)
+          .withColumnRenamed("data", "s2"))
+    w_px, h_px = gw * t, gh * t
+    # n(x, y) = (min(x+k, W-1) − max(x−k, 0) + 1) · (same in y),
+    # evaluated per array slot i with x = tx·t + i mod t, y = ty·t + i div t
+    joined = s1.join(s2, ["tx", "ty"])
+    x = f"(tx * {t} + (i % {t}))"
+    y = f"(ty * {t} + (i div {t}))"
+    n_expr = (f"transform(s1, (v, i) -> "
+              f"(least({x} + {k}, {w_px - 1}) - greatest({x} - {k}, 0) + 1)"
+              f" * (least({y} + {k}, {h_px - 1}) - greatest({y} - {k}, 0)"
+              f" + 1))")
+    return joined.select(
+        "tx", "ty", F.expr(n_expr).alias("n"), "s1", "s2")

@@ -103,6 +103,26 @@ def test_box_filter_single_tile(spark):
         assert (got[(0, 0)] == _box_reference(full, k)).all(), k
 
 
+def test_box_stats_matches_bruteforce(tiles):
+    k = 2
+    from osm2geojson_spark.spatial.sat import box_stats_tiles
+
+    full = _full(_rand_value_fn(7), TX * T, TY * T)
+    h, w = full.shape
+    out = {(r["tx"], r["ty"]): (np.array(r["n"]), np.array(r["s1"]),
+                                np.array(r["s2"]))
+           for r in box_stats_tiles(tiles, T, k, TX, TY).collect()}
+    assert len(out) == TX * TY
+    for (tx, ty), (n, s1, s2) in out.items():
+        for i in range(T * T):
+            r, c = ty * T + i // T, tx * T + i % T
+            win = full[max(0, r - k):r + k + 1, max(0, c - k):c + k + 1]
+            assert n[i] == win.size
+            assert s1[i] == win.sum()
+            assert s2[i] == (win.astype(np.int64) ** 2).sum()
+            assert n[i] * s2[i] - s1[i] ** 2 >= 0  # Cauchy-Schwarz
+
+
 def test_box_filter_k_guard(sat):
     with pytest.raises(ValueError):
         box_filter_tiles(sat, T, 0, TX, TY)
