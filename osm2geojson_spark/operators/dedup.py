@@ -498,3 +498,67 @@ def setsim_join(
                 .where(F.col("jaccard_ppm") >= tau_ppm)
                 .select("id_a", "id_b", "inter", "jaccard_ppm"))
     return verified
+
+
+def deletion_variants(col: str, d: int) -> "F.Column":
+    """All strings reachable from ``col`` by deleting AT MOST ``d``
+    characters (the string itself included), distinct, as a PURE
+    CODEGEN array expression — no Python on the data path. O(len^d)
+    variants per string, so d is 1 or 2 in practice (the FastSS /
+    SymSpell regime)."""
+    if d < 0:
+        raise ValueError("d must be >= 0")
+
+    def del1(e: str) -> str:
+        # one lambda var reference only — HOF lambdas don't CSE
+        # captured expressions, but `e` here is always a plain var
+        return (f"(CASE WHEN length({e}) = 0 THEN array() "
+                f"ELSE transform(sequence(1, length({e})), i -> "
+                f"concat(substring({e}, 1, i - 1), "
+                f"substring({e}, i + 1, length({e})))) END)")
+
+    expr = f"array(`{col}`)"
+    for _ in range(d):
+        expr = (f"array_distinct(flatten(transform({expr}, "
+                f"s -> array_insert({del1('s')}, 1, s))))")
+    return F.expr(f"array_distinct({expr})")
+
+
+def edit_distance_join(
+    df: DataFrame, d: int = 1, text_col: str = "text",
+    id_col: str = "doc_id", max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact Levenshtein-threshold self-join via the FastSS deletion
+    neighborhood: ``ed(a, b) ≤ d  ⟺  D_d(a) ∩ D_d(b) ≠ ∅`` (take an
+    optimal edit script; a substitution deletes its char on BOTH
+    sides, an insert/delete on ONE — ≤ d deletions per side land both
+    strings on a common variant). Candidates therefore come from an
+    ordinary EQUI-join on variant strings — no cartesian, no
+    similarity-scan — then exact ``levenshtein`` verification prunes
+    the ≤ 2d-distance false positives the variant meet admits.
+
+    Variant keys are near-unique (a shared variant is already a
+    near-duplicate signal), so the join is skew-free on natural text;
+    ``max_bucket_size`` caps pathological repeated-string buckets
+    (see :func:`cap_bucket_size`). Returns ``(id_a, id_b, dist)``
+    with ``id_a < id_b``; pairs at distance 0 (exact dups) included.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(deletion_variants(text_col, d)).alias("v"))
+    toks = cap_bucket_size(toks, ["v"], max_bucket_size)
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"),
+              (F.col("a.v") == F.col("b.v"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct())
+    sa = df.select(F.col(id_col).cast("long").alias("id_a"),
+                   F.col(text_col).alias("_sa"))
+    sb = df.select(F.col(id_col).cast("long").alias("id_b"),
+                   F.col(text_col).alias("_sb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("dist", F.levenshtein("_sa", "_sb"))
+            .where(F.col("dist") <= d)
+            .select("id_a", "id_b", "dist"))

@@ -8002,6 +8002,53 @@ def _sql_setsim_join() -> str:
         + " ORDER BY id_a, id_b"
 
 
+_ED_MUT = ("concat(substring(p_name, 1, CAST(p_partkey % length(p_name)"
+           " AS INT)), 'q', substring(p_name, CAST(p_partkey %"
+           " length(p_name) AS INT) + 2, length(p_name)))")
+
+
+def q_edit_distance_join(spark, sf_dir):
+    """FastSS deletion-neighborhood edit-distance join
+    (operators/dedup.edit_distance_join): ed(a,b) ≤ d ⟺ the ≤d-deletion
+    neighborhoods intersect, so candidates come from a skew-free
+    EQUI-join on codegen-generated deletion variants, then exact
+    levenshtein verification — the fuzzy-matching primitive (typo
+    dedup, entity resolution) with zero cartesian. Corpus: part names
+    + a planted one-substitution twin per name (position keyed by
+    p_partkey — deterministic in both engines). Oracle: brute-force
+    cross join with levenshtein ≤ d, no deletion logic anywhere."""
+    from osm2geojson_spark.operators.dedup import edit_distance_join
+
+    part = _t(spark, sf_dir, "part").where("p_partkey <= 1000")
+    base = part.select(F.col("p_partkey").cast("long").alias("doc_id"),
+                       F.col("p_name").alias("text"))
+    mut = part.select(
+        (F.col("p_partkey") + F.lit(1_000_000)).cast("long")
+        .alias("doc_id"),
+        F.expr(_ED_MUT).alias("text"))
+    docs = base.unionByName(mut)
+    return (edit_distance_join(docs, d=1)
+            .withColumn("dist", F.col("dist").cast("long"))
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_edit_distance_join() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT p_partkey AS doc_id, p_name AS text
+  FROM part WHERE p_partkey <= 1000
+  UNION ALL
+  SELECT (p_partkey + 1000000) AS doc_id, {_ED_MUT} AS text
+  FROM part WHERE p_partkey <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM corpus a, corpus b
+WHERE (a.doc_id < b.doc_id) AND (levenshtein(a.text, b.text) <= 1)
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8113,6 +8160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integral_image": q_integral_image,
         "box_filter": q_box_filter,
         "box_variance": q_box_variance,
+        "edit_distance_join": q_edit_distance_join,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8286,6 +8334,7 @@ def oracle_sql() -> dict[str, str]:
         "integral_image": _sql_integral_image(),
         "box_filter": _sql_box_filter(),
         "box_variance": _sql_box_variance(),
+        "edit_distance_join": _sql_edit_distance_join(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
