@@ -8049,6 +8049,116 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_scd2() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev
+  FROM events
+), starts AS (
+  SELECT user_id, event_type, event_id AS valid_from
+  FROM ordered WHERE (prev IS NULL) OR (prev <> event_type)
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM starts
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+"""
+
+
+def q_scd2_snapshot(spark, sf_dir):
+    """Point-in-time (as-of) read of an SCD2 dimension
+    (operators/scd.py): the one version per user covering order key
+    5000 — a pure filter over the built dimension (at scale:
+    partition-pruned scan, no window). The generic scd2_build here is
+    the reusable-operator twin of the inline q_scd2_build catalog
+    entry: versions keyed by event_id (unique per user — timestamps
+    tie), runs collapsed with a null-safe struct compare."""
+    from osm2geojson_spark.operators.scd import scd2_build, scd2_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_build(ev, "user_id", ["event_type"], "event_id")
+    return (scd2_snapshot(dim, 5000)
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "version")
+            .orderBy("user_id"))
+
+
+def _sql_scd2_snapshot() -> str:
+    return (f"WITH dim AS ({_sql_scd2()}) "
+            "SELECT user_id, event_type, valid_from, valid_to, version "
+            "FROM dim WHERE (valid_from <= 5000) AND "
+            "((valid_to IS NULL) OR (valid_to > 5000)) ORDER BY user_id")
+
+
+def q_template_match(spark, sf_dir):
+    """Template matching over tiled rasters (spatial/ncc.py): a 4×4
+    signed template anchors at every fully-inside pixel; each tile
+    ships only 3-wide RIGHT/BOTTOM halo strips (one bounded shuffle),
+    the kernel computes Σf·t by 16 shifted adds and Σf, Σf² from a
+    LOCAL summed-area table in O(1)/anchor. Output: exact integer NCC
+    pieces num = n·Σft − Σf·Σt and denf = n·Σf² − (Σf)² — score
+    comparisons cross-multiply, never divide. Oracle: 16 closed-form
+    polynomial terms for Σft + anchored SAT corner algebra for the
+    moments, join-free."""
+    import numpy as np
+
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.ncc import match_template_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(
+        spark, _FOCAL_TILES, _FOCAL_TILES, t, value_fn=_sat_value_np)
+    dy, dx = np.mgrid[0:4, 0:4]
+    tmpl = 1 + dx + 2 * dy
+    out = match_template_tiles(
+        tiles, t, tmpl, _FOCAL_TILES, _FOCAL_TILES)
+    n, st = 16, int(tmpl.sum())
+    return (out.select(
+        "x", "y", "cross",
+        (F.lit(n) * F.col("cross") - F.lit(st) * F.col("sf"))
+        .alias("num"),
+        (F.lit(n) * F.col("sf2") - F.col("sf") * F.col("sf"))
+        .alias("denf"))
+        .orderBy("y", "x"))
+
+
+def _sql_template_match() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def f(a, b):  # the raster polynomial at (a, b)
+        return f"(7 + (3 * ({a})) + (5 * ({b})) + (({a}) * ({b})))"
+
+    cross = " + ".join(
+        f"({1 + dx + 2 * dy} * {f(f'(x + {dx})', f'(y + {dy})')})"
+        for dy in range(4) for dx in range(4))
+
+    def anchored(form):
+        hx, hy = "(x + 3)", "(y + 3)"
+        lx, ly = "(x - 1)", "(y - 1)"
+        br = form(hx, hy)
+        tr = f"(CASE WHEN ({ly}) >= 0 THEN {form(hx, ly)} ELSE 0 END)"
+        bl = f"(CASE WHEN ({lx}) >= 0 THEN {form(lx, hy)} ELSE 0 END)"
+        tl = (f"(CASE WHEN (({lx}) >= 0 AND ({ly}) >= 0)"
+              f" THEN {form(lx, ly)} ELSE 0 END)")
+        return f"(({br}) - ({tr}) - ({bl}) + ({tl}))"
+
+    sf = anchored(_sat_closed_form)
+    sf2 = anchored(_sat2_closed_form)
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w - 3})) AS x),
+ys AS (SELECT unnest(range(0, {w - 3})) AS y)
+SELECT x, y, ({cross}) AS cross,
+       ((16 * ({cross})) - (88 * {sf})) AS num,
+       ((16 * {sf2}) - ({sf} * {sf})) AS denf
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8161,6 +8271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_filter": q_box_filter,
         "box_variance": q_box_variance,
         "edit_distance_join": q_edit_distance_join,
+        "scd2_snapshot": q_scd2_snapshot,
+        "template_match": q_template_match,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8335,6 +8447,8 @@ def oracle_sql() -> dict[str, str]:
         "box_filter": _sql_box_filter(),
         "box_variance": _sql_box_variance(),
         "edit_distance_join": _sql_edit_distance_join(),
+        "scd2_snapshot": _sql_scd2_snapshot(),
+        "template_match": _sql_template_match(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -65,3 +65,18 @@ def test_oracle_match(spark, duck, name):
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _multiset(sdf.columns, srows) == _multiset(dcols, drows)
+
+
+def test_no_duplicate_registry_keys():
+    # dict literals silently swallow duplicate keys (a later entry
+    # overrides an earlier one without error — bit us once with a
+    # second scd2_build); pin the source itself
+    import re
+    from collections import Counter
+
+    import osm2geojson_spark.queries as q
+
+    src = open(q.__file__).read()
+    keys = Counter(re.findall(r'^\s{8}"([a-z0-9_]+)":', src, re.M))
+    bad = {k: v for k, v in keys.items() if v != 2}
+    assert not bad, f"registry keys not exactly once per dict: {bad}"
