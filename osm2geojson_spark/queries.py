@@ -8159,6 +8159,83 @@ ORDER BY y, x
 """
 
 
+def q_glcm(spark, sf_dir):
+    """Gray-level co-occurrence matrix (spatial/texture.py): the
+    Haralick texture substrate — quantized value-pair counts at
+    offsets (1,0)/(0,1) over the tiled DEM. Each tile ships ONE
+    1-wide right/bottom strip; kernels bincount locally and the
+    global matrix is a groupBy-sum of ≤ tiles·L² partials — shuffle
+    bounded regardless of raster size. Quantization is integer
+    ``v·L div (hi−lo+1)``. Oracle: join-free — both pair values are
+    closed-form DEM terms, grouped in SQL."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.texture import glcm_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    return (glcm_tiles(tiles, t, _FOCAL_TILES, _FOCAL_TILES,
+                       levels=8, lo=0, hi=106)
+            .orderBy("dir", "la", "lb"))
+
+
+def _sql_glcm() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(a, b):
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    def q(e):
+        return f"CAST(((({e}) * 8) // 107) AS INT)"
+
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+g AS (SELECT x, y FROM xs, ys)
+SELECT CAST(0 AS INT) AS dir, {q(v('x', 'y'))} AS la,
+       {q(v('(x + 1)', 'y'))} AS lb, count(*) AS cnt
+FROM g WHERE x < {w - 1} GROUP BY la, lb
+UNION ALL
+SELECT CAST(1 AS INT) AS dir, {q(v('x', 'y'))} AS la,
+       {q(v('x', '(y + 1)'))} AS lb, count(*) AS cnt
+FROM g WHERE y < {w - 1} GROUP BY la, lb
+ORDER BY dir, la, lb
+"""
+
+
+def q_seq_patterns(spark, sf_dir):
+    """Sequential pattern census (operators/sequence.py): every
+    ordered event-type pair occurring within 3 stream positions per
+    user — occurrences + distinct supporting users. One shuffle on
+    the user key, pair generation is pure codegen array algebra
+    (nested transform + slice — no self-join over the event table),
+    one bounded |types|² groupBy. Oracle: the maximally different
+    path — a row_number CTE self-joined on the rank range."""
+    from osm2geojson_spark.operators.sequence import seq_patterns
+
+    ev = _t(spark, sf_dir, "events")
+    return (seq_patterns(ev, "user_id", "event_id", "event_type",
+                         max_gap=3)
+            .orderBy("a", "b"))
+
+
+def _sql_seq_patterns() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS rn
+  FROM events)
+SELECT x.event_type AS a, y.event_type AS b,
+       count(*) AS n_occ, count(DISTINCT x.user_id) AS n_users
+FROM r x JOIN r y
+  ON (x.user_id = y.user_id)
+ AND (y.rn > x.rn) AND (y.rn <= (x.rn + 3))
+GROUP BY a, b
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8273,6 +8350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_join": q_edit_distance_join,
         "scd2_snapshot": q_scd2_snapshot,
         "template_match": q_template_match,
+        "glcm": q_glcm,
+        "seq_patterns": q_seq_patterns,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8449,6 +8528,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_join": _sql_edit_distance_join(),
         "scd2_snapshot": _sql_scd2_snapshot(),
         "template_match": _sql_template_match(),
+        "glcm": _sql_glcm(),
+        "seq_patterns": _sql_seq_patterns(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -1,0 +1,93 @@
+"""Gray-level co-occurrence matrices (GLCM) over tiled rasters.
+
+The Haralick texture substrate (contrast / energy / homogeneity all
+derive from it): counts of quantized value pairs at offset (1,0) and
+(0,1). Distributed shape: each tile needs only a 1-wide strip from
+its RIGHT / BOTTOM neighbor (the `spatial/ncc.py` one-sided halo at
+margin 1), the kernel bincounts level pairs locally, and the global
+matrix is a groupBy-sum of L² partials per direction — the shuffle
+is bounded by tiles·L², independent of raster size. Quantization is
+pure integer: ``level = (v - lo)·L div (hi - lo + 1)`` clamped to
+[0, L), exactly reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["glcm_tiles"]
+
+
+def glcm_tiles(tiles: DataFrame, tile_size: int, grid_w: int, grid_h: int,
+               levels: int = 8, lo: int = 0, hi: int = 255) -> DataFrame:
+    """``(tx, ty, data array<long>)`` tiles → global co-occurrence
+    counts ``(dir, la, lb, cnt)`` for dir 0 = (1,0) right and
+    dir 1 = (0,1) below, values quantized to ``levels`` bins over
+    ``[lo, hi]`` (out-of-range values clamp). Pairs are ordered
+    (anchor, neighbor) — build the symmetric matrix downstream by
+    adding the transpose."""
+    t, lv = int(tile_size), int(levels)
+    lo, hi = int(lo), int(hi)
+    if lv < 2 or hi < lo:
+        raise ValueError("levels >= 2 and hi >= lo required")
+    gw, gh = int(grid_w), int(grid_h)
+    w_px, h_px = gw * t, gh * t
+
+    import pandas as pd
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                a = np.asarray(data, np.int64).reshape(t, t)
+                tx, ty = int(tx), int(ty)
+                out.append((tx, ty, 0, list(data)))
+                if tx > 0:
+                    out.append((tx - 1, ty, 1, a[:, 0].tolist()))
+                if ty > 0:
+                    out.append((tx, ty - 1, 2, a[0, :].tolist()))
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "part", "payload"])
+
+    halo = tiles.mapInPandas(
+        emit, schema="tx long, ty long, part int, payload array<long>")
+
+    span = hi - lo + 1
+
+    def quant(a):
+        return np.clip((a - lo) * lv // span, 0, lv - 1)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        parts = {int(p): np.asarray(v, np.int64)
+                 for p, v in zip(pdf["part"], pdf["payload"])}
+        p = np.zeros((t + 1, t + 1), dtype=np.int64)
+        p[:t, :t] = parts[0].reshape(t, t)
+        if 1 in parts:
+            p[:t, t] = parts[1]
+        if 2 in parts:
+            p[t, :t] = parts[2]
+        q = quant(p)
+        rows = []
+        # valid anchors: pair stays inside the raster
+        ncr = min(t, w_px - 1 - tx * t)   # anchors with a right neighbor
+        ncb = min(t, h_px - 1 - ty * t)   # anchors with a below neighbor
+        for d, (aa, bb) in enumerate((
+                (q[:t, :ncr], q[:t, 1:ncr + 1]),
+                (q[:ncb, :t], q[1:ncb + 1, :t]))):
+            if aa.size == 0:
+                continue
+            flat = np.bincount(
+                (aa * lv + bb).ravel(), minlength=lv * lv)
+            nz = np.nonzero(flat)[0]
+            rows.extend((d, int(i) // lv, int(i) % lv, int(flat[i]))
+                        for i in nz)
+        return pd.DataFrame(rows, columns=["dir", "la", "lb", "cnt"])
+
+    partials = (halo.groupBy("tx", "ty")
+                .applyInPandas(assemble, schema="dir int, la int, lb int, "
+                                                "cnt long"))
+    return (partials.groupBy("dir", "la", "lb")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -1,0 +1,72 @@
+"""GLCM co-occurrence counts (spatial/texture.py) vs numpy reference.
+
+Pins (1) both directions' count matrices exactly on random tiles
+(cross-tile-boundary pairs included — the halo's whole job), (2)
+total pair counts = (W-1)·H and W·(H-1), (3) clamping of
+out-of-range values, (4) partition invariance, (5) guards."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.spatial.focal import synth_dem_tiles
+from osm2geojson_spark.spatial.texture import glcm_tiles
+
+T, TX, TY = 8, 3, 2
+LV, LO, HI = 6, 10, 250
+
+
+def _make_fn():
+    def fn(gx, gy):
+        h = (gx * 40503 + gy * 2654435761 + 5) & 0xFFFFFFFF
+        return ((h >> 3) ^ h) % 300  # some values exceed HI → clamp
+    return fn
+
+
+def _ref():
+    gx = np.arange(TX * T, dtype=np.int64)[None, :]
+    gy = np.arange(TY * T, dtype=np.int64)[:, None]
+    full = np.broadcast_to(_make_fn()(gx, gy), (TY * T, TX * T))
+    q = np.clip((full - LO) * LV // (HI - LO + 1), 0, LV - 1)
+    out = {}
+    for d, (a, b) in enumerate(((q[:, :-1], q[:, 1:]),
+                                (q[:-1, :], q[1:, :]))):
+        cnt = np.bincount((a * LV + b).ravel(), minlength=LV * LV)
+        for i in np.nonzero(cnt)[0]:
+            out[(d, int(i) // LV, int(i) % LV)] = int(cnt[i])
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return synth_dem_tiles(spark, TX, TY, T, value_fn=_make_fn()).cache()
+
+
+def test_matches_reference(tiles):
+    got = {(r["dir"], r["la"], r["lb"]): r["cnt"]
+           for r in glcm_tiles(tiles, T, TX, TY, LV, LO, HI).collect()}
+    assert got == _ref()
+
+
+def test_totals(tiles):
+    w, h = TX * T, TY * T
+    tot = {r["dir"]: r["s"] for r in
+           glcm_tiles(tiles, T, TX, TY, LV, LO, HI)
+           .groupBy("dir").agg(F.sum("cnt").alias("s")).collect()}
+    assert tot == {0: (w - 1) * h, 1: w * (h - 1)}
+
+
+def test_partition_invariance(spark):
+    base = synth_dem_tiles(spark, TX, TY, T, value_fn=_make_fn())
+    a = {(r["dir"], r["la"], r["lb"]): r["cnt"] for r in
+         glcm_tiles(base.repartition(1), T, TX, TY, LV, LO, HI).collect()}
+    b = {(r["dir"], r["la"], r["lb"]): r["cnt"] for r in
+         glcm_tiles(base.repartition(9), T, TX, TY, LV, LO, HI).collect()}
+    assert a == b
+
+
+def test_guards(tiles):
+    with pytest.raises(ValueError):
+        glcm_tiles(tiles, T, TX, TY, levels=1)
+    with pytest.raises(ValueError):
+        glcm_tiles(tiles, T, TX, TY, lo=10, hi=9)
