@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "k_core",
+__all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components"]
 
 
@@ -352,3 +352,47 @@ def strongly_connected_components(
     # shuffle join — #SCCs is O(n) on a DAG, never assume broadcastable
     mins = assigned.groupBy("root").agg(F.min("id").alias("scc_id"))
     return assigned.join(mins, "root").select("id", "scc_id")
+
+
+def link_prediction(edges: DataFrame,
+                    max_degree: int | None = None) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph:
+    for every NON-adjacent pair sharing ≥ 1 neighbor, the classic
+    exact-integer scores — common-neighbor count ``cn`` and the
+    preferential-attachment product ``deg_u·deg_v`` (Adamic-Adar's
+    1/log weights are floats; these two are the order-stable integer
+    members of the family). ``edges`` is (src, dst) in any
+    orientation/duplication — canonicalized first.
+
+    Distributed shape: one wedge join through the shared neighbor
+    (fan-out Σ_w deg(w)² — the same bound as triangle counting), one
+    pair-key count shuffle, an anti-join against the edge set, two
+    broadcast-friendly degree joins. ``max_degree`` drops hub WEDGE
+    CENTERS above the cap (the standard production guard: a
+    celebrity node contributes deg² candidate pairs and ~zero
+    signal); None = exact."""
+    e = (edges.select(
+        F.least(F.col("src"), F.col("dst")).cast("long").alias("u"),
+        F.greatest(F.col("src"), F.col("dst")).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct())
+    adj = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionAll(e.select(F.col("v").alias("a"),
+                              F.col("u").alias("b"))))
+    deg = adj.groupBy("a").agg(F.count("*").alias("dg"))
+    center = adj
+    if max_degree is not None:
+        center = adj.join(
+            deg.where(F.col("dg") <= int(max_degree)).select("a"), "a")
+    cn = (center.alias("x")
+          .join(center.alias("y"),
+                (F.col("x.a") == F.col("y.a"))
+                & (F.col("x.b") < F.col("y.b")))
+          .groupBy(F.col("x.b").alias("u"), F.col("y.b").alias("v"))
+          .agg(F.count("*").alias("cn")))
+    ne = cn.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("a").alias("u"), F.col("dg").alias("deg_u"))
+    dv = deg.select(F.col("a").alias("v"), F.col("dg").alias("deg_v"))
+    return (ne.join(du, "u").join(dv, "v")
+            .select("u", "v", "cn", "deg_u", "deg_v",
+                    (F.col("deg_u") * F.col("deg_v")).alias("pa")))

@@ -19,10 +19,10 @@ re-attach by broadcast. Cramér's V² in ppb derives per-table:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["contingency_chi2", "cramers_v2_ppb"]
+__all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve", "otsu_threshold"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -67,3 +67,54 @@ def cramers_v2_ppb(cells: DataFrame) -> DataFrame:
         F.expr(f"CAST(({_D.format('1000')} * chi2_ppm)"
                f" div ({_D.format('n')} * (least(n_a, n_b) - 1))"
                " AS BIGINT)").alias("v2_ppb"))
+
+
+def otsu_curve(df: DataFrame, value_col: str) -> DataFrame:
+    """Otsu's between-class variance curve over an integer-valued
+    column — the global-threshold primitive for image binarization
+    (blob_stats' fixed luma_threshold, made data-driven). For every
+    candidate threshold t (each distinct value), the EXACT rational
+    between-class variance σ²_B(t) = num/den with
+
+        num = (s0·N − S·n0)²      den = n0·(N − n0)
+
+    (n0, s0 = count/sum at values ≤ t; N, S = totals). No floats:
+    pick argmax by cross-multiplying num·den' vs num'·den downstream
+    (Python ints — the curve is ≤ |distinct values| rows, O(1)
+    driver). Scale shape: ONE groupBy on the value (the histogram —
+    the only data-sized pass), then window algebra over the tiny
+    histogram itself; the global window is one task over ≤ 2^16 rows
+    for any real bit depth. int64 bound: requires S·N < 3·10⁹ — i.e.
+    Σv · pixel-count products beyond that need the curve computed on
+    a SAMPLED histogram or per-partition rasters."""
+    v = F.col(value_col).cast("long")
+    h = df.groupBy(v.alias("t")).agg(F.count("*").alias("c"))
+    tot = h.agg(F.sum("c").alias("n_tot"),
+                F.sum(F.col("t") * F.col("c")).alias("s_tot"))
+    w = (Window.orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (h.crossJoin(F.broadcast(tot))
+           .withColumn("n0", F.sum("c").over(w))
+           .withColumn("s0", F.sum(F.col("t") * F.col("c")).over(w)))
+    d = (F.col("s0") * F.col("n_tot") - F.col("s_tot") * F.col("n0"))
+    return cum.select(
+        "t",
+        (d * d).alias("num"),
+        (F.col("n0") * (F.col("n_tot") - F.col("n0"))).alias("den"))
+
+
+def otsu_threshold(df: DataFrame, value_col: str) -> int:
+    """The argmax of :func:`otsu_curve` — exact fraction comparison
+    with Python bignums over the collected (tiny) curve; smallest t
+    wins ties (deterministic)."""
+    rows = sorted((r["t"], r["num"], r["den"])
+                  for r in otsu_curve(df, value_col).collect())
+    best_t, best_num, best_den = None, -1, 1
+    for t, num, den in rows:
+        if den == 0:
+            continue
+        if num * best_den > best_num * den:
+            best_t, best_num, best_den = t, num, den
+    if best_t is None:
+        raise ValueError("otsu_threshold needs >= 2 distinct values")
+    return int(best_t)

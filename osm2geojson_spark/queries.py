@@ -8236,6 +8236,95 @@ ORDER BY a, b
 """
 
 
+def q_otsu_curve(spark, sf_dir):
+    """Otsu between-class variance curve (operators/stats.otsu_curve)
+    over a 32×32 DEM: per candidate threshold the EXACT rational
+    σ²_B pieces num = (s0·N − S·n0)², den = n0·(N−n0) — argmax by
+    bignum cross-multiplication downstream, zero floats. One
+    histogram groupBy (the only data-sized pass) + window algebra
+    over the tiny histogram. Oracle: the same algebra in SQL over
+    the closed-form DEM."""
+    from osm2geojson_spark.operators.stats import otsu_curve
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, 1, 1, 32)
+    px = tiles.select(F.explode("data").alias("v"))
+    return otsu_curve(px, "v").orderBy("t")
+
+
+def _sql_otsu_curve() -> str:
+    return """
+WITH xs AS (SELECT unnest(range(0, 32)) AS x),
+ys AS (SELECT unnest(range(0, 32)) AS y),
+g AS (SELECT (((x * 73 + y * 19) % 100)
+              + ((x * x + 3 * (y * y)) % 7)) AS v FROM xs, ys),
+h AS (SELECT v AS t, count(*) AS c FROM g GROUP BY v),
+tot AS (SELECT sum(c) AS n_tot, sum(t * c) AS s_tot FROM h),
+cum AS (
+  SELECT t,
+         sum(c) OVER w AS n0,
+         sum(t * c) OVER w AS s0,
+         n_tot, s_tot
+  FROM h, tot
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT t,
+       (((s0 * n_tot) - (s_tot * n0)) * ((s0 * n_tot) - (s_tot * n0)))
+         AS num,
+       (n0 * (n_tot - n0)) AS den
+FROM cum
+ORDER BY t
+"""
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction (operators/graph.py) over the
+    co-purchase part graph (parts ≤ 400 to bound the wedge fan-out):
+    non-adjacent pairs sharing neighbors, scored by exact-integer
+    common-neighbor count + preferential-attachment degree product.
+    One wedge join (Σ deg² bound, hub cap available), one pair
+    count shuffle, anti-join vs edges, two degree joins. Oracle:
+    the same graph algebra in SQL."""
+    from osm2geojson_spark.operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem").where("l_partkey <= 400")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    e = (baskets.alias("a")
+         .join(baskets.alias("b"),
+               (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("src"),
+                 F.col("b.l_partkey").alias("dst"))
+         .distinct())
+    return (link_prediction(e)
+            .orderBy(F.col("cn").desc(), "u", "v")
+            .limit(300))
+
+
+def _sql_link_prediction() -> str:
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_partkey <= 400),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b ON ((a.l_orderkey = b.l_orderkey)
+                        AND (a.l_partkey < b.l_partkey))),
+adj AS (SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a, count(*) AS dg FROM adj GROUP BY a),
+cn AS (SELECT x.b AS u, y.b AS v, count(*) AS cn
+       FROM adj x JOIN adj y ON ((x.a = y.a) AND (x.b < y.b))
+       GROUP BY x.b, y.b),
+ne AS (SELECT cn.u, cn.v, cn.cn FROM cn
+       LEFT JOIN e ON ((e.u = cn.u) AND (e.v = cn.v))
+       WHERE e.u IS NULL)
+SELECT ne.u, ne.v, ne.cn, du.dg AS deg_u, dv.dg AS deg_v,
+       (du.dg * dv.dg) AS pa
+FROM ne JOIN deg du ON (du.a = ne.u) JOIN deg dv ON (dv.a = ne.v)
+ORDER BY cn DESC, u, v
+LIMIT 300
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8352,6 +8441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_match": q_template_match,
         "glcm": q_glcm,
         "seq_patterns": q_seq_patterns,
+        "otsu_curve": q_otsu_curve,
+        "link_prediction": q_link_prediction,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8530,6 +8621,8 @@ def oracle_sql() -> dict[str, str]:
         "template_match": _sql_template_match(),
         "glcm": _sql_glcm(),
         "seq_patterns": _sql_seq_patterns(),
+        "otsu_curve": _sql_otsu_curve(),
+        "link_prediction": _sql_link_prediction(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -1,0 +1,77 @@
+"""Otsu thresholding (operators/stats) + link prediction
+(operators/graph) vs brute-force references."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from osm2geojson_spark.operators.graph import link_prediction
+from osm2geojson_spark.operators.stats import otsu_curve, otsu_threshold
+
+
+def test_otsu_matches_float_reference(spark):
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.randint(5, 40, 300),
+                           rng.randint(150, 230, 200)])
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    got = otsu_threshold(df, "v")
+    best, bv = None, -1.0
+    for t in sorted(set(vals.tolist()))[:-1]:
+        c0, c1 = vals[vals <= t], vals[vals > t]
+        s = len(c0) * len(c1) * (c0.mean() - c1.mean()) ** 2
+        if s > bv:
+            bv, best = s, t
+    assert got == best
+
+
+def test_otsu_curve_algebra(spark):
+    df = spark.createDataFrame([(v,) for v in (1, 1, 2, 5, 5, 5)],
+                               "v long")
+    rows = {r["t"]: (r["num"], r["den"])
+            for r in otsu_curve(df, "v").collect()}
+    # N=6, S=19. t=2: n0=3, s0=4 → num=(24-57)^2=1089, den=9
+    assert rows[2] == (1089, 9)
+    assert rows[5] == (0, 0)  # full mass left: den 0, num 0
+
+
+def test_otsu_guard(spark):
+    df = spark.createDataFrame([(7,), (7,)], "v long")
+    with pytest.raises(ValueError):
+        otsu_threshold(df, "v")
+
+
+EDGES = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 6), (2, 1)]
+
+
+def _ref_lp(edges):
+    e = {tuple(sorted(p)) for p in edges}
+    nodes = sorted({n for p in e for n in p})
+    adj = {n: set() for n in nodes}
+    for u, v in e:
+        adj[u].add(v)
+        adj[v].add(u)
+    out = {}
+    for u, v in itertools.combinations(nodes, 2):
+        if (u, v) in e:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn:
+            out[(u, v)] = (cn, len(adj[u]), len(adj[v]),
+                           len(adj[u]) * len(adj[v]))
+    return out
+
+
+def test_link_prediction_bruteforce(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {(r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"], r["pa"])
+           for r in link_prediction(df).collect()}
+    assert got == _ref_lp(EDGES)
+
+
+def test_link_prediction_hub_cap(spark):
+    # star: hub 0 connects 1..9; every leaf pair shares only hub 0
+    star = [(0, i) for i in range(1, 10)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert link_prediction(df).count() == 36
+    assert link_prediction(df, max_degree=5).count() == 0
