@@ -672,3 +672,64 @@ def equalize_images(df: DataFrame) -> DataFrame:
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         run, out_schema)
+
+
+def palette_quantize(df: DataFrame, k_colors: int = 8) -> DataFrame:
+    """Median-cut palette extraction per image (Heckbert 1982 — the
+    GIF/PNG8 quantizer): recursively split the RGB box with the
+    largest channel range at its pixel median until ``k_colors``
+    boxes exist; palette = per-box floor-mean colors. Fully
+    deterministic: box pick = largest range then lowest box index,
+    split channel = lowest argmax channel, pixels ordered by
+    (channel, r, g, b) lexicographic, split at n div 2, palette rows
+    sorted by (r, g, b, n). One Arrow decode pass, no shuffle; the
+    pyref twin replays the identical tie-break ladder with python
+    ints. Rows: (image_id, fmt, color_idx, r, g, b, n_px); decode
+    failures quarantine as color_idx = -1 + error."""
+    k = int(k_colors)
+    if not 2 <= k <= 256:
+        raise ValueError("k_colors must be in [2, 256]")
+    out_schema = ("image_id string, fmt string, color_idx long, "
+                  "r long, g long, b long, n_px long, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    px = (_decode(bytes(t.bytes), t.fmt)
+                          .astype(np.int64).reshape(-1, 3))
+                    boxes = [px]
+                    while len(boxes) < k:
+                        best, bi, bc = 0, -1, 0
+                        for i, bx in enumerate(boxes):
+                            rng = bx.max(axis=0) - bx.min(axis=0)
+                            m = int(rng.max())
+                            if m > best:
+                                best, bi, bc = m, i, int(rng.argmax())
+                        if bi < 0:
+                            break
+                        bx = boxes[bi]
+                        order = np.lexsort(
+                            (bx[:, 2], bx[:, 1], bx[:, 0], bx[:, bc]))
+                        bx = bx[order]
+                        h = len(bx) // 2
+                        boxes[bi] = bx[:h]
+                        boxes.append(bx[h:])
+                    pal = sorted(
+                        (int(b[:, 0].sum()) // len(b),
+                         int(b[:, 1].sum()) // len(b),
+                         int(b[:, 2].sum()) // len(b), len(b))
+                        for b in boxes)
+                    rows.extend(
+                        (t.image_id, t.fmt, ci, rr, gg, bb, n, None)
+                        for ci, (rr, gg, bb, n) in enumerate(pal))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((t.image_id, t.fmt, -1, None, None,
+                                 None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "color_idx", "r", "g", "b", "n_px",
+                "error"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run, out_schema)

@@ -2132,3 +2132,41 @@ def ref_setsim(docs: "list[tuple[int, str]]",
             if j >= tau_ppm:
                 out.append((a, b, inter, j))
     return sorted(out)
+
+
+def ref_palette(n: int = 200, seed: int = 42, fmts=None,
+                k: int = 8) -> "list[tuple]":
+    """Twin of ``palette_quantize``: pure-python median cut with the
+    IDENTICAL tie-break ladder (largest range → lowest box index →
+    lowest channel; pixel order (chan, r, g, b); split at n div 2;
+    palette sorted by (r, g, b, n)). The engine sorts with np.lexsort
+    and splits numpy arrays — different machinery, same integers.
+    Returns [(image_id, fmt, color_idx, r, g, b, n_px)]."""
+    out = []
+    for image_id, fmt, px in _image_corpus(n, seed, fmts):
+        h, w = px.shape[0], px.shape[1]
+        pixels = [(int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2]))
+                  for y in range(h) for x in range(w)]
+        boxes = [pixels]
+        while len(boxes) < k:
+            best, bi, bc = 0, -1, 0
+            for i, bx in enumerate(boxes):
+                rngs = [max(p[c] for p in bx) - min(p[c] for p in bx)
+                        for c in range(3)]
+                m = max(rngs)
+                if m > best:
+                    best, bi, bc = m, i, rngs.index(m)
+            if bi < 0:
+                break
+            srt = sorted(boxes[bi],
+                         key=lambda p: (p[bc], p[0], p[1], p[2]))
+            half = len(srt) // 2
+            boxes[bi] = srt[:half]
+            boxes.append(srt[half:])
+        pal = sorted(
+            (sum(p[0] for p in b) // len(b),
+             sum(p[1] for p in b) // len(b),
+             sum(p[2] for p in b) // len(b), len(b)) for b in boxes)
+        out.extend((image_id, fmt, ci, r, g, b, npx)
+                   for ci, (r, g, b, npx) in enumerate(pal))
+    return out

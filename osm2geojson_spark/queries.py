@@ -8325,6 +8325,36 @@ LIMIT 300
 """
 
 
+def q_palette_quantize(spark, sf_dir):
+    """Median-cut palette extraction (operators/images.
+    palette_quantize — Heckbert 1982, the GIF/PNG8 quantizer): 8
+    colors per image via recursive largest-range box splits at the
+    pixel median, every tie deterministically laddered (range → box
+    index → channel; pixel order (chan,r,g,b); split n div 2;
+    palette sorted (r,g,b,n)). One Arrow decode pass over the real
+    TIFF-rotation corpus, no shuffle. Oracle: pyref pure-python
+    median cut — list sorts vs np.lexsort, same integers."""
+    from osm2geojson_spark.operators.images import palette_quantize
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=200, seed=42, fmts=FMTS_TIFF)
+    return (palette_quantize(imgs, k_colors=8)
+            .select("image_id", "fmt", "color_idx", "r", "g", "b",
+                    "n_px")
+            .orderBy("image_id", "color_idx"))
+
+
+def _sql_palette_quantize() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_palette(n=200, seed=42, k=8)
+    return pyref.values_sql(
+        rows, [("image_id", "VARCHAR"), ("fmt", "VARCHAR"),
+               ("color_idx", "BIGINT"), ("r", "BIGINT"),
+               ("g", "BIGINT"), ("b", "BIGINT"),
+               ("n_px", "BIGINT")]) + " ORDER BY image_id, color_idx"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8443,6 +8473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": q_seq_patterns,
         "otsu_curve": q_otsu_curve,
         "link_prediction": q_link_prediction,
+        "palette_quantize": q_palette_quantize,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8623,6 +8654,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_patterns": _sql_seq_patterns(),
         "otsu_curve": _sql_otsu_curve(),
         "link_prediction": _sql_link_prediction(),
+        "palette_quantize": _sql_palette_quantize(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
