@@ -130,6 +130,31 @@ def _hillshade_dem(spark, sf_dir):
     return focal_op(tiles, op="hillshade", tile_size=64)
 
 
+def _box_filter_1m(spark, sf_dir):
+    """Distributed SAT + radius-5 box filter over the 1M-pixel DEM:
+    two line-window exchanges + the (k+1)-wide halo shuffle — the
+    integral-image pipeline at a real size."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.sat import (
+        box_filter_tiles,
+        integral_image_tiles,
+    )
+
+    tiles = synth_dem_tiles(spark, 16, 16, 64)
+    return box_filter_tiles(
+        integral_image_tiles(tiles, 64), 64, 5, 16, 16)
+
+
+def _glcm_1m(spark, sf_dir):
+    """GLCM over the 1M-pixel DEM: 1-wide halo strips + per-tile
+    bincount partials + a tiles-bounded L² groupBy — near-map-only."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.texture import glcm_tiles
+
+    tiles = synth_dem_tiles(spark, 16, 16, 64)
+    return glcm_tiles(tiles, 64, 16, 16, levels=16, lo=0, hi=106)
+
+
 def planet_ingest(spark, sf_dir):
     """S3 distributed planet ingest: ONE bz2 file split across tasks →
     boundary-stitched blobs → parsed node table (the reference streams
@@ -260,6 +285,11 @@ BENCH_QUERIES = {
     # exact distinct/null/min-max for all 11 lineitem columns (the
     # count-distinct expand is the honest cost; scales with sf)
     "table_profile": Q.q_table_profile,
+    # round 4 seventh wave: the integral-image pipeline (block-
+    # decomposed SAT + O(1)/px box filter) and GLCM texture counts,
+    # both over the 1M-pixel DEM the hillshade entry uses
+    "box_filter_1m": _box_filter_1m,
+    "glcm_1m": _glcm_1m,
 }
 
 
