@@ -8355,6 +8355,64 @@ def _sql_palette_quantize() -> str:
                ("n_px", "BIGINT")]) + " ORDER BY image_id, color_idx"
 
 
+def q_blob_moments(spark, sf_dir):
+    """Per-blob integer moment analysis (the connected-component
+    shape-statistics surface: centroid/orientation/eccentricity all
+    derive from raw moments by column arithmetic): threshold the DEM
+    at 60 → binary mask tiles (pure codegen transform) → the
+    polygonize two-phase CC with moments=True — per-tile moment
+    partials ride the SAME stats rollup, zero extra passes. 89 blobs,
+    up to 40 cells, spanning tile seams (the halo stitch is load-
+    bearing). Oracle: a maximally different path — DuckDB RECURSIVE
+    CTE min-label propagation over 4-adjacency of closed-form
+    foreground cells, then SQL moment aggregation."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.polygonize import polygonize
+
+    t, n = 16, 3  # 48x48 raster
+    tiles = synth_dem_tiles(spark, n, n, t)
+    mask = tiles.select(
+        "tx", "ty",
+        F.transform("data",
+                    lambda v: (v >= 60).cast("long")).alias("data"))
+    out = polygonize(mask, t, n * t, moments=True)
+    return (out.where(F.col("value") == 1)
+            .select("region_id", "n_cells", "sx", "sy", "sxx", "sxy",
+                    "syy")
+            .orderBy("region_id"))
+
+
+def _sql_blob_moments() -> str:
+    w = 48
+    dem = ("(((x * 73 + y * 19) % 100)"
+           " + ((x * x + 3 * (y * y)) % 7))")
+    return f"""
+WITH RECURSIVE
+xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+cells AS (
+  SELECT ((y * {w}) + x) AS id, x, y FROM xs, ys
+  WHERE ({dem}) >= 60),
+adj AS (
+  SELECT a.id AS s, b.id AS d FROM cells a JOIN cells b
+    ON (((b.x = (a.x + 1)) AND (b.y = a.y))
+     OR ((b.x = a.x) AND (b.y = (a.y + 1))))),
+e AS (SELECT s, d FROM adj UNION ALL SELECT d AS s, s AS d FROM adj),
+r(id, lab) AS (
+  SELECT id, id FROM cells
+  UNION
+  SELECT e.d, r.lab FROM r JOIN e ON (e.s = r.id)),
+m AS (SELECT id, min(lab) AS region_id FROM r GROUP BY id)
+SELECT m.region_id, count(*) AS n_cells,
+       sum(c.x) AS sx, sum(c.y) AS sy,
+       sum(c.x * c.x) AS sxx, sum(c.x * c.y) AS sxy,
+       sum(c.y * c.y) AS syy
+FROM m JOIN cells c ON (c.id = m.id)
+GROUP BY m.region_id
+ORDER BY region_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8474,6 +8532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu_curve": q_otsu_curve,
         "link_prediction": q_link_prediction,
         "palette_quantize": q_palette_quantize,
+        "blob_moments": q_blob_moments,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8655,6 +8714,7 @@ def oracle_sql() -> dict[str, str]:
         "otsu_curve": _sql_otsu_curve(),
         "link_prediction": _sql_link_prediction(),
         "palette_quantize": _sql_palette_quantize(),
+        "blob_moments": _sql_blob_moments(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -74,10 +74,14 @@ def _tile_labels(tx: int, ty: int, data, t: int, width: int):
 
 
 def polygonize(tiles: DataFrame, tile_size: int, width: int,
-               max_iters: int = 25) -> DataFrame:
+               max_iters: int = 25, moments: bool = False) -> DataFrame:
     """Regions of equal value over ``(tx, ty, data array<long>)`` tiles
     (full rectangular grid, raster width ``width`` pixels). Returns
-    (region_id, value, n_cells, min_x, min_y, max_x, max_y)."""
+    (region_id, value, n_cells, min_x, min_y, max_x, max_y); with
+    ``moments=True`` the exact integer raw moments (sx, sy, sxx, sxy,
+    syy) are appended — centroid/orientation/eccentricity are pure
+    column arithmetic downstream (the image blob-analysis surface),
+    computed as per-tile partials in the SAME rollup, no extra pass."""
     from osm2geojson_spark.operators.dedup import dup_clusters
 
     t, w = int(tile_size), int(width)
@@ -135,27 +139,48 @@ def polygonize(tiles: DataFrame, tile_size: int, width: int,
                 df = pd.DataFrame({
                     "prov": prov.ravel(), "value": a.ravel(),
                     "x": gxf, "y": gyf})
-                g = df.groupby("prov").agg(
-                    value=("value", "first"), n_cells=("value", "size"),
-                    min_x=("x", "min"), min_y=("y", "min"),
-                    max_x=("x", "max"), max_y=("y", "max")).reset_index()
+                if moments:
+                    df["sxx"] = df["x"] * df["x"]
+                    df["sxy"] = df["x"] * df["y"]
+                    df["syy"] = df["y"] * df["y"]
+                    g = df.groupby("prov").agg(
+                        value=("value", "first"),
+                        n_cells=("value", "size"),
+                        min_x=("x", "min"), min_y=("y", "min"),
+                        max_x=("x", "max"), max_y=("y", "max"),
+                        sx=("x", "sum"), sy=("y", "sum"),
+                        sxx=("sxx", "sum"), sxy=("sxy", "sum"),
+                        syy=("syy", "sum")).reset_index()
+                else:
+                    g = df.groupby("prov").agg(
+                        value=("value", "first"),
+                        n_cells=("value", "size"),
+                        min_x=("x", "min"), min_y=("y", "min"),
+                        max_x=("x", "max"), max_y=("y", "max")
+                    ).reset_index()
                 out.append(g)
+            cols = ["prov", "value", "n_cells", "min_x", "min_y",
+                    "max_x", "max_y"] + (
+                ["sx", "sy", "sxx", "sxy", "syy"] if moments else [])
             yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                columns=["prov", "value", "n_cells", "min_x", "min_y",
-                         "max_x", "max_y"]).astype("int64")
+                columns=cols).astype("int64")
 
+    m_schema = (", sx long, sy long, sxx long, sxy long, syy long"
+                if moments else "")
     stats = tiles.mapInPandas(
         emit_stats, schema=("prov long, value long, n_cells long, "
                             "min_x long, min_y long, max_x long, "
-                            "max_y long"))
+                            "max_y long" + m_schema))
 
     cc = dup_clusters(edges, max_iters=max_iters)
+    m_cols = ["sx", "sy", "sxx", "sxy", "syy"] if moments else []
     merged = (stats.join(cc, stats.prov == cc.id, "left")
               .select(F.coalesce("cluster_id", "prov").alias("region_id"),
                       "value", "n_cells", "min_x", "min_y",
-                      "max_x", "max_y"))
+                      "max_x", "max_y", *m_cols))
     return merged.groupBy("region_id").agg(
         F.first("value").alias("value"),
         F.sum("n_cells").alias("n_cells"),
         F.min("min_x").alias("min_x"), F.min("min_y").alias("min_y"),
-        F.max("max_x").alias("max_x"), F.max("max_y").alias("max_y"))
+        F.max("max_x").alias("max_x"), F.max("max_y").alias("max_y"),
+        *[F.sum(c).alias(c) for c in m_cols])

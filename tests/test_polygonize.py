@@ -56,3 +56,58 @@ def test_constant_raster_is_one_region(spark):
     r = rows[0]
     assert (r["region_id"], r["n_cells"]) == (0, 24 * 24)
     assert (r["min_x"], r["min_y"], r["max_x"], r["max_y"]) == (0, 0, 23, 23)
+
+
+def test_moments_match_floodfill_reference(spark):
+    # threshold mask with multi-tile blobs; moments vs a python
+    # flood-fill over the full raster
+    from collections import deque
+
+    import numpy as np
+
+    t, n = 8, 3
+    w = t * n
+
+    def fn(gx, gy):
+        return (((gx * 7 + gy * 11) % 13) >= 6).astype("int64")
+
+    tiles = synth_dem_tiles(spark, n, n, t, value_fn=fn)
+    got = {r["region_id"]: (r["n_cells"], r["sx"], r["sy"], r["sxx"],
+                            r["sxy"], r["syy"])
+           for r in polygonize(tiles, t, width=w, moments=True)
+           .where("value = 1").collect()}
+
+    gx = np.arange(w)[None, :]
+    gy = np.arange(w)[:, None]
+    fg = np.broadcast_to(fn(gx, gy), (w, w)).astype(bool)
+    seen = np.zeros_like(fg)
+    exp = {}
+    for i in range(w):
+        for j in range(w):
+            if fg[i, j] and not seen[i, j]:
+                q, comp = deque([(i, j)]), []
+                seen[i, j] = True
+                while q:
+                    a, b = q.popleft()
+                    comp.append((a, b))
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        c, d = a + da, b + db
+                        if (0 <= c < w and 0 <= d < w and fg[c, d]
+                                and not seen[c, d]):
+                            seen[c, d] = True
+                            q.append((c, d))
+                rid = min(a * w + b for a, b in comp)
+                exp[rid] = (len(comp),
+                            sum(b for _, b in comp),
+                            sum(a for a, _ in comp),
+                            sum(b * b for _, b in comp),
+                            sum(a * b for a, b in comp),
+                            sum(a * a for a, _ in comp))
+    assert got == exp
+
+
+def test_moments_off_schema_unchanged(spark):
+    tiles = synth_dem_tiles(spark, 2, 2, 8, value_fn=lambda gx, gy: gx * 0)
+    cols = polygonize(tiles, 8, width=16).columns
+    assert cols == ["region_id", "value", "n_cells", "min_x", "min_y",
+                    "max_x", "max_y"]
