@@ -42,3 +42,32 @@ def interval_join(
     return joined.filter(
         (F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end))
     ).drop("_b")
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching CLOSED
+    intervals per key → ``(key, start, end, n_merged)``. The classic
+    warehouse coalesce (session stitching, maintenance windows, IP
+    ranges): an island starts where ``start`` exceeds the running max
+    ``end`` of all earlier intervals (running max, not lag — an
+    earlier long interval can swallow several later ones), island id
+    = cumulative count of starts, then one groupBy. Deterministic
+    under ties: with equal starts the second row's running max
+    already covers its start, so tie order can't flip a boundary.
+    One shuffle on the key; two window passes reuse the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    runmax = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new", (runmax.isNull()
+                 | (F.col(start_col) > runmax)).cast("long"))
+    grp = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged.withColumn("_grp", grp)
+            .groupBy(key_col, "_grp")
+            .agg(F.min(start_col).alias("start"),
+                 F.max(end_col).alias("end"),
+                 F.count("*").alias("n_merged"))
+            .drop("_grp"))

@@ -8413,6 +8413,109 @@ ORDER BY region_id
 """
 
 
+def q_edge_histogram(spark, sf_dir):
+    """HOG-style edge-orientation census (spatial/texture.
+    edge_orientation_hist): clamped central-difference gradients
+    bucketed into 8 octants by an exact integer comparison ladder
+    (no atan2), + flat bucket; global (sector, n, Σmag²) rollup. One
+    4-edge-strip halo shuffle, ≤ 9 partial rows per tile. Oracle: the
+    identical ladder as a SQL CASE chain over closed-form gradients
+    — join-free."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.texture import edge_orientation_hist
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    return (edge_orientation_hist(tiles, t, _FOCAL_TILES, _FOCAL_TILES)
+            .orderBy("sector"))
+
+
+def _sql_edge_histogram() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(a, b):
+        a = f"least(greatest(({a}), 0), {w - 1})"
+        b = f"least(greatest(({b}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    gx = f"({v('(x + 1)', 'y')} - {v('(x - 1)', 'y')})"
+    gy = f"({v('x', '(y + 1)')} - {v('x', '(y - 1)')})"
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+g AS (SELECT {gx} AS gx, {gy} AS gy FROM xs, ys),
+s AS (SELECT gx, gy,
+  CASE WHEN (gx = 0) AND (gy = 0) THEN 8
+       WHEN (gy >= 0) AND (gx > 0) AND (abs(gy) < abs(gx)) THEN 0
+       WHEN (gy >= 0) AND (gx > 0) THEN 1
+       WHEN (gy >= 0) AND (gx = 0) THEN 2
+       WHEN (gy >= 0) AND (abs(gy) >= abs(gx)) THEN 2
+       WHEN (gy >= 0) THEN 3
+       WHEN (gy < 0) AND (gx < 0) AND (abs(gy) < abs(gx)) THEN 4
+       WHEN (gy < 0) AND (gx < 0) THEN 5
+       WHEN (gy < 0) AND (gx = 0) THEN 6
+       WHEN (gy < 0) AND (abs(gy) >= abs(gx)) THEN 6
+       ELSE 7 END AS sector
+  FROM g)
+SELECT CAST(sector AS INT) AS sector, count(*) AS n,
+       sum((gx * gx) + (gy * gy)) AS mag2_sum
+FROM s
+GROUP BY sector
+ORDER BY sector
+"""
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands interval coalescing (operators/ranges.
+    merge_intervals): per-user event intervals [sec, sec + dur] (dur
+    keyed by event_id) merged where overlapping-or-touching — running
+    max end (NOT lag: a long interval swallows several later ones),
+    cumulative island ids, one key shuffle + reused exchange. Oracle:
+    the same declarative window algebra in DuckDB."""
+    from osm2geojson_spark.operators.ranges import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01"
+               " 00:00:00', ts)").alias("s"),
+        (F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01"
+                " 00:00:00', ts)")
+         + (F.col("event_id") % 7) * 180 + 60).alias("e"))
+    return (merge_intervals(ev, "user_id", "s", "e")
+            .orderBy("user_id", "start"))
+
+
+def _sql_merge_intervals() -> str:
+    return """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          + ((event_id % 7) * 180) + 60) AS e
+  FROM events),
+f AS (
+  SELECT user_id, s, e,
+         (CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+               WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END) AS newg
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(newg) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM f)
+SELECT user_id, min(s) AS start, max(e) AS "end",
+       count(*) AS n_merged
+FROM g
+GROUP BY user_id, grp
+ORDER BY user_id, start
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8533,6 +8636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "palette_quantize": q_palette_quantize,
         "blob_moments": q_blob_moments,
+        "edge_histogram": q_edge_histogram,
+        "merge_intervals": q_merge_intervals,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8715,6 +8820,8 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _sql_link_prediction(),
         "palette_quantize": _sql_palette_quantize(),
         "blob_moments": _sql_blob_moments(),
+        "edge_histogram": _sql_edge_histogram(),
+        "merge_intervals": _sql_merge_intervals(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

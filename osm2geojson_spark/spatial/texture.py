@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["glcm_tiles"]
+__all__ = ["glcm_tiles", "edge_orientation_hist"]
 
 
 def glcm_tiles(tiles: DataFrame, tile_size: int, grid_w: int, grid_h: int,
@@ -91,3 +91,88 @@ def glcm_tiles(tiles: DataFrame, tile_size: int, grid_w: int, grid_h: int,
                                                 "cnt long"))
     return (partials.groupBy("dir", "la", "lb")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+def edge_orientation_hist(tiles: DataFrame, tile_size: int,
+                          grid_w: int, grid_h: int) -> DataFrame:
+    """HOG-style edge-orientation census over a tiled raster: per
+    pixel the clamped central differences gx = f(x+1,y) − f(x−1,y),
+    gy = f(x,y+1) − f(x,y−1), bucketed into 8 octants by an EXACT
+    integer comparison ladder (no atan2 — sign tests + |gy| vs |gx|,
+    ties resolved by the documented first-match order; zero gradient
+    → bucket 8 "flat"), rolled up to ``(sector, n, mag2_sum)`` with
+    mag2 = gx² + gy². Halo: the 4 EDGE strips only (central
+    differences need no corners) — one bounded shuffle, then ≤ 9
+    partial rows per tile groupBy-summed. The ladder, in order:
+    flat; gy≥0: (gx>0: |gy|<|gx| → 0 else 1), (gx=0 → 2),
+    (gx<0: |gy|≥|gx| → 2 else 3); gy<0: (gx<0: |gy|<|gx| → 4 else
+    5), (gx=0 → 6), (gx>0: |gy|≥|gx| → 6 else 7)."""
+    t = int(tile_size)
+    gw, gh = int(grid_w), int(grid_h)
+
+    import pandas as pd
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                a = np.asarray(data, np.int64).reshape(t, t)
+                tx, ty = int(tx), int(ty)
+                out.append((tx, ty, 4, list(data)))
+                if tx > 0:
+                    out.append((tx - 1, ty, 5, a[:, 0].tolist()))
+                if tx < gw - 1:
+                    out.append((tx + 1, ty, 3, a[:, -1].tolist()))
+                if ty > 0:
+                    out.append((tx, ty - 1, 7, a[0, :].tolist()))
+                if ty < gh - 1:
+                    out.append((tx, ty + 1, 1, a[-1, :].tolist()))
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "part", "payload"])
+
+    halo = tiles.mapInPandas(
+        emit, schema="tx long, ty long, part int, payload array<long>")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        parts = {int(p): np.asarray(v, np.int64)
+                 for p, v in zip(pdf["part"], pdf["payload"])}
+        c = parts[4].reshape(t, t)
+        p = np.empty((t + 2, t + 2), dtype=np.int64)
+        p[1:-1, 1:-1] = c
+        # edge replication == the coordinate clamp; neighbor strips
+        # override where a neighbor exists
+        p[1:-1, 0] = parts[3] if 3 in parts else c[:, 0]
+        p[1:-1, -1] = parts[5] if 5 in parts else c[:, -1]
+        p[0, 1:-1] = parts[1] if 1 in parts else c[0, :]
+        p[-1, 1:-1] = parts[7] if 7 in parts else c[-1, :]
+        gx = p[1:-1, 2:] - p[1:-1, :-2]
+        gy = p[2:, 1:-1] - p[:-2, 1:-1]
+        ax, ay = np.abs(gx), np.abs(gy)
+        sector = np.select(
+            [(gx == 0) & (gy == 0),
+             (gy >= 0) & (gx > 0) & (ay < ax),
+             (gy >= 0) & (gx > 0),
+             (gy >= 0) & (gx == 0),
+             (gy >= 0) & (ay >= ax),
+             (gy >= 0),
+             (gy < 0) & (gx < 0) & (ay < ax),
+             (gy < 0) & (gx < 0),
+             (gy < 0) & (gx == 0),
+             (gy < 0) & (ay >= ax)],
+            [8, 0, 1, 2, 2, 3, 4, 5, 6, 6], default=7).ravel()
+        mag2 = (gx * gx + gy * gy).ravel()
+        n = np.bincount(sector, minlength=9)
+        # np.bincount weights are float64 — sum mag2 in int64 instead
+        m_int = np.zeros(9, dtype=np.int64)
+        np.add.at(m_int, sector, mag2)
+        rows = [(int(s), int(n[s]), int(m_int[s]))
+                for s in range(9) if n[s]]
+        return pd.DataFrame(rows, columns=["sector", "n", "mag2_sum"])
+
+    partials = (halo.groupBy("tx", "ty")
+                .applyInPandas(assemble,
+                               schema="sector int, n long, mag2_sum long"))
+    return (partials.groupBy("sector")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("mag2_sum").alias("mag2_sum")))

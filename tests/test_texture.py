@@ -70,3 +70,43 @@ def test_guards(tiles):
         glcm_tiles(tiles, T, TX, TY, levels=1)
     with pytest.raises(ValueError):
         glcm_tiles(tiles, T, TX, TY, lo=10, hi=9)
+
+
+def test_edge_histogram_matches_reference(spark):
+    import numpy as np
+
+    from osm2geojson_spark.spatial.texture import edge_orientation_hist
+
+    fn = _make_fn()
+    tiles = synth_dem_tiles(spark, TX, TY, T, value_fn=fn)
+    got = {r["sector"]: (r["n"], r["mag2_sum"]) for r in
+           edge_orientation_hist(tiles, T, TX, TY).collect()}
+
+    w, h = TX * T, TY * T
+    gx_ = np.arange(w)[None, :]
+    gy_ = np.arange(h)[:, None]
+    full = np.broadcast_to(fn(gx_, gy_), (h, w)).astype(np.int64)
+    p = np.pad(full, 1, mode="edge")
+    gx = p[1:-1, 2:] - p[1:-1, :-2]
+    gy = p[2:, 1:-1] - p[:-2, 1:-1]
+    ax, ay = np.abs(gx), np.abs(gy)
+    sector = np.select(
+        [(gx == 0) & (gy == 0),
+         (gy >= 0) & (gx > 0) & (ay < ax),
+         (gy >= 0) & (gx > 0),
+         (gy >= 0) & (gx == 0),
+         (gy >= 0) & (ay >= ax),
+         (gy >= 0),
+         (gy < 0) & (gx < 0) & (ay < ax),
+         (gy < 0) & (gx < 0),
+         (gy < 0) & (gx == 0),
+         (gy < 0) & (ay >= ax)],
+        [8, 0, 1, 2, 2, 3, 4, 5, 6, 6], default=7).ravel()
+    mag2 = (gx * gx + gy * gy).ravel()
+    exp = {}
+    for s_ in range(9):
+        m = sector == s_
+        if m.any():
+            exp[s_] = (int(m.sum()), int(mag2[m].sum()))
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == w * h
