@@ -8516,6 +8516,51 @@ ORDER BY user_id, start
 """
 
 
+def q_distance_transform(spark, sf_dir):
+    """L1 distance transform + raster Voronoi (spatial/dt.py): per
+    pixel the L1 distance to the nearest DEM≥90 cell AND which one —
+    multi-source frontier BFS where (dist, src) pairs are ENCODED as
+    dist·K + src so plain integer-min relaxation computes the
+    lexicographic argmin (ties → smallest cell id) with O(V) state,
+    no virtual source, no per-source matrix. Oracle: per-pixel min
+    over all foreground cells of the encoded |Δx|+|Δy| — a grid ×
+    features join, the opposite execution shape."""
+    from osm2geojson_spark.spatial.dt import distance_transform
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+
+    t, n = 16, 3  # 48x48
+    tiles = synth_dem_tiles(spark, n, n, t)
+    mask = tiles.select(
+        "tx", "ty",
+        F.transform("data",
+                    lambda v: (v >= 90).cast("long")).alias("data"))
+    return (distance_transform(mask, t, n * t, n * t)
+            .orderBy("y", "x"))
+
+
+def _sql_distance_transform() -> str:
+    w = 48
+    k = w * w
+    dem = ("(((x * 73 + y * 19) % 100)"
+           " + ((x * x + 3 * (y * y)) % 7))")
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+g AS (SELECT x, y FROM xs, ys),
+fg AS (SELECT ((y * {w}) + x) AS fid, x AS fx, y AS fy FROM g
+       WHERE ({dem}) >= 90),
+enc AS (
+  SELECT g.x, g.y,
+         min(((abs(g.x - fg.fx) + abs(g.y - fg.fy)) * {k}) + fg.fid)
+           AS e
+  FROM g, fg
+  GROUP BY g.x, g.y)
+SELECT x, y, (e // {k}) AS dist, (e % {k}) AS nearest
+FROM enc
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8638,6 +8683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_moments": q_blob_moments,
         "edge_histogram": q_edge_histogram,
         "merge_intervals": q_merge_intervals,
+        "distance_transform": q_distance_transform,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8822,6 +8868,7 @@ def oracle_sql() -> dict[str, str]:
         "blob_moments": _sql_blob_moments(),
         "edge_histogram": _sql_edge_histogram(),
         "merge_intervals": _sql_merge_intervals(),
+        "distance_transform": _sql_distance_transform(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
