@@ -8561,6 +8561,61 @@ ORDER BY y, x
 """
 
 
+def q_harris_corners(spark, sf_dir):
+    """Harris-Stephens corner response (spatial/texture.
+    harris_response), exact int64: structure-tensor 3×3 box sums of
+    clamped central-difference gradient products, resp = 20·det −
+    tr² (k = 0.05 scaled integral). ONE margin-2 halo pass computes
+    gradients AND window sums; valid-mode interior anchors. Oracle:
+    9-term sums of squared/multiplied closed-form clamped gradients
+    per pixel — join-free."""
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+    from osm2geojson_spark.spatial.texture import harris_response
+
+    t, n = 16, 3
+    tiles = synth_dem_tiles(spark, n, n, t)
+    return (harris_response(tiles, t, n, n)
+            .orderBy("y", "x"))
+
+
+def _sql_harris_corners() -> str:
+    w = 48
+
+    def v(a, b):
+        a = f"least(greatest(({a}), 0), {w - 1})"
+        b = f"least(greatest(({b}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    def gx(a, b):
+        return f"({v(f'({a}) + 1', b)} - {v(f'({a}) - 1', b)})"
+
+    def gy(a, b):
+        return f"({v(a, f'({b}) + 1')} - {v(a, f'({b}) - 1')})"
+
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    sxx = " + ".join(
+        f"({gx(f'x + {dx}', f'y + {dy}')}"
+        f" * {gx(f'x + {dx}', f'y + {dy}')})" for dx, dy in offs)
+    syy = " + ".join(
+        f"({gy(f'x + {dx}', f'y + {dy}')}"
+        f" * {gy(f'x + {dx}', f'y + {dy}')})" for dx, dy in offs)
+    sxy = " + ".join(
+        f"({gx(f'x + {dx}', f'y + {dy}')}"
+        f" * {gy(f'x + {dx}', f'y + {dy}')})" for dx, dy in offs)
+    return f"""
+WITH xs AS (SELECT unnest(range(1, {w - 1})) AS x),
+ys AS (SELECT unnest(range(1, {w - 1})) AS y),
+s AS (SELECT x, y, ({sxx}) AS sxx, ({syy}) AS syy, ({sxy}) AS sxy
+      FROM xs, ys)
+SELECT x, y, sxx, syy, sxy,
+       ((20 * ((sxx * syy) - (sxy * sxy))) - ((sxx + syy) * (sxx + syy)))
+         AS resp
+FROM s
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8684,6 +8739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_histogram": q_edge_histogram,
         "merge_intervals": q_merge_intervals,
         "distance_transform": q_distance_transform,
+        "harris_corners": q_harris_corners,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8869,6 +8925,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_histogram": _sql_edge_histogram(),
         "merge_intervals": _sql_merge_intervals(),
         "distance_transform": _sql_distance_transform(),
+        "harris_corners": _sql_harris_corners(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

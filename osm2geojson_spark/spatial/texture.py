@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["glcm_tiles", "edge_orientation_hist"]
+__all__ = ["glcm_tiles", "edge_orientation_hist", "harris_response"]
 
 
 def glcm_tiles(tiles: DataFrame, tile_size: int, grid_w: int, grid_h: int,
@@ -176,3 +176,107 @@ def edge_orientation_hist(tiles: DataFrame, tile_size: int,
     return (partials.groupBy("sector")
             .agg(F.sum("n").alias("n"),
                  F.sum("mag2_sum").alias("mag2_sum")))
+
+
+def harris_response(tiles: DataFrame, tile_size: int,
+                    grid_w: int, grid_h: int) -> DataFrame:
+    """Harris-Stephens corner response over a tiled raster, exact in
+    int64: per pixel the structure tensor's 3×3 box sums Sxx, Syy,
+    Sxy of clamped central-difference gradient products, and
+    ``resp = 20·(Sxx·Syy − Sxy²) − (Sxx + Syy)²`` — the classic
+    k = 0.05 scaled through by 20 so the detector stays integral
+    (corners: resp ≫ 0; edges: resp < 0). ONE halo pass at margin 2
+    (gradients need ±1, the window another ±1); output restricted to
+    pixels whose 3×3 window lies fully inside the raster — the
+    unambiguous valid-mode convention (gradients at window cells
+    still use clamped differences, so raster-edge-adjacent windows
+    are exact, not approximate). Rows: (x, y, sxx, syy, sxy, resp)."""
+    t = int(tile_size)
+    gw, gh = int(grid_w), int(grid_h)
+    w_px, h_px = gw * t, gh * t
+    m = 2
+
+    import pandas as pd
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                a = np.asarray(data, np.int64).reshape(t, t)
+                tx, ty = int(tx), int(ty)
+                out.append((tx, ty, 4, list(data)))
+                for sdy in (-1, 0, 1):
+                    for sdx in (-1, 0, 1):
+                        if sdx == 0 and sdy == 0:
+                            continue
+                        rx, ry = tx - sdx, ty - sdy
+                        if not (0 <= rx < gw and 0 <= ry < gh):
+                            continue
+                        ys = slice(None) if sdy == 0 else (
+                            slice(0, m) if sdy == 1 else slice(t - m, t))
+                        xs = slice(None) if sdx == 0 else (
+                            slice(0, m) if sdx == 1 else slice(t - m, t))
+                        out.append((rx, ry, (sdy + 1) * 3 + (sdx + 1),
+                                    a[ys, xs].ravel().tolist()))
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "part", "payload"])
+
+    halo = tiles.mapInPandas(
+        emit, schema="tx long, ty long, part int, payload array<long>")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        parts = {int(p): np.asarray(v, np.int64)
+                 for p, v in zip(pdf["part"], pdf["payload"])}
+        p = np.zeros((t + 2 * m, t + 2 * m), dtype=np.int64)
+        p[m:-m, m:-m] = parts[4].reshape(t, t)
+        shapes = {0: (m, m), 1: (m, t), 2: (m, m), 3: (t, m),
+                  5: (t, m), 6: (m, m), 7: (m, t), 8: (m, m)}
+        sl = {0: (slice(0, m), slice(0, m)),
+              1: (slice(0, m), slice(m, -m)),
+              2: (slice(0, m), slice(-m, None)),
+              3: (slice(m, -m), slice(0, m)),
+              5: (slice(m, -m), slice(-m, None)),
+              6: (slice(-m, None), slice(0, m)),
+              7: (slice(-m, None), slice(m, -m)),
+              8: (slice(-m, None), slice(-m, None))}
+        for code, (ys, xs) in sl.items():
+            if code in parts:
+                p[ys, xs] = parts[code].reshape(shapes[code])
+        # raster-boundary clamp = edge replication of the VALUE raster
+        if ty == 0:
+            p[:m, :] = p[m, :]
+        if ty == gh - 1:
+            p[-m:, :] = p[-m - 1, :]
+        if tx == 0:
+            p[:, :m] = p[:, [m]]
+        if tx == gw - 1:
+            p[:, -m:] = p[:, [-m - 1]]
+        # gradients on the ±1 region around the tile
+        q = p[1:-1, 1:-1]  # (t+2)²; tile pixel (r,c) at q[r+1, c+1]
+        gx = p[1:-1, 2:] - p[1:-1, :-2]
+        gy = p[2:, 1:-1] - p[:-2, 1:-1]
+        # 3×3 box sums of products, valid for the t² tile anchors
+        def box3(a):
+            s = np.zeros((t, t), dtype=np.int64)
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    s += a[dy:dy + t, dx:dx + t]
+            return s
+        sxx, syy, sxy = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+        resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        ys_, xs_ = np.mgrid[0:t, 0:t]
+        gxs = tx * t + xs_
+        gys = ty * t + ys_
+        keep = ((gxs >= 1) & (gxs <= w_px - 2)
+                & (gys >= 1) & (gys <= h_px - 2)).ravel()
+        _ = q  # documented coordinate frame
+        return pd.DataFrame({
+            "x": gxs.ravel()[keep], "y": gys.ravel()[keep],
+            "sxx": sxx.ravel()[keep], "syy": syy.ravel()[keep],
+            "sxy": sxy.ravel()[keep], "resp": resp.ravel()[keep]})
+
+    return (halo.groupBy("tx", "ty")
+            .applyInPandas(assemble,
+                           schema="x long, y long, sxx long, syy long, "
+                                  "sxy long, resp long"))

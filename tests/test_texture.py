@@ -110,3 +110,38 @@ def test_edge_histogram_matches_reference(spark):
             exp[s_] = (int(m.sum()), int(mag2[m].sum()))
     assert got == exp
     assert sum(v[0] for v in got.values()) == w * h
+
+
+def test_harris_matches_reference(spark):
+    import numpy as np
+
+    from osm2geojson_spark.spatial.texture import harris_response
+
+    fn = _make_fn()
+    tiles = synth_dem_tiles(spark, TX, TY, T, value_fn=fn)
+    got = {(r["x"], r["y"]): (r["sxx"], r["syy"], r["sxy"], r["resp"])
+           for r in harris_response(tiles, T, TX, TY).collect()}
+
+    w, h = TX * T, TY * T
+    gx_ = np.arange(w)[None, :]
+    gy_ = np.arange(h)[:, None]
+    full = np.broadcast_to(fn(gx_, gy_), (h, w)).astype(np.int64)
+    p = np.pad(full, 2, mode="edge")
+    gx = p[1:-1, 2:] - p[1:-1, :-2]   # (h+2, w+2): pixel ±1 region
+    gy = p[2:, 1:-1] - p[:-2, 1:-1]
+
+    def box3(a):
+        s = np.zeros((h, w), dtype=np.int64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                s += a[dy:dy + h, dx:dx + w]
+        return s
+
+    sxx, syy, sxy = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+    resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    exp = {(x, y): (int(sxx[y, x]), int(syy[y, x]), int(sxy[y, x]),
+                    int(resp[y, x]))
+           for y in range(1, h - 1) for x in range(1, w - 1)}
+    assert got == exp
+    # a flat raster has resp == 0 everywhere; this one must not
+    assert any(v[3] != 0 for v in got.values())
