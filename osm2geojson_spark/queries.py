@@ -8616,6 +8616,59 @@ ORDER BY y, x
 """
 
 
+def q_focal_mode(spark, sf_dir):
+    """3×3 majority filter (spatial/focal.py mode3) — the categorical
+    raster resampler (landcover smoothing): most frequent of the 9
+    clamped neighbors, ties → smallest value, realized kernel-side as
+    integer min of the −count·2³²+value encode. Input: the DEM
+    quantized to 6 classes (div 20). Oracle: unnest the 9 closed-form
+    class terms per pixel, count, and min the nonnegative
+    (9−cnt)·2³²+val encode — same tie rule, no kernel."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+
+    def classes(gx, gy):
+        return ((gx * 73 + gy * 19) % 100
+                + (gx * gx + 3 * gy * gy) % 7) // 20
+
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t,
+                            value_fn=classes)
+    out = focal_op(tiles, op="mode3", tile_size=t)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "mode"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "mode")
+        .orderBy("y", "x"))
+
+
+def _sql_focal_mode() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+    m = 1 << 32
+
+    def c(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"((((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7)) // 20)")
+
+    terms = ", ".join(c(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+n AS (SELECT x, y, unnest([{terms}]) AS val FROM xs, ys),
+c AS (SELECT x, y, val, count(*) AS cnt FROM n GROUP BY x, y, val),
+e AS (SELECT x, y, min(((9 - cnt) * {m}) + val) AS enc
+      FROM c GROUP BY x, y)
+SELECT x, y, (enc % {m}) AS mode
+FROM e
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8740,6 +8793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "distance_transform": q_distance_transform,
         "harris_corners": q_harris_corners,
+        "focal_mode": q_focal_mode,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8926,6 +8980,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals": _sql_merge_intervals(),
         "distance_transform": _sql_distance_transform(),
         "harris_corners": _sql_harris_corners(),
+        "focal_mode": _sql_focal_mode(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -162,6 +162,26 @@ def _focal_extreme(padded: np.ndarray, fn) -> np.ndarray:
                         for dy in (0, 1, 2) for dx in (0, 1, 2)]), axis=0)
 
 
+_MODE_M = 1 << 32  # value bound for the (count desc, value asc) encode
+
+
+def _focal_mode(padded: np.ndarray) -> np.ndarray:
+    """3×3 majority filter — the categorical-raster resampler
+    (landcover smoothing, label cleanup). Tie rule: most frequent,
+    then SMALLEST value — realized as integer min of the encode
+    ``−count·2³² + value`` over the 9 candidates (needs
+    0 ≤ value < 2³²; raise, don't corrupt)."""
+    if padded.min() < 0 or padded.max() >= _MODE_M:
+        raise ValueError("mode3 requires 0 <= values < 2^32")
+    h, w = padded[1:-1, 1:-1].shape
+    stack = np.stack([padded[dy:dy + h, dx:dx + w]
+                      for dy in (0, 1, 2) for dx in (0, 1, 2)])
+    counts = (stack[:, None, :, :] == stack[None, :, :, :]).sum(axis=1)
+    enc = -counts.astype(np.int64) * _MODE_M + stack
+    return np.take_along_axis(
+        stack, enc.argmin(axis=0)[None], axis=0)[0]
+
+
 _OPS = {
     "sum3": (_focal_sum, "array<long>"),
     "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
@@ -174,6 +194,8 @@ _OPS = {
     # tests via focal_reference), morphological gradient = max3 - min3.
     "min3": (lambda p: _focal_extreme(p, np.min), "array<long>"),
     "max3": (lambda p: _focal_extreme(p, np.max), "array<long>"),
+    # majority filter: most frequent of the 9, ties -> smallest value
+    "mode3": (_focal_mode, "array<long>"),
 }
 
 

@@ -336,3 +336,38 @@ def test_raster_pyramid_ragged_raises(spark):
     tiles = synth_dem_tiles(spark, 3, 3, 8)
     with pytest.raises(Exception, match="ragged"):
         raster_pyramid(tiles, 8, levels=1).collect()
+
+
+def test_mode3_matches_reference_and_tie_rule(spark):
+    # quantized raster gives real majorities; reference recomputes
+    # the (count desc, value asc) rule per pixel in plain python
+    def q_fn(gx, gy):
+        return dem_value_np(gx, gy) // 20
+
+    tiles = synth_dem_tiles(spark, TX, TY, T, value_fn=q_fn)
+    got = {(r["tx"], r["ty"]): np.array(r["data"]).reshape(T, T)
+           for r in focal_op(tiles, op="mode3", tile_size=T).collect()}
+    gx = np.arange(TX * T, dtype=np.int64)[None, :]
+    gy = np.arange(TY * T, dtype=np.int64)[:, None]
+    full = np.broadcast_to(q_fn(gx, gy), (TY * T, TX * T))
+    p = np.pad(full, 1, mode="edge")
+    h, w = full.shape
+    for ty in range(TY):
+        for tx in range(TX):
+            g = got[(tx, ty)]
+            for r in range(T):
+                for c in range(T):
+                    y, x = ty * T + r, tx * T + c
+                    vals = sorted(p[y:y + 3, x:x + 3].ravel().tolist())
+                    best = min(vals, key=lambda v: (-vals.count(v), v))
+                    assert g[r, c] == best, (x, y)
+
+
+def test_mode3_value_bound_guard(spark):
+    big = synth_dem_tiles(spark, 1, 1, 4,
+                          value_fn=lambda gx, gy: gx * 0 + (1 << 32))
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        focal_op(big, op="mode3", tile_size=4).collect()
