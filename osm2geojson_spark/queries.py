@@ -8669,6 +8669,55 @@ ORDER BY y, x
 """
 
 
+def q_ols_trend(spark, sf_dir):
+    """Exact per-group simple linear regression (the GROUP BY trend
+    fit): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and intercept =
+    (ΣyΣx² − ΣxΣxy)/same, emitted as EXACT int64 numerator/
+    denominator pairs — compare/rank by cross-multiplication, divide
+    only at presentation. x = l_quantity, y = extendedprice in cents
+    (decimal·100 → exact BIGINT in both engines), groups = l_suppkey
+    mod 100. One partial-aggregable groupBy — the cheapest possible
+    distributed shape. Oracle: the same sums in SQL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 100).alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"))
+    agg = li.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    return (agg.select(
+        "grp", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .alias("icept_num"))
+        .orderBy("grp"))
+
+
+def _sql_ols_trend() -> str:
+    return """
+WITH pts AS (
+  SELECT (l_suppkey % 100) AS grp,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+a AS (
+  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY grp)
+SELECT grp, n,
+       ((n * sxy) - (sx * sy)) AS slope_num,
+       ((n * sxx) - (sx * sx)) AS den,
+       ((sy * sxx) - (sx * sxy)) AS icept_num
+FROM a
+ORDER BY grp
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8794,6 +8843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_transform": q_distance_transform,
         "harris_corners": q_harris_corners,
         "focal_mode": q_focal_mode,
+        "ols_trend": q_ols_trend,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -8981,6 +9031,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_transform": _sql_distance_transform(),
         "harris_corners": _sql_harris_corners(),
         "focal_mode": _sql_focal_mode(),
+        "ols_trend": _sql_ols_trend(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -75,3 +75,22 @@ def test_link_prediction_hub_cap(spark):
     df = spark.createDataFrame(star, "src long, dst long")
     assert link_prediction(df).count() == 36
     assert link_prediction(df, max_degree=5).count() == 0
+
+
+def test_ols_trend_exact_line(spark):
+    # y = 3x + 5 exactly → slope_num/den == 3, icept_num/den == 5
+    from osm2geojson_spark.queries import q_ols_trend  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(int(x), 3 * x + 5) for x in range(1, 21)], "x long, y long")
+    a = df.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy")).collect()[0]
+    num = a["n"] * a["sxy"] - a["sx"] * a["sy"]
+    den = a["n"] * a["sxx"] - a["sx"] * a["sx"]
+    icept = a["sy"] * a["sxx"] - a["sx"] * a["sxy"]
+    assert num == 3 * den
+    assert icept == 5 * den
