@@ -239,3 +239,85 @@ def video_dup_pairs(shots: DataFrame, min_shared: int = 2,
                    "(ca.n_shots + cb.n_shots - shared)").alias("jaccard_ppm"),
         )
     )
+
+
+def block_match_py(prev: "np.ndarray", cur: "np.ndarray",
+                   block: int, search: int):
+    """Full-search SAD block matching between two RGB frames — the
+    shared deterministic kernel (engine AND pyref call THIS, the
+    different machinery is everything around it). For each
+    non-overlapping ``block``² tile of ``cur``, the displacement
+    (dy, dx) in the ±``search`` window minimizing the int64 RGB SAD
+    against ``prev``, candidates scanned dy-then-dx ascending with
+    strict-less updates — the (sad, dy, dx) lexicographic tie ladder.
+    Candidates whose source region leaves the frame are skipped.
+    Returns [(by, bx, dy, dx, sad)] in block raster order."""
+    import numpy as np
+
+    h, w = cur.shape[0], cur.shape[1]
+    p = prev.astype(np.int64)
+    c = cur.astype(np.int64)
+    out = []
+    for by in range(0, h - block + 1, block):
+        for bx in range(0, w - block + 1, block):
+            blk = c[by:by + block, bx:bx + block]
+            best = None
+            for dy in range(-search, search + 1):
+                sy = by - dy
+                if sy < 0 or sy + block > h:
+                    continue
+                for dx in range(-search, search + 1):
+                    sx = bx - dx
+                    if sx < 0 or sx + block > w:
+                        continue
+                    sad = int(np.abs(
+                        blk - p[sy:sy + block, sx:sx + block]).sum())
+                    if best is None or sad < best[0]:
+                        best = (sad, dy, dx)
+            out.append((by, bx, best[1], best[2], best[0]))
+    return out
+
+
+def motion_vectors(df: DataFrame, block: int = 8,
+                   search: int = 3) -> DataFrame:
+    """Per-frame dominant motion vector via full-search block
+    matching (the MPEG motion-estimation primitive, exact int64):
+    for every consecutive frame pair, match all blocks
+    (:func:`block_match_py`), then the frame's vector is the MODE
+    over block vectors (ties → lexicographic smallest (dy, dx)).
+    Rows: (media_id, frame_idx, vx, vy, n_blocks, agree, sad_sum) —
+    frame_idx is the LATER frame; agree = blocks voting for the
+    winner; sad_sum = Σ best SADs (0 for pure translation).
+    Undecodable clips quarantine as frame_idx −1 + error."""
+    out_schema = ("media_id string, frame_idx int, vx int, vy int, "
+                  "n_blocks int, agree int, sad_sum long, error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                try:
+                    n, _, get_frame = _open_clip(bytes(t.bytes), t.fmt)
+                    prev = get_frame(0)
+                    for k in range(1, n):
+                        cur = get_frame(k)
+                        bm = block_match_py(prev, cur, block, search)
+                        votes = Counter((dy, dx)
+                                        for _, _, dy, dx, _ in bm)
+                        (dy, dx), agree = min(
+                            votes.items(),
+                            key=lambda it: (-it[1], it[0]))
+                        rows.append((t.media_id, k, int(dx), int(dy),
+                                     len(bm), int(agree),
+                                     sum(b[4] for b in bm), None))
+                        prev = cur
+                except Exception as ex:  # noqa: BLE001 — quarantine
+                    rows.append((t.media_id, -1, None, None, None,
+                                 None, None, f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "vx", "vy", "n_blocks",
+                "agree", "sad_sum", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(
+        run, out_schema)

@@ -2170,3 +2170,35 @@ def ref_palette(n: int = 200, seed: int = 42, fmts=None,
         out.extend((image_id, fmt, ci, r, g, b, npx)
                    for ci, (r, g, b, npx) in enumerate(pal))
     return out
+
+
+def ref_motion_vectors(n: int = 150, seed: int = 42, block: int = 8,
+                       search: int = 3) -> "list[tuple]":
+    """Spark-free twin of operators/video.motion_vectors over the
+    pure-translation motion corpus: direct fpack slicing (no
+    container dispatch, no Arrow) around the same deterministic
+    block_match_py kernel. Returns [(media_id, frame_idx, vx, vy,
+    n_blocks, agree, sad_sum)]."""
+    from collections import Counter
+
+    from osm2geojson_spark.operators.video import block_match_py
+    from osm2geojson_spark.synth.video import (
+        fpack_frame,
+        make_motion_video_row,
+    )
+
+    out = []
+    for i in range(n):
+        media_id, buf, _w, _h, nf, _fps, _fmt = make_motion_video_row(
+            i * 2 + seed)
+        prev = fpack_frame(buf, 0)
+        for k in range(1, nf):
+            cur = fpack_frame(buf, k)
+            bm = block_match_py(prev, cur, block, search)
+            votes = Counter((dy, dx) for _, _, dy, dx, _ in bm)
+            (dy, dx), agree = min(votes.items(),
+                                  key=lambda it: (-it[1], it[0]))
+            out.append((media_id, k, dx, dy, len(bm), int(agree),
+                        sum(b[4] for b in bm)))
+            prev = cur
+    return out

@@ -8718,6 +8718,37 @@ ORDER BY grp
 """
 
 
+def q_motion_vectors(spark, sf_dir):
+    """Per-frame dominant motion via full-search SAD block matching
+    (operators/video.motion_vectors — the MPEG motion-estimation
+    primitive, exact int64): consecutive frame pairs of the pure-
+    translation clip corpus, block votes → mode vector with the
+    (count desc, (dy,dx) asc) tie rule; sad_sum is 0 wherever the
+    cyclic roll never crosses a block's search window. Oracle: pyref
+    direct fpack slicing around the same deterministic kernel — no
+    container dispatch, no Arrow."""
+    from osm2geojson_spark.operators.video import motion_vectors
+    from osm2geojson_spark.synth.video import motion_video_table
+
+    vids = motion_video_table(spark, n=150, seed=42)
+    return (motion_vectors(vids, block=8, search=3)
+            .where(F.col("error").isNull())
+            .select("media_id", "frame_idx", "vx", "vy", "n_blocks",
+                    "agree", "sad_sum")
+            .orderBy("media_id", "frame_idx"))
+
+
+def _sql_motion_vectors() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_motion_vectors(n=150, seed=42)
+    return pyref.values_sql(
+        rows, [("media_id", "VARCHAR"), ("frame_idx", "INTEGER"),
+               ("vx", "INTEGER"), ("vy", "INTEGER"),
+               ("n_blocks", "INTEGER"), ("agree", "INTEGER"),
+               ("sad_sum", "BIGINT")]) + " ORDER BY media_id, frame_idx"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8844,6 +8875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harris_corners": q_harris_corners,
         "focal_mode": q_focal_mode,
         "ols_trend": q_ols_trend,
+        "motion_vectors": q_motion_vectors,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9032,6 +9064,7 @@ def oracle_sql() -> dict[str, str]:
         "harris_corners": _sql_harris_corners(),
         "focal_mode": _sql_focal_mode(),
         "ols_trend": _sql_ols_trend(),
+        "motion_vectors": _sql_motion_vectors(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

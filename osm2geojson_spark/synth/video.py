@@ -184,3 +184,48 @@ def video_table(spark: SparkSession, n: int = 200, seed: int = 66,
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+def _noise_rgb(seed: int, w: int, h: int) -> np.ndarray:
+    """Hash-noise texture (NOT the smooth sinusoids): every 8×8 block
+    is effectively unique, so a cyclic shift has exactly one zero-SAD
+    match — what block-matching ground truth needs."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+    out = []
+    for c in range(3):
+        v = (xx * 2654435761 + yy * 40503 + seed * 97 + c * 131) \
+            & 0xFFFFFFFF
+        out.append(((v >> 7) ^ v) % 256)
+    return np.stack(out, axis=-1).astype(np.uint8)
+
+
+def make_motion_video_row(seed: int) -> tuple:
+    """Pure-translation clip for motion estimation: frame k is the
+    base noise texture CYCLICALLY rolled by (k·vy, k·vx), with the
+    per-clip velocity (vx, vy) ∈ [−2, 2]² keyed by seed — so the
+    inter-frame motion field is exactly (vx, vy) for every block
+    whose source region does not cross the wrap seam."""
+    w = 32 + 8 * (seed % 2)
+    h = 24
+    n_frames = 6
+    vx = (seed // 2) % 5 - 2
+    vy = (seed // 10) % 5 - 2
+    base = _noise_rgb(seed * 101 + 13, w, h)
+    frames = [np.roll(base, (k * vy, k * vx), axis=(0, 1))
+              for k in range(n_frames)]
+    buf = encode_fpack(frames, fps=10)
+    return (f"mot-{seed:012d}", buf, w, h, n_frames, 10, "fpack")
+
+
+def motion_video_table(spark: SparkSession, n: int = 200, seed: int = 42,
+                       partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
+        for pdf in batches:
+            rows = [make_motion_video_row(int(i) * 2 + seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, VIDEO_SCHEMA)
