@@ -68,3 +68,32 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         .select("column", "n_rows",
                 (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
                 "n_distinct", "min_num", "max_num", "min_str", "max_str")
+
+
+def fingerprint_shards(df: DataFrame, cols: list[str],
+                       n_shards: int = 16) -> DataFrame:
+    """Order-independent sharded table fingerprint — the cross-engine
+    /cross-snapshot reconciliation primitive (did the copy drift, and
+    WHERE): every row canonicalizes to ``concat_ws('|', cols)``,
+    hashes to the first 15 hex digits of its md5 parsed as int64
+    (md5 and the parse agree exactly between Spark and DuckDB —
+    unlike the engines' native hash()), and rows fold into
+    ``n_shards`` buckets keyed by h mod n with THREE commutative
+    digests per shard: count, bit_xor(h) (order-independent, can't
+    overflow) and sum(h mod 1e9+7). A mismatch names the shard —
+    re-scan only that slice. One groupBy of width n_shards; the scan
+    is the only data-sized pass.
+
+    Callers must pre-canonicalize non-integer columns (FLOOR doubles,
+    epoch-seconds timestamps): float→text and timestamp→text
+    formatting are engine-specific, integer→text is not."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = (F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+         .cast("long").alias("h"))
+    n = int(n_shards)
+    return (df.select(h)
+            .groupBy(F.pmod(F.col("h"), F.lit(n)).alias("shard"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(h)").alias("xor_fp"),
+                 F.sum(F.col("h") % F.lit(1_000_000_007))
+                 .alias("sum_fp")))

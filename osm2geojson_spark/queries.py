@@ -8749,6 +8749,53 @@ def _sql_motion_vectors() -> str:
                ("sad_sum", "BIGINT")]) + " ORDER BY media_id, frame_idx"
 
 
+def q_table_fingerprint(spark, sf_dir):
+    """Sharded order-independent table fingerprint (operators/
+    profile.fingerprint_shards) over 7 canonicalized lineitem
+    columns: md5-derived 60-bit row hashes folded per shard into
+    count + bit_xor + sum-mod digests — cross-engine reconciliation
+    that LOCALIZES drift to a shard. md5 (unlike native hash()) and
+    the 15-hex-digit parse agree exactly between Spark and DuckDB;
+    doubles FLOOR first, timestamps → epoch seconds (the committed
+    idioms). Oracle: the same digest algebra in SQL."""
+    from osm2geojson_spark.operators.profile import fingerprint_shards
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("c1"),
+        F.col("l_partkey").cast("string").alias("c2"),
+        F.col("l_suppkey").cast("string").alias("c3"),
+        F.floor("l_quantity").cast("long").cast("string").alias("c4"),
+        F.col("l_returnflag").alias("c5"),
+        F.col("l_linestatus").alias("c6"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01"
+               " 00:00:00', l_shipdate)").cast("string").alias("c7"))
+    return (fingerprint_shards(li, ["c1", "c2", "c3", "c4", "c5",
+                                    "c6", "c7"], n_shards=16)
+            .orderBy("shard"))
+
+
+def _sql_table_fingerprint() -> str:
+    return """
+WITH rows_ AS (
+  SELECT concat_ws('|',
+           CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+           CAST(l_suppkey AS VARCHAR),
+           CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+           l_returnflag, l_linestatus,
+           CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR))
+         AS canon
+  FROM lineitem),
+h AS (SELECT CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT) AS h
+      FROM rows_)
+SELECT (h % 16) AS shard, count(*) AS n_rows,
+       bit_xor(h) AS xor_fp,
+       sum(h % 1000000007) AS sum_fp
+FROM h
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8876,6 +8923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mode": q_focal_mode,
         "ols_trend": q_ols_trend,
         "motion_vectors": q_motion_vectors,
+        "table_fingerprint": q_table_fingerprint,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9065,6 +9113,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mode": _sql_focal_mode(),
         "ols_trend": _sql_ols_trend(),
         "motion_vectors": _sql_motion_vectors(),
+        "table_fingerprint": _sql_table_fingerprint(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
