@@ -90,3 +90,38 @@ def gap_fill_linear(
         t.cast("long").alias("t_sec"),
         (F.col("v0") + ((F.col("v1") - F.col("v0")) * frac))
             .alias("value_interp"))
+
+
+def locf_resample(
+    df: DataFrame,
+    key: str,
+    sec_col: str,
+    id_col: str,
+    value_col: str,
+    step: int = 60,
+) -> DataFrame:
+    """Last-observation-carried-forward onto the regular ``step``-
+    second grid — the step-function sibling of
+    :func:`gap_fill_linear` (sensor snapshots, price marks): each
+    consecutive observation pair per key emits the grid instants in
+    ``[t0, t1)`` carrying v0 unchanged (no extrapolation past the
+    last observation; a grid instant equal to a tied-second
+    observation takes the LAST observation of that second — pairs
+    are ordered (sec, id) and the earlier pair's range is empty).
+    Values pass through untouched, so doubles stay bit-identical
+    across engines. Returns ``(key, t_sec, value_locf)``."""
+    w = Window.partitionBy(key).orderBy(sec_col, id_col)
+    paired = (df.select(
+        key, F.col(sec_col).alias("t0"), F.col(value_col).alias("v0"),
+        F.lead(sec_col).over(w).alias("t1"))
+        .where(F.col("t1").isNotNull()))
+    m0 = F.expr(f"(t0 + {step} - 1) div {step}")
+    m1 = F.expr(f"(t1 - 1) div {step}")
+    grid = (paired
+            .withColumn("mi", F.explode(
+                F.when(m1 >= m0, F.sequence(m0, m1))
+                 .otherwise(F.array().cast("array<bigint>")))))
+    return grid.select(
+        key,
+        (F.col("mi") * step).cast("long").alias("t_sec"),
+        F.col("v0").alias("value_locf"))

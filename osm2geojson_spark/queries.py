@@ -8796,6 +8796,47 @@ ORDER BY shard
 """
 
 
+def q_locf_resample(spark, sf_dir):
+    """LOCF gap-fill onto a 10-minute grid (operators/timeseries.
+    locf_resample): per-user event values carried forward as a step
+    function between observations — the snapshot-resampling sibling
+    of gap_fill_linear, values untouched so doubles stay
+    bit-identical. One key shuffle (lead window) + a bounded grid
+    explode. Oracle: the identical lead-pair range algebra in SQL."""
+    from osm2geojson_spark.operators.timeseries import locf_resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01"
+               " 00:00:00', ts)").alias("sec"))
+    return (locf_resample(ev, "user_id", "sec", "event_id", "value",
+                          step=600)
+            .orderBy("user_id", "t_sec"))
+
+
+def _sql_locf_resample() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+p AS (
+  SELECT user_id, sec AS t0, value AS v0,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS t1
+  FROM e),
+g AS (
+  SELECT user_id, v0,
+         unnest(generate_series(((t0 + 599) // 600),
+                                ((t1 - 1) // 600))) AS mi
+  FROM p WHERE (t1 IS NOT NULL) AND (((t1 - 1) // 600)
+                                     >= ((t0 + 599) // 600)))
+SELECT user_id, (mi * 600) AS t_sec, v0 AS value_locf
+FROM g
+ORDER BY user_id, t_sec
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8924,6 +8965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "motion_vectors": q_motion_vectors,
         "table_fingerprint": q_table_fingerprint,
+        "locf_resample": q_locf_resample,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9114,6 +9156,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": _sql_ols_trend(),
         "motion_vectors": _sql_motion_vectors(),
         "table_fingerprint": _sql_table_fingerprint(),
+        "locf_resample": _sql_locf_resample(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -65,3 +65,23 @@ def test_gap_fill_ties_produce_nothing(spark):
     rows = [(1, 100, 1, 1.0), (1, 100, 2, 9.0)]
     assert gap_fill_linear(_ev(spark, rows), "user_id", "sec",
                            "event_id", "value").count() == 0
+
+
+def test_locf_resample_bruteforce(spark):
+    from osm2geojson_spark.operators.timeseries import locf_resample
+
+    # planted: observations at irregular secs incl. a tied second
+    rows = [(1, 1, 95, 10.0), (1, 2, 230, 20.0), (1, 3, 230, 21.0),
+            (1, 4, 600, 30.0), (2, 5, 0, 5.0), (2, 6, 305, 6.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, value double")
+    got = sorted((r["user_id"], r["t_sec"], r["value_locf"]) for r in
+                 locf_resample(df, "user_id", "sec", "event_id",
+                               "value", step=100).collect())
+    # user 1: grid 100..599 inside [95, 600): 100,200 carry 10.0;
+    # 300..500 carry 21.0 (LAST of the tied second 230); nothing at
+    # or past 600 (no extrapolation). user 2: 0..300 from 5.0.
+    exp = [(1, 100, 10.0), (1, 200, 10.0), (1, 300, 21.0),
+           (1, 400, 21.0), (1, 500, 21.0),
+           (2, 0, 5.0), (2, 100, 5.0), (2, 200, 5.0), (2, 300, 5.0)]
+    assert got == exp
