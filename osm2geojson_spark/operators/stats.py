@@ -118,3 +118,51 @@ def otsu_threshold(df: DataFrame, value_col: str) -> int:
     if best_t is None:
         raise ValueError("otsu_threshold needs >= 2 distinct values")
     return int(best_t)
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    p_ppms: list[int],
+                    bucket_expr: str | None = None) -> DataFrame:
+    """EXACT order statistics without a global sort — the scalable
+    counterpart to approx_percentile when the answer must be a real
+    data value: rank k = ceil(p·n) (integer ppm ceil) is located by
+    a VALUE-bucket histogram (one groupBy; bucket key = floor(v) by
+    default — any monotone int expression works), the cumulative
+    walk runs over the SMALL histogram (one window task over
+    |distinct buckets| rows — fine to ~1M buckets, the strpack
+    rule), and only the one bucket containing each rank is sorted
+    (collect_list over bucket-sized groups). Values pass through
+    untouched (doubles stay bit-identical). Returns
+    ``(p_ppm, k, value)``."""
+    if not p_ppms:
+        raise ValueError("p_ppms must be non-empty")
+    if any(not 0 < p <= 1_000_000 for p in p_ppms):
+        raise ValueError("p_ppms must be in (0, 1e6]")
+    b_expr = bucket_expr or f"CAST(floor(`{value_col}`) AS BIGINT)"
+    src = df.select(F.col(value_col).alias("v"),
+                    F.expr(b_expr).alias("b"))
+    n = src.count()
+    if n == 0:
+        raise ValueError("exact_quantiles needs a non-empty input")
+    ks = [(int(p), (int(p) * n + 999_999) // 1_000_000)
+          for p in sorted(set(p_ppms))]
+    spark = df.sparkSession
+    kdf = spark.createDataFrame(ks, "p_ppm long, k long")
+
+    hist = src.groupBy("b").agg(F.count("*").alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("before", F.col("cum") - F.col("c")))
+    # the one bucket holding each rank; offset inside the bucket
+    hit = (cum.join(F.broadcast(kdf),
+                    (F.col("before") < F.col("k"))
+                    & (F.col("k") <= F.col("cum")))
+           .select("p_ppm", "k", "b",
+                   (F.col("k") - F.col("before")).alias("off")))
+    vals = (src.join(F.broadcast(hit.select("b").distinct()), "b")
+            .groupBy("b")
+            .agg(F.sort_array(F.collect_list("v")).alias("vs")))
+    return (hit.join(vals, "b")
+            .select("p_ppm", "k",
+                    F.element_at("vs", F.col("off").cast("int"))
+                    .alias("value")))

@@ -8837,6 +8837,38 @@ ORDER BY user_id, t_sec
 """
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact order statistics at scale (operators/stats.
+    exact_quantiles): rank ceil(p·n) located via a floor(v) value-
+    bucket histogram — one data-sized groupBy, a cumulative walk over
+    the SMALL histogram, and a sort of ONLY the hit bucket (no global
+    sort, no single fat window task). Values untouched → doubles
+    bit-identical. p ∈ {50, 90, 99, 99.9}% of l_extendedprice.
+    Oracle: the brute row_number pick — DuckDB sorts everything."""
+    from osm2geojson_spark.operators.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (exact_quantiles(li, "l_extendedprice",
+                            [500_000, 900_000, 990_000, 999_000])
+            .orderBy("p_ppm"))
+
+
+def _sql_exact_quantiles() -> str:
+    return """
+WITH n AS (SELECT count(*) AS n FROM lineitem),
+ks AS (
+  SELECT p_ppm, (((p_ppm * n) + 999999) // 1000000) AS k
+  FROM (VALUES (500000), (900000), (990000), (999000)) t(p_ppm), n),
+r AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem)
+SELECT ks.p_ppm, ks.k, r.v AS value
+FROM ks JOIN r ON (r.rn = ks.k)
+ORDER BY p_ppm
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8966,6 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motion_vectors": q_motion_vectors,
         "table_fingerprint": q_table_fingerprint,
         "locf_resample": q_locf_resample,
+        "exact_quantiles": q_exact_quantiles,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9157,6 +9190,7 @@ def oracle_sql() -> dict[str, str]:
         "motion_vectors": _sql_motion_vectors(),
         "table_fingerprint": _sql_table_fingerprint(),
         "locf_resample": _sql_locf_resample(),
+        "exact_quantiles": _sql_exact_quantiles(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

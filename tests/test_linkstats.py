@@ -94,3 +94,37 @@ def test_ols_trend_exact_line(spark):
     icept = a["sy"] * a["sxx"] - a["sx"] * a["sxy"]
     assert num == 3 * den
     assert icept == 5 * den
+
+
+def test_exact_quantiles_bruteforce(spark):
+    import random
+
+    from osm2geojson_spark.operators.stats import exact_quantiles
+
+    rng = random.Random(9)
+    vals = [rng.uniform(0, 1000) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [1, 250_000, 500_000, 750_000, 1_000_000]
+    got = {r["p_ppm"]: (r["k"], r["value"])
+           for r in exact_quantiles(df, "x", ps).collect()}
+    sv = sorted(vals)
+    n = len(sv)
+    for p in ps:
+        k = (p * n + 999_999) // 1_000_000
+        assert got[p] == (k, sv[k - 1]), p
+    # max and min land on actual extremes
+    assert got[1_000_000][1] == sv[-1]
+    assert got[1][1] == sv[0]
+
+
+def test_exact_quantiles_guards(spark):
+    from osm2geojson_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [0])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df.where("x > 5"), "x", [500_000])
