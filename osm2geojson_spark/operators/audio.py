@@ -323,3 +323,82 @@ def activity_segments(df: DataFrame, frame: int = 160,
 
     return df.select("audio_id", "bytes", "fmt").mapInPandas(
         run, out_schema)
+
+
+def fingerprint_samples(samples, frame: int = 256, fan_out: int = 3):
+    """Deterministic landmark fingerprint of one PCM clip — the
+    shared kernel (engine and pyref both call THIS; what differs is
+    the machinery around it). Envelope = per-``frame`` max |sample|;
+    peaks = interior frames with env > left and env ≥ right and
+    env ≥ 256 (silence floor); each peak pairs with its next
+    ``fan_out`` peaks at Δt ≤ 63 frames into the packed 20-bit hash
+    ``(env_i >> 8)·2¹³ + (env_j >> 8)·2⁶ + Δt`` — the Shazam
+    constellation shape on the time-domain envelope (our corpus is
+    lossless PCM; no spectral robustness needed, exactness is the
+    contract). Returns [(peak_frame, hash)]."""
+    s = np.abs(np.asarray(samples, np.int64))
+    nf = len(s) // frame
+    if nf < 3:
+        return []
+    env = s[:nf * frame].reshape(nf, frame).max(axis=1)
+    peaks = [i for i in range(1, nf - 1)
+             if env[i] > env[i - 1] and env[i] >= env[i + 1]
+             and env[i] >= 256]
+    out = []
+    for a in range(len(peaks)):
+        for b in range(a + 1, min(a + 1 + fan_out, len(peaks))):
+            i, j = peaks[a], peaks[b]
+            dt = j - i
+            if dt > 63:
+                continue
+            out.append((i, (int(env[i]) >> 8) * 8192
+                        + (int(env[j]) >> 8) * 64 + dt))
+    return out
+
+
+def audio_fingerprints(df: DataFrame, frame: int = 256,
+                       fan_out: int = 3) -> DataFrame:
+    """Per-clip landmark hashes ``(audio_id, t, fp, error)`` — one
+    Arrow decode pass through the real codec dispatch, no shuffle;
+    undecodable clips quarantine (t −1 + error)."""
+    out_schema = "audio_id string, t int, fp long, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    samples, _rate = _decode(bytes(r.bytes), r.fmt)
+                    for t, h in fingerprint_samples(
+                            samples, frame, fan_out):
+                        rows.append((r.audio_id, t, h, None))
+                except Exception as ex:  # noqa: BLE001 — wave.Error etc.
+                    rows.append((r.audio_id, -1, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "t", "fp", "error"])
+
+    return df.select("audio_id", "bytes", "fmt").mapInPandas(
+        run, out_schema)
+
+
+def audio_dup_pairs(fps: DataFrame, min_shared: int = 5,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """Audio near-dup pairs sharing ≥ ``min_shared`` DISTINCT
+    fingerprint hashes — the audio analog of the shot-phash video
+    dedup: one equi-join on the hash (no cartesian), pair-count
+    shuffle, ``max_bucket_size`` caps degenerate hashes (constant
+    tones) via the shared cap_bucket_size guard."""
+    from osm2geojson_spark.operators.dedup import cap_bucket_size
+
+    toks = (fps.where(F.col("error").isNull())
+            .select(F.col("audio_id").alias("id"), "fp").distinct())
+    toks = cap_bucket_size(toks, ["fp"], max_bucket_size)
+    return (toks.alias("a")
+            .join(toks.alias("b"),
+                  (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= int(min_shared)))

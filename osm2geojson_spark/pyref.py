@@ -2202,3 +2202,37 @@ def ref_motion_vectors(n: int = 150, seed: int = 42, block: int = 8,
                         sum(b[4] for b in bm)))
             prev = cur
     return out
+
+
+def ref_audio_dedup(n: int = 120, seed: int = 42,
+                    min_shared: int = 5) -> "list[tuple]":
+    """Spark-free twin of the audio_dedup catalog entry: rebuild each
+    snippet clip's PCM directly from the pool (NO wav codec, no
+    Arrow), fingerprint with the same shared kernel, count shared
+    distinct hashes with python dicts. Returns
+    [(id_a, id_b, n_shared)]."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.audio import fingerprint_samples
+    from osm2geojson_spark.synth.audio import (
+        _SNIPPET_POOL,
+        snippet_waveform,
+    )
+
+    fps = {}
+    for i in range(n):
+        s = i + seed
+        g, v = s // 3, s % 3
+        idxs = [(17 * g + 5 * j) % _SNIPPET_POOL for j in range(3 + v)]
+        samples = np.concatenate([snippet_waveform(k) for k in idxs])
+        fps[f"snp-{s:012d}"] = {h for _t, h in
+                                fingerprint_samples(samples)}
+    ids = sorted(fps)
+    out = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            shared = len(fps[ia] & fps[ib])
+            if shared >= min_shared:
+                out.append((ia, ib, shared))
+    return out

@@ -8869,6 +8869,37 @@ ORDER BY p_ppm
 """
 
 
+def q_audio_dedup(spark, sf_dir):
+    """Audio near-dup detection via landmark fingerprints (operators/
+    audio.audio_fingerprints + audio_dup_pairs): envelope peak-pair
+    hashes (the Shazam constellation shape, exact integers) over the
+    shared-snippet-pool corpus (variants of a group share their first
+    3 frame-aligned snippets), pairs sharing ≥ 5 distinct hashes via
+    one hash equi-join — completing the dedup triple (text minhash,
+    image phash, video shot-phash) with the audio member. Oracle:
+    pyref rebuilds the PCM from the pool directly (no codec, no
+    Arrow) around the same deterministic kernel."""
+    from osm2geojson_spark.operators.audio import (
+        audio_dup_pairs,
+        audio_fingerprints,
+    )
+    from osm2geojson_spark.synth.audio import snippet_audio_table
+
+    clips = snippet_audio_table(spark, n=120, seed=42)
+    fps = audio_fingerprints(clips)
+    return (audio_dup_pairs(fps, min_shared=5)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_audio_dedup() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_audio_dedup(n=120, seed=42, min_shared=5)
+    return pyref.values_sql(
+        rows, [("id_a", "VARCHAR"), ("id_b", "VARCHAR"),
+               ("n_shared", "BIGINT")]) + " ORDER BY id_a, id_b"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -8999,6 +9030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "locf_resample": q_locf_resample,
         "exact_quantiles": q_exact_quantiles,
+        "audio_dedup": q_audio_dedup,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9191,6 +9223,7 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprint": _sql_table_fingerprint(),
         "locf_resample": _sql_locf_resample(),
         "exact_quantiles": _sql_exact_quantiles(),
+        "audio_dedup": _sql_audio_dedup(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
