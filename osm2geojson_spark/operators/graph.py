@@ -396,3 +396,26 @@ def link_prediction(edges: DataFrame,
     return (ne.join(du, "u").join(dv, "v")
             .select("u", "v", "cn", "deg_u", "deg_v",
                     (F.col("deg_u") * F.col("deg_v")).alias("pa")))
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient as EXACT rationals: per node
+    ``(node, deg, n_tri, possible)`` with possible = C(deg, 2) —
+    the coefficient is n_tri/possible, compared cross-multiplied,
+    never divided. Rides :func:`triangle_count`'s degree-ordered
+    orientation (the wedge-join skew bound) plus one degree join;
+    degree-1 nodes report possible = 0 (coefficient undefined —
+    callers filter, the honest convention)."""
+    a = F.least(F.col("src"), F.col("dst")).alias("a")
+    b = F.greatest(F.col("src"), F.col("dst")).alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct())
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    tri = triangle_count(canon, "a", "b")
+    return (deg.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+                    F.expr("(deg * (deg - 1)) div 2").alias("possible")))

@@ -8900,6 +8900,55 @@ def _sql_audio_dedup() -> str:
                ("n_shared", "BIGINT")]) + " ORDER BY id_a, id_b"
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (operators/graph.
+    clustering_coeff) over the ≤400-part co-purchase graph — exact
+    rational (n_tri, C(deg,2)) per node, riding triangle_count's
+    degree-ordered orientation (every triangle generated exactly
+    once, wedge fan-out O(√m)-bounded). Oracle: unoriented SQL —
+    triangles via the plain 3-way join on u<v<w edges, membership
+    exploded by UNION ALL."""
+    from osm2geojson_spark.operators.graph import clustering_coeff
+
+    li = _t(spark, sf_dir, "lineitem").where("l_partkey <= 400")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    e = (baskets.alias("a")
+         .join(baskets.alias("b"),
+               (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("src"),
+                 F.col("b.l_partkey").alias("dst"))
+         .distinct())
+    return clustering_coeff(e).orderBy("node")
+
+
+def _sql_clustering_coeff() -> str:
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_partkey <= 400),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b ON ((a.l_orderkey = b.l_orderkey)
+                        AND (a.l_partkey < b.l_partkey))),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON (b.u = a.v)
+           JOIN e c ON ((c.u = a.u) AND (c.v = b.v))),
+mem AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri),
+tc AS (SELECT node, count(*) AS n_tri FROM mem GROUP BY node)
+SELECT deg.node, deg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+       ((deg.deg * (deg.deg - 1)) // 2) AS possible
+FROM deg LEFT JOIN tc ON (tc.node = deg.node)
+ORDER BY deg.node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9031,6 +9080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_resample": q_locf_resample,
         "exact_quantiles": q_exact_quantiles,
         "audio_dedup": q_audio_dedup,
+        "clustering_coeff": q_clustering_coeff,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9224,6 +9274,7 @@ def oracle_sql() -> dict[str, str]:
         "locf_resample": _sql_locf_resample(),
         "exact_quantiles": _sql_exact_quantiles(),
         "audio_dedup": _sql_audio_dedup(),
+        "clustering_coeff": _sql_clustering_coeff(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

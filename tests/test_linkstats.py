@@ -128,3 +128,27 @@ def test_exact_quantiles_guards(spark):
         exact_quantiles(df, "x", [0])
     with _pytest.raises(ValueError):
         exact_quantiles(df.where("x > 5"), "x", [500_000])
+
+
+def test_clustering_coeff_bruteforce(spark):
+    import itertools
+
+    from osm2geojson_spark.operators.graph import clustering_coeff
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (5, 6),
+             (6, 1), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["possible"])
+           for r in clustering_coeff(df).collect()}
+
+    e = {tuple(sorted(p)) for p in edges}
+    nodes = sorted({n for p in e for n in p})
+    adj = {n: set() for n in nodes}
+    for u, v in e:
+        adj[u].add(v)
+        adj[v].add(u)
+    for n in nodes:
+        tri = sum(1 for a, b in itertools.combinations(sorted(adj[n]), 2)
+                  if (a, b) in e)
+        d = len(adj[n])
+        assert got[n] == (d, tri, d * (d - 1) // 2), n
