@@ -133,3 +133,40 @@ def bm25_topk(
 
     out.bm25_cleanup = _cleanup
     return out
+
+
+def rake_word_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    stopwords: tuple = ("a", "the", "and", "of", "in",
+                                        "to", "is"),
+                    min_freq: int = 3) -> DataFrame:
+    """RAKE keyword substrate (Rose et al. 2010): candidate phrases
+    are maximal stopword-free runs; each word's ``freq`` (occurrences
+    in phrases) and ``degree`` (Σ length of its phrases, multiplicity
+    counted) — RAKE ranks by degree/freq, kept as EXACT integers and
+    compared cross-multiplied. Tokenization: lowercase, split on
+    [^a-z0-9]+ (DuckDB twin needs the 'g' flag — its regexp_replace
+    is first-match-only by default). One doc-key window (phrase ids
+    = running stopword count), one phrase groupBy, one word groupBy.
+    Returns (word, freq, degree) for freq ≥ min_freq."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.filter(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     "[^a-z0-9]+", " "), " "),
+            lambda x: x != "")).alias("pos", "w"))
+    stop_arr = list(stopwords)
+    flagged = toks.withColumn(
+        "stp", F.col("w").isin(stop_arr).cast("long"))
+    w_win = (Window.partitionBy("doc").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ph = flagged.withColumn("phr", F.sum("stp").over(w_win))
+    ns = ph.where(F.col("stp") == 0).select("doc", "phr", "w")
+    pl = ns.groupBy("doc", "phr").agg(F.count("*").alias("plen"))
+    return (ns.join(pl, ["doc", "phr"])
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"),
+                 F.sum("plen").alias("degree"))
+            .where(F.col("freq") >= int(min_freq)))

@@ -8949,6 +8949,50 @@ ORDER BY deg.node
 """
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword statistics (operators/search.rake_word_stats):
+    stopword-delimited candidate phrases over the documents table,
+    per-word exact (freq, degree) integers — RAKE's degree/freq rank
+    compares cross-multiplied. One doc-key window for phrase ids +
+    two groupBys. Oracle: the same declarative algebra in DuckDB
+    (positions via the unnest(range)+arr[i] idiom — no WITH
+    ORDINALITY; regexp_replace needs 'g')."""
+    from osm2geojson_spark.operators.search import rake_word_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (rake_word_stats(docs, min_freq=3)
+            .orderBy("w"))
+
+
+def _sql_rake_keywords() -> str:
+    stops = "('a', 'the', 'and', 'of', 'in', 'to', 'is')"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS arr
+  FROM documents),
+p AS (
+  SELECT doc, unnest(range(1, len(arr) + 1)) AS pos, arr FROM t),
+w AS (
+  SELECT doc, pos, arr[pos] AS w,
+         (CASE WHEN arr[pos] IN {stops} THEN 1 ELSE 0 END) AS stp
+  FROM p),
+ph AS (
+  SELECT doc, pos, w, stp,
+         sum(stp) OVER (PARTITION BY doc ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phr
+  FROM w),
+ns AS (SELECT doc, phr, w FROM ph WHERE stp = 0),
+pl AS (SELECT doc, phr, count(*) AS plen FROM ns GROUP BY doc, phr)
+SELECT ns.w, count(*) AS freq, sum(pl.plen) AS degree
+FROM ns JOIN pl ON ((pl.doc = ns.doc) AND (pl.phr = ns.phr))
+GROUP BY ns.w
+HAVING count(*) >= 3
+ORDER BY ns.w
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9081,6 +9125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "audio_dedup": q_audio_dedup,
         "clustering_coeff": q_clustering_coeff,
+        "rake_keywords": q_rake_keywords,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9275,6 +9320,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles": _sql_exact_quantiles(),
         "audio_dedup": _sql_audio_dedup(),
         "clustering_coeff": _sql_clustering_coeff(),
+        "rake_keywords": _sql_rake_keywords(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -109,3 +109,27 @@ def test_collocations_min_count_and_order(docs_df):
     assert all(r.c_pair >= 2 for r in rows)
     ratios = [r.pmi_ratio for r in rows]
     assert ratios == sorted(ratios, reverse=True)
+
+
+def test_rake_word_stats_hand_corpus(spark):
+    from osm2geojson_spark.operators.search import rake_word_stats
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog!"),
+         (2, "quick quick, and the DOG."),
+         (3, "a lazy lazy dog in fog")],
+        "doc_id long, text string")
+    got = {r["w"]: (r["freq"], r["degree"])
+           for r in rake_word_stats(docs, min_freq=1).collect()}
+    # doc1 phrases: [quick brown fox] [lazy dog]
+    # doc2 phrases: [quick quick] [dog]
+    # doc3 phrases: [lazy lazy dog] [fog]
+    assert got["quick"] == (3, 3 + 2 + 2)   # len3 once, len2 twice
+    assert got["dog"] == (3, 2 + 1 + 3)
+    assert got["lazy"] == (3, 2 + 3 + 3)    # doc3 counts it twice
+    assert got["fox"] == (1, 3)
+    assert got["fog"] == (1, 1)
+    assert "the" not in got and "and" not in got and "a" not in got
+    # min_freq filter
+    got3 = {r["w"] for r in rake_word_stats(docs, min_freq=3).collect()}
+    assert got3 == {"quick", "dog", "lazy"}
