@@ -8993,6 +8993,59 @@ ORDER BY ns.w
 """
 
 
+def q_dt_update(spark, sf_dir):
+    """Incremental distance-transform maintenance (spatial/dt.
+    distance_transform_update): new features ARRIVE (DEM in [85,90)
+    cells join the ≥90 set) and only the cells they now win relax —
+    the sssp_update contract on the encoded (dist, src) labels
+    (decrease-only, exact new fixpoint; removals = cold rerun).
+    Oracle: the FULL cold transform over the union mask — the
+    incremental path must land on the identical fixpoint."""
+    from osm2geojson_spark.spatial.dt import (
+        distance_transform,
+        distance_transform_update,
+    )
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+
+    t, n = 16, 3  # 48x48
+    tiles = synth_dem_tiles(spark, n, n, t)
+    mask_a = tiles.select(
+        "tx", "ty",
+        F.transform("data",
+                    lambda v: (v >= 90).cast("long")).alias("data"))
+    base = distance_transform(mask_a, t, n * t, n * t)
+    new_cells = (
+        tiles.select("tx", "ty", F.posexplode("data").alias("i", "v"))
+        .where((F.col("v") >= 85) & (F.col("v") < 90))
+        .select((F.col("tx") * t + F.col("i") % t).alias("x"),
+                (F.col("ty") * t + F.expr(f"i div {t}")).alias("y")))
+    return (distance_transform_update(base, new_cells, n * t, n * t)
+            .orderBy("y", "x"))
+
+
+def _sql_dt_update() -> str:
+    w = 48
+    k = w * w
+    dem = ("(((x * 73 + y * 19) % 100)"
+           " + ((x * x + 3 * (y * y)) % 7))")
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+g AS (SELECT x, y FROM xs, ys),
+fg AS (SELECT ((y * {w}) + x) AS fid, x AS fx, y AS fy FROM g
+       WHERE ({dem}) >= 85),
+enc AS (
+  SELECT g.x, g.y,
+         min(((abs(g.x - fg.fx) + abs(g.y - fg.fy)) * {k}) + fg.fid)
+           AS e
+  FROM g, fg
+  GROUP BY g.x, g.y)
+SELECT x, y, (e // {k}) AS dist, (e % {k}) AS nearest
+FROM enc
+ORDER BY y, x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9126,6 +9179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": q_audio_dedup,
         "clustering_coeff": q_clustering_coeff,
         "rake_keywords": q_rake_keywords,
+        "dt_update": q_dt_update,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9321,6 +9375,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dedup": _sql_audio_dedup(),
         "clustering_coeff": _sql_clustering_coeff(),
         "rake_keywords": _sql_rake_keywords(),
+        "dt_update": _sql_dt_update(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distance_transform"]
+__all__ = ["distance_transform", "distance_transform_update"]
 
 
 def distance_transform(mask_tiles: DataFrame, tile_size: int,
@@ -79,6 +79,76 @@ def distance_transform(mask_tiles: DataFrame, tile_size: int,
         raise RuntimeError(
             f"distance_transform did not converge in {max_iters} rounds;"
             " raise max_iters (rounds needed = max L1 distance)")
+    return enc.select(
+        (F.col("id") % w_px).alias("x"),
+        F.expr(f"id div {w_px}").alias("y"),
+        F.expr(f"dist div {k}").alias("dist"),
+        (F.col("dist") % k).alias("nearest"))
+
+
+def distance_transform_update(dist: DataFrame, new_cells: DataFrame,
+                              width: int, height: int,
+                              max_iters: int = 64) -> DataFrame:
+    """Incremental DT maintenance — features only ever ARRIVE
+    (new stores, new sensors): seed the frontier with the new
+    foreground cells and relax from there instead of recomputing
+    from every feature; the encoded (dist, src) labels only
+    decrease, so label-correcting converges to the exact new
+    fixpoint (the `spatial/route.sssp_update` contract — feature
+    REMOVAL needs a cold rerun, same as weight increases there).
+
+    ``dist``: a converged :func:`distance_transform` output;
+    ``new_cells``: (x, y) of the arriving features. Rounds = max L1
+    distance from a new feature to the cells it now wins."""
+    from osm2geojson_spark.spatial.route import _frontier_relax
+
+    w_px, h_px = int(width), int(height)
+    k = w_px * h_px
+    spark = dist.sparkSession
+
+    enc0 = dist.select(
+        (F.col("y") * w_px + F.col("x")).alias("id"),
+        (F.col("dist") * k + F.col("nearest")).alias("dist"))
+    seeds = new_cells.select(
+        (F.col("y") * w_px + F.col("x")).alias("id"),
+        (F.col("y") * w_px + F.col("x")).alias("nd"))
+    merged = (
+        enc0.join(seeds, "id", "full")
+        .select(
+            "id",
+            F.least(F.coalesce("dist", "nd"),
+                    F.coalesce("nd", "dist")).alias("dist"),
+            (F.col("dist").isNull()
+             | (F.col("nd") < F.col("dist"))).alias("_imp"))
+        .localCheckpoint(eager=True))
+    frontier = merged.where("_imp").select("id", "dist")
+
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    e = (
+        spark.range(w_px * h_px)
+        .select(F.col("id").alias("cell"),
+                (F.col("id") % w_px).alias("x"),
+                F.expr(f"id div {w_px}").alias("y"),
+                F.explode(offs).alias("o"))
+        .withColumn("nx", F.col("x") + F.col("o.dx"))
+        .withColumn("ny", F.col("y") + F.col("o.dy"))
+        .where((F.col("nx") >= 0) & (F.col("nx") < w_px)
+               & (F.col("ny") >= 0) & (F.col("ny") < h_px))
+        .select(F.col("cell").alias("src"),
+                (F.col("ny") * w_px + F.col("nx")).alias("dst"),
+                F.lit(k).cast("long").alias("w"))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist())
+    enc, rounds, changed = _frontier_relax(
+        e, merged.select("id", "dist"), frontier, max_iters)
+    e.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"distance_transform_update did not converge in "
+            f"{max_iters} rounds; raise max_iters")
     return enc.select(
         (F.col("id") % w_px).alias("x"),
         F.expr(f"id div {w_px}").alias("y"),

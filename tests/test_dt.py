@@ -63,3 +63,26 @@ def test_empty_mask_raises(spark):
                             value_fn=lambda gx, gy: gx * 0)
     with pytest.raises(ValueError):
         distance_transform(tiles, T, W, W)
+
+
+def test_update_matches_cold_rerun(spark):
+    from osm2geojson_spark.spatial.dt import distance_transform_update
+    from pyspark.sql import functions as F
+
+    th_a, th_b = 21, 18  # sparse base, denser union (same _mk family)
+    base_tiles = synth_dem_tiles(spark, N, N, T, value_fn=_mk(th_a))
+    union_tiles = synth_dem_tiles(spark, N, N, T, value_fn=_mk(th_b))
+    base = distance_transform(base_tiles, T, W, W)
+    new_cells = (
+        union_tiles.select("tx", "ty",
+                           F.posexplode("data").alias("i", "v"))
+        .where("v = 1")
+        .select((F.col("tx") * T + F.col("i") % T).alias("x"),
+                (F.col("ty") * T + F.expr(f"i div {T}")).alias("y")))
+    # new_cells includes already-foreground cells: reseeding them is
+    # a no-op (labels can't decrease below 0) — contract allows it
+    got = {(r["x"], r["y"]): (r["dist"], r["nearest"]) for r in
+           distance_transform_update(base, new_cells, W, W).collect()}
+    cold = {(r["x"], r["y"]): (r["dist"], r["nearest"]) for r in
+            distance_transform(union_tiles, T, W, W).collect()}
+    assert got == cold
