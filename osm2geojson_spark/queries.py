@@ -9046,6 +9046,60 @@ ORDER BY y, x
 """
 
 
+def q_heading_hist(spark, sf_dir):
+    """Movement-direction census (spatial/trajectory.heading_octants):
+    consecutive-ping integer-microdegree deltas per user bucketed by
+    the exact octant comparison ladder (no atan2) → global (sector,
+    n, n_users). One user-key window + one 9-key groupBy. Oracle:
+    the identical CASE ladder over the same lead-pair SQL."""
+    from osm2geojson_spark.spatial.trajectory import heading_octants
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "event_id",
+        ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(360_000_000))
+        .alias("ix"),
+        ((F.col("event_id") * F.lit(_LAT_MUL) + F.lit(_LAT_OFF))
+         % F.lit(170_000_000)).alias("iy"))
+    return (heading_octants(pts, "user_id", "event_id", "ix", "iy")
+            .orderBy("sector"))
+
+
+def _sql_heading_hist() -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id AS u,
+         ((event_id * {_LON_MUL}) % 360000000) AS ix,
+         ((event_id * {_LAT_MUL} + {_LAT_OFF}) % 170000000) AS iy,
+         event_id
+  FROM events),
+d AS (
+  SELECT u,
+         (lead(ix) OVER w - ix) AS dx,
+         (lead(iy) OVER w - iy) AS dy
+  FROM p WINDOW w AS (PARTITION BY u ORDER BY event_id)),
+s AS (
+  SELECT u,
+    CASE WHEN (dx = 0) AND (dy = 0) THEN 8
+         WHEN (dy >= 0) AND (dx > 0) AND (abs(dy) < abs(dx)) THEN 0
+         WHEN (dy >= 0) AND (dx > 0) THEN 1
+         WHEN (dy >= 0) AND (dx = 0) THEN 2
+         WHEN (dy >= 0) AND (abs(dy) >= abs(dx)) THEN 2
+         WHEN (dy >= 0) THEN 3
+         WHEN (dy < 0) AND (dx < 0) AND (abs(dy) < abs(dx)) THEN 4
+         WHEN (dy < 0) AND (dx < 0) THEN 5
+         WHEN (dy < 0) AND (dx = 0) THEN 6
+         WHEN (dy < 0) AND (abs(dy) >= abs(dx)) THEN 6
+         ELSE 7 END AS sector
+  FROM d WHERE dx IS NOT NULL)
+SELECT CAST(sector AS INT) AS sector, count(*) AS n,
+       count(DISTINCT u) AS n_users
+FROM s
+GROUP BY sector
+ORDER BY sector
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9180,6 +9234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "rake_keywords": q_rake_keywords,
         "dt_update": q_dt_update,
+        "heading_hist": q_heading_hist,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9376,6 +9431,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _sql_clustering_coeff(),
         "rake_keywords": _sql_rake_keywords(),
         "dt_update": _sql_dt_update(),
+        "heading_hist": _sql_heading_hist(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),

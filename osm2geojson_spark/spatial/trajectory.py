@@ -215,3 +215,37 @@ def staypoints(
            .withColumn("dwell_sec", F.col("t_end") - F.col("t_start")))
     return agg.where((F.col("n_pings") >= int(min_pings))
                      & (F.col("dwell_sec") >= int(min_dwell_sec)))
+
+
+def heading_octants(pts: DataFrame, user_col: str, order_col: str,
+                    x_col: str, y_col: str) -> DataFrame:
+    """Movement-direction census: consecutive-ping deltas per entity
+    bucketed into 8 octants by the EXACT integer comparison ladder
+    (sign tests + |dy| vs |dx|, no atan2 — the spatial/texture.py
+    edge-histogram ladder, documented there; zero delta → bucket 8)
+    → global ``(sector, n, n_users)``. Integer coordinates in, one
+    entity-key window + one 9-key groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    d = (pts.select(
+        F.col(user_col).alias("u"),
+        (F.lead(x_col).over(w) - F.col(x_col)).alias("dx"),
+        (F.lead(y_col).over(w) - F.col(y_col)).alias("dy"))
+        .where(F.col("dx").isNotNull()))
+    sector = F.expr("""
+      CASE WHEN (dx = 0) AND (dy = 0) THEN 8
+           WHEN (dy >= 0) AND (dx > 0) AND (abs(dy) < abs(dx)) THEN 0
+           WHEN (dy >= 0) AND (dx > 0) THEN 1
+           WHEN (dy >= 0) AND (dx = 0) THEN 2
+           WHEN (dy >= 0) AND (abs(dy) >= abs(dx)) THEN 2
+           WHEN (dy >= 0) THEN 3
+           WHEN (dy < 0) AND (dx < 0) AND (abs(dy) < abs(dx)) THEN 4
+           WHEN (dy < 0) AND (dx < 0) THEN 5
+           WHEN (dy < 0) AND (dx = 0) THEN 6
+           WHEN (dy < 0) AND (abs(dy) >= abs(dx)) THEN 6
+           ELSE 7 END""").cast("int")
+    return (d.select("u", sector.alias("sector"))
+            .groupBy("sector")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("u").alias("n_users")))

@@ -211,3 +211,21 @@ def test_staypoints_cell_boundary_is_floor_div(spark):
         rows2, "user_id long, sec long, event_id long, ix long, iy long")
     (sp,) = staypoints(df2, cell_size=10, min_pings=2).collect()
     assert (sp["cell_x"], sp["n_pings"], sp["dwell_sec"]) == (1, 2, 10)
+
+
+def test_heading_octants_hand_paths(spark):
+    from osm2geojson_spark.spatial.trajectory import heading_octants
+
+    # user 1 walks E, NE-steep, N, stays; user 2 walks W, S
+    pts = [(1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 12, 8), (1, 3, 12, 20),
+           (1, 4, 12, 20),
+           (2, 0, 0, 0), (2, 1, -9, 0), (2, 2, -9, -5)]
+    df = spark.createDataFrame(
+        pts, "user_id long, event_id long, ix long, iy long")
+    got = {r["sector"]: (r["n"], r["n_users"]) for r in
+           heading_octants(df, "user_id", "event_id", "ix", "iy")
+           .collect()}
+    # deltas: u1 (10,0)->0, (2,8)->1, (0,12)->2, (0,0)->8
+    # u2 (-9,0): dy>=0, dx<0, |dy|<|dx| -> 3 ; (0,-5) -> 6
+    assert got == {0: (1, 1), 1: (1, 1), 2: (1, 1), 8: (1, 1),
+                   3: (1, 1), 6: (1, 1)}
