@@ -733,3 +733,51 @@ def palette_quantize(df: DataFrame, k_colors: int = 8) -> DataFrame:
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         run, out_schema)
+
+
+def contact_sheet(df: DataFrame, cols: int = 8, rows: int = 8,
+                  cell: int = 16) -> DataFrame:
+    """Contact-sheet pages — the visual-inspection utility every
+    image pipeline grows: thumbnails (the exact-integer ``_thumb_px``
+    kernel via :func:`thumb_vectors`) laid into ``cols``×``rows``
+    grids in image_id order, each page re-encoded as lossless ppm and
+    reported by md5 (the hist_equalize pinning discipline — the
+    BYTES are the value under test). Empty tail cells are black.
+
+    Slots come from a global ``row_number`` over image_id — fine to
+    ~1M images (the strpack rule); beyond that substitute the
+    bucketed distributed rank. Page assembly is a bounded
+    ``cols·rows``-group applyInPandas. Returns
+    ``(page, n_images, w_px, h_px, md5)``."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    c, r, t = int(cols), int(rows), int(cell)
+    per = c * r
+    thumbs = (thumb_vectors(df, t, t)
+              .where(F.col("error").isNull())
+              .select("image_id", "vec"))
+    w = Window.orderBy("image_id")
+    slotted = (thumbs
+               .withColumn("slot", F.row_number().over(w) - 1)
+               .withColumn("page", F.expr(f"slot div {per}")))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        page = int(pdf["page"].iloc[0])
+        canvas = np.zeros((r * t, c * t, 3), dtype=np.uint8)
+        for slot, vec in zip(pdf["slot"], pdf["vec"]):
+            s = int(slot) % per
+            py, px_ = (s // c) * t, (s % c) * t
+            canvas[py:py + t, px_:px_ + t] = np.asarray(
+                vec, np.uint8).reshape(t, t, 3)
+        ppm = ENCODERS["ppm"](canvas)
+        return pd.DataFrame(
+            [(page, len(pdf), c * t, r * t,
+              hashlib.md5(ppm).hexdigest())],
+            columns=["page", "n_images", "w_px", "h_px", "md5"])
+
+    return (slotted.groupBy("page")
+            .applyInPandas(assemble,
+                           schema="page long, n_images long, w_px int, "
+                                  "h_px int, md5 string"))

@@ -2236,3 +2236,33 @@ def ref_audio_dedup(n: int = 120, seed: int = 42,
             if shared >= min_shared:
                 out.append((ia, ib, shared))
     return out
+
+
+def ref_contact_sheet(n: int = 200, seed: int = 42, fmts=None,
+                      cols: int = 8, rows: int = 8,
+                      cell: int = 16) -> "list[tuple]":
+    """Twin of the contact_sheet catalog entry: thumbnails via the
+    row-by-row python accumulator (_thumb_ref), pages assembled with
+    plain list math (no numpy canvas), same ppm bytes → same md5.
+    Returns [(page, n_images, w_px, h_px, md5)]."""
+    import hashlib
+
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import encode_ppm
+
+    per = cols * rows
+    items = sorted(
+        (image_id, _thumb_ref(px, cell, cell))
+        for image_id, _fmt, px in _image_corpus(n, seed, fmts))
+    out = []
+    for p0 in range(0, len(items), per):
+        chunk = items[p0:p0 + per]
+        canvas = np.zeros((rows * cell, cols * cell, 3), dtype=np.uint8)
+        for s, (_iid, vec) in enumerate(chunk):
+            py, px_ = (s // cols) * cell, (s % cols) * cell
+            canvas[py:py + cell, px_:px_ + cell] = np.asarray(
+                vec, np.uint8).reshape(cell, cell, 3)
+        out.append((p0 // per, len(chunk), cols * cell, rows * cell,
+                    hashlib.md5(encode_ppm(canvas)).hexdigest()))
+    return out

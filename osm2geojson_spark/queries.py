@@ -9100,6 +9100,32 @@ ORDER BY sector
 """
 
 
+def q_contact_sheet(spark, sf_dir):
+    """Contact-sheet pages (operators/images.contact_sheet): exact-
+    integer thumbnails laid into 8×8 grids in image_id order, pages
+    re-encoded as lossless ppm and md5-pinned (the hist_equalize
+    discipline — the BYTES are the value). One decode pass, a global
+    row_number slot (fine ≤1M images; strpack rank beyond), bounded
+    per-page assembly. Oracle: pyref row-by-row python-int
+    thumbnails + plain list page math — different summation route,
+    identical bytes."""
+    from osm2geojson_spark.operators.images import contact_sheet
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=200, seed=42, fmts=FMTS_TIFF)
+    return contact_sheet(imgs, cols=8, rows=8, cell=16).orderBy("page")
+
+
+def _sql_contact_sheet() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_contact_sheet(n=200, seed=42)
+    return pyref.values_sql(
+        rows, [("page", "BIGINT"), ("n_images", "BIGINT"),
+               ("w_px", "INTEGER"), ("h_px", "INTEGER"),
+               ("md5", "VARCHAR")]) + " ORDER BY page"
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -9235,6 +9261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "dt_update": q_dt_update,
         "heading_hist": q_heading_hist,
+        "contact_sheet": q_contact_sheet,
         "hillshade": q_hillshade,
         "flow_dir": q_flow_dir,
         "flow_accum": q_flow_accum,
@@ -9432,6 +9459,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _sql_rake_keywords(),
         "dt_update": _sql_dt_update(),
         "heading_hist": _sql_heading_hist(),
+        "contact_sheet": _sql_contact_sheet(),
         "hillshade": _sql_hillshade(),
         "flow_dir": _sql_flow_dir(),
         "flow_accum": _sql_flow_accum(),
