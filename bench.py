@@ -311,6 +311,14 @@ def _loadavg() -> list[float]:
         return list(os.getloadavg())
 
 
+#: launch gate (r4 verdict item 5): above this 1-min/5-min load the
+#: numbers are neighbor noise, not plan cost. The run still completes
+#: (the driver needs A number) but self-flags ``"contaminated": true``
+#: so no one re-bases on it. Same check at the end — the host's burst
+#: pattern is "clean at launch, dirty by finish" (BENCH.md).
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     load_start = _loadavg()
@@ -355,6 +363,13 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
     }
+    if (max(load_start[:2]) > LOAD_GATE
+            or max(out["loadavg_end"][:2]) > LOAD_GATE):
+        out["contaminated"] = True
+        out["contamination_note"] = (
+            f"1-min/5-min load exceeded {LOAD_GATE} at launch or finish "
+            "(noisy-neighbor host); treat timings as upper bounds, do "
+            "not re-base — see BENCH.md adjudication discipline")
     print(json.dumps(out))
 
 

@@ -744,24 +744,46 @@ def contact_sheet(df: DataFrame, cols: int = 8, rows: int = 8,
     reported by md5 (the hist_equalize pinning discipline — the
     BYTES are the value under test). Empty tail cells are black.
 
-    Slots come from a global ``row_number`` over image_id — fine to
-    ~1M images (the strpack rule); beyond that substitute the
-    bucketed distributed rank. Page assembly is a bounded
-    ``cols·rows``-group applyInPandas. Returns
+    Slots come from the bucketed distributed rank
+    (``spatial/strpack.global_rank`` — the same substrate as STR
+    packing and shard manifests), NOT an unpartitioned
+    ``Window.orderBy``: that collapses to ONE task shipping every
+    thumbnail vector (~cell²·3 bytes each) at scale. The rank bucket
+    must be an integer MONOTONE in Spark's byte-wise string order, so
+    it is built from the 7 id bytes AFTER the corpus' longest common
+    id prefix — derived from the min/max id, one O(1)-result aggregate
+    over the id column only (never the decoded thumbnails). Page
+    assembly is a bounded ``cols·rows``-group applyInPandas. Returns
     ``(page, n_images, w_px, h_px, md5)``."""
     import hashlib
 
-    from pyspark.sql import Window
+    from osm2geojson_spark.spatial.strpack import global_rank
 
     c, r, t = int(cols), int(rows), int(cell)
     per = c * r
     thumbs = (thumb_vectors(df, t, t)
               .where(F.col("error").isNull())
               .select("image_id", "vec"))
-    w = Window.orderBy("image_id")
-    slotted = (thumbs
-               .withColumn("slot", F.row_number().over(w) - 1)
-               .withColumn("page", F.expr(f"slot div {per}")))
+    bounds = df.agg(F.min("image_id").alias("lo"),
+                    F.max("image_id").alias("hi")).collect()[0]
+    lo = (bounds["lo"] or "").encode("utf-8")
+    hi = (bounds["hi"] or "").encode("utf-8")
+    lcp = 0
+    while lcp < min(len(lo), len(hi)) and lo[lcp] == hi[lcp]:
+        lcp += 1
+    # 7 post-prefix bytes, zero-padded → ≤ 2^56, fits signed long;
+    # equal-prefix ties share a bucket (the global_rank contract) and
+    # ids shorter than lcp+1 coalesce to bucket 0 — still ≤ every
+    # longer id byte-wise, so monotonicity holds
+    bucket = F.coalesce(
+        F.expr(
+            "cast(conv(hex(rpad(substring(cast(image_id as binary), "
+            f"{lcp + 1}, 7), 7, x'00')), 16, 10) as long)"),
+        F.lit(0).cast("long"))
+    slotted = (global_rank(thumbs, ["image_id"], bucket, "_rk")
+               .withColumn("slot", F.col("_rk") - 1)
+               .withColumn("page", F.expr(f"slot div {per}"))
+               .drop("_rk"))
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         page = int(pdf["page"].iloc[0])

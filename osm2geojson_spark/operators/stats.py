@@ -122,28 +122,51 @@ def otsu_threshold(df: DataFrame, value_col: str) -> int:
 
 def exact_quantiles(df: DataFrame, value_col: str,
                     p_ppms: list[int],
-                    bucket_expr: str | None = None) -> DataFrame:
+                    bucket_expr: str | None = None,
+                    max_buckets: int = 1_000_000) -> DataFrame:
     """EXACT order statistics without a global sort — the scalable
     counterpart to approx_percentile when the answer must be a real
     data value: rank k = ceil(p·n) (integer ppm ceil) is located by
     a VALUE-bucket histogram (one groupBy; bucket key = floor(v) by
     default — any monotone int expression works), the cumulative
     walk runs over the SMALL histogram (one window task over
-    |distinct buckets| rows — fine to ~1M buckets, the strpack
-    rule), and only the one bucket containing each rank is sorted
-    (collect_list over bucket-sized groups). Values pass through
-    untouched (doubles stay bit-identical). Returns
-    ``(p_ppm, k, value)``."""
+    |distinct buckets| rows), and only the one bucket containing
+    each rank is sorted (collect_list over bucket-sized groups).
+    Values pass through untouched (doubles stay bit-identical).
+    Returns ``(p_ppm, k, value)``.
+
+    The histogram-walk bound is SELF-ENFORCING: the single aggregate
+    that counts n also counts distinct buckets at a ladder of
+    right-shift coarsenings (``b div 2^s`` — truncating div is
+    monotone, so a coarsened bucket is still a valid bucket; ties
+    just share one), and the smallest shift whose bucket count fits
+    ``max_buckets`` is applied automatically. ``div 2^56`` leaves at
+    most 256 int64 buckets, so the ladder always terminates — a
+    pathological value spread degrades to bigger in-bucket sorts,
+    never to a data-sized single-task window."""
     if not p_ppms:
         raise ValueError("p_ppms must be non-empty")
     if any(not 0 < p <= 1_000_000 for p in p_ppms):
         raise ValueError("p_ppms must be in (0, 1e6]")
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
     b_expr = bucket_expr or f"CAST(floor(`{value_col}`) AS BIGINT)"
     src = df.select(F.col(value_col).alias("v"),
                     F.expr(b_expr).alias("b"))
-    n = src.count()
+    shifts = [0, 8, 16, 24, 32, 40, 48, 56]
+    stat = src.agg(
+        F.count("*").alias("n"),
+        *[F.countDistinct(F.expr(f"b div {1 << s}")).alias(f"d{s}")
+          for s in shifts]).collect()[0]
+    n = stat["n"]
     if n == 0:
         raise ValueError("exact_quantiles needs a non-empty input")
+    # d56 <= 256 always, so the default 1M cap always resolves; a
+    # caller-set cap below 256 gets the coarsest ladder rung (best
+    # effort — still bounded by 256 buckets)
+    shift = next((s for s in shifts if stat[f"d{s}"] <= max_buckets), 56)
+    if shift:
+        src = src.withColumn("b", F.expr(f"b div {1 << shift}"))
     ks = [(int(p), (int(p) * n + 999_999) // 1_000_000)
           for p in sorted(set(p_ppms))]
     spark = df.sparkSession

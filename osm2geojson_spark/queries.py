@@ -9130,7 +9130,42 @@ def _sql_contact_sheet() -> str:
 # registry
 
 
+# The external correctness gate samples the FIRST 50 catalog keys, so
+# the head of the dict must cover every major operator family (r4
+# verdict item 3): joins/windows, reference OSM assembly, text dedup,
+# corpus, ANN/linalg, spatial index+joins, routing/Δ-stepping,
+# rasters/SAT/hydrology, media, search, graph, stats, CDC, behavioral.
+# Keys and semantics unchanged — dict insertion order only.
+_HEAD_50 = [
+    "pricing_summary", "window_topk", "asof_join", "sessionize",
+    "grouping_sets",
+    "way_assembly", "way_geom_type", "cogroup_join", "dedup_kv",
+    "exact_dedup", "minhash_pairs", "dup_clusters", "setsim_join",
+    "edit_distance_join",
+    "decontaminate", "lm_score", "text_stats", "bpe_train",
+    "embedding_topk", "embedding_ivf", "embedding_pq", "pca_project",
+    "cell_encode", "s2_cell_encode", "pip_join", "knn_ring",
+    "poly_overlap", "tile_histogram", "vector_tiles", "str_pack",
+    "sssp_delta", "catchment_delta", "cost_distance", "dt_update",
+    "box_filter", "glcm", "distance_transform", "watershed",
+    "image_validate", "image_phash_dedup", "contact_sheet",
+    "audio_dedup", "video_dedup",
+    "bm25_topk",
+    "pagerank", "scc",
+    "exact_quantiles", "table_profile",
+    "snapshot_diff",
+    "funnel",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    full = _queries_all()
+    ordered = {k: full[k] for k in _HEAD_50}
+    ordered.update((k, v) for k, v in full.items() if k not in ordered)
+    return ordered
+
+
+def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "star_join": q_star_join,
@@ -9346,6 +9381,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    full = _oracle_sql_all()
+    ordered = {k: full[k] for k in _HEAD_50 if k in full}
+    ordered.update((k, v) for k, v in full.items() if k not in ordered)
+    return ordered
+
+
+def _oracle_sql_all() -> dict[str, str]:
     return {
         "pricing_summary": _SQL_PRICING,
         "star_join": _SQL_STAR,

@@ -289,6 +289,103 @@ def grid_block_part(n: int, block: int):
     return part
 
 
+def _np_block_relax(fr_src, fr_id, fr_dist, e_src, e_dst, e_w, e_cross,
+                    cap):
+    """Vectorized exact per-block relaxation — the Δ-stepping
+    per-barrier kernel shared by :func:`shortest_paths_delta` and
+    :func:`travel_time_matrix_delta`.
+
+    Replaces the round-4 scalar heap Dijkstra (the bottleneck named by
+    BENCH.md's 16-source cost-matrix table once rounds were collapsed):
+    a worklist Bellman-Ford over the block's LOCAL edges in numpy
+    batches — per iteration, expand every active (source, node) pair's
+    CSR edge range via ragged ``np.repeat`` indexing and scatter-min
+    with ``np.minimum.at``. Within a block both algorithms reach the
+    same unique fixpoint from the same seeds, so the emitted candidate
+    set is IDENTICAL to the heap kernel's min-merged output: cross-block
+    candidates at settled distances (< cap when capped) plus local nodes
+    improved past their seed. Iterations = local hop diameter of the
+    improved region, each a few fused array ops — the per-barrier
+    compute the scalar heap serialized.
+
+    Multi-source is handled densely: distances live in one flat
+    ``(n_sources × n_local_nodes)`` int64 array keyed ``s*n + u``, so
+    all sources relax in the SAME vector ops. Returns
+    ``(src, id, nd)`` int64 arrays, min-merged per key.
+    """
+    import numpy as np
+
+    inf = np.iinfo(np.int64).max
+    lmask = ~e_cross
+    local_ids = np.unique(np.concatenate([e_src, e_dst[lmask], fr_id]))
+    n = int(local_ids.size)
+    srcs = np.unique(fr_src)
+    # local-edge CSR over dense node indices
+    ls = np.searchsorted(local_ids, e_src[lmask])
+    ld = np.searchsorted(local_ids, e_dst[lmask])
+    lw = e_w[lmask]
+    order = np.argsort(ls, kind="stable")
+    ls, ld, lw = ls[order], ld[order], lw[order]
+    bounds = np.searchsorted(ls, np.arange(n + 1))
+    starts, ends = bounds[:-1], bounds[1:]
+    dist = np.full(int(srcs.size) * n, inf, np.int64)
+    fkey = (np.searchsorted(srcs, fr_src) * n
+            + np.searchsorted(local_ids, fr_id))
+    np.minimum.at(dist, fkey, fr_dist)
+    seeds = dist.copy()
+    act = np.unique(fkey)
+    if cap is not None:
+        act = act[dist[act] < cap]
+    while act.size:
+        uu = act % n
+        cnt = ends[uu] - starts[uu]
+        keep = cnt > 0
+        act_k, uu, cnt = act[keep], uu[keep], cnt[keep]
+        tot = int(cnt.sum())
+        if tot == 0:
+            break
+        rep = np.repeat(act_k, cnt)
+        off = (np.repeat(starts[uu], cnt)
+               + np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        nd = dist[rep] + lw[off]
+        tgt = (rep // n) * n + ld[off]
+        ut, inv = np.unique(tgt, return_inverse=True)
+        cu = np.full(ut.size, inf, np.int64)
+        np.minimum.at(cu, inv, nd)
+        impm = cu < dist[ut]
+        iu = ut[impm]
+        dist[iu] = cu[impm]
+        act = iu if cap is None else iu[dist[iu] < cap]
+    li = np.nonzero(dist < seeds)[0]
+    out_s = [srcs[li // n]]
+    out_i = [local_ids[li % n]]
+    out_d = [dist[li]]
+    if e_cross.any():
+        cs = np.searchsorted(local_ids, e_src[e_cross])
+        cd = e_dst[e_cross]
+        cw = e_w[e_cross]
+        hi = inf if cap is None else cap
+        for j in range(int(srcs.size)):
+            d = dist[j * n + cs]
+            m = d < hi
+            if m.any():
+                out_s.append(np.full(int(m.sum()), srcs[j], np.int64))
+                out_i.append(cd[m])
+                out_d.append(d[m] + cw[m])
+    os_ = np.concatenate(out_s)
+    oi = np.concatenate(out_i)
+    od = np.concatenate(out_d)
+    if os_.size == 0:
+        return os_, oi, od
+    # local min-merge per (src, id): lexsort puts the min dist first in
+    # each group, the boundary mask keeps exactly that row
+    o = np.lexsort((od, oi, os_))
+    os_, oi, od = os_[o], oi[o], od[o]
+    first = np.ones(os_.size, bool)
+    first[1:] = (os_[1:] != os_[:-1]) | (oi[1:] != oi[:-1])
+    return os_[first], oi[first], od[first]
+
+
 def shortest_paths_delta(
     edges: DataFrame,
     source: int,
@@ -310,8 +407,9 @@ def shortest_paths_delta(
     planet road graph's diameter is thousands of hops, so wall-clock is
     flat in core count (BENCH.md routing evidence). Here every round
     cogroups the frontier with the PRE-PARTITIONED edge table by
-    ``part(node)`` and runs an exact heap Dijkstra *within each block*
-    (Arrow-batched kernel), so distances propagate a whole block per
+    ``part(node)`` and relaxes *within each block* to the exact local
+    fixpoint (:func:`_np_block_relax` — numpy worklist relaxation, no
+    scalar Python), so distances propagate a whole block per
     barrier; only block-crossing relaxations travel through the shuffle.
     Rounds collapse from O(diameter in hops) to O(diameter in blocks) —
     measured 1300× fewer rounds on a 1M-node grid
@@ -358,8 +456,6 @@ def shortest_paths_delta(
         e.unpersist()
         raise ValueError("shortest_paths_delta requires non-negative weights")
 
-    import heapq
-
     import numpy as np
     import pandas as pd
 
@@ -368,55 +464,17 @@ def shortest_paths_delta(
             if len(fr) == 0 or len(eg) == 0:
                 return pd.DataFrame({"id": pd.Series(dtype="int64"),
                                      "nd": pd.Series(dtype="int64")})
-            src = eg["src"].to_numpy(np.int64)
-            order = np.argsort(src, kind="stable")
-            src = src[order]
-            dst = eg["dst"].to_numpy(np.int64)[order]
-            w = eg["w"].to_numpy(np.int64)[order]
-            cross = eg["x"].to_numpy(bool)[order]
-            us, starts = np.unique(src, return_index=True)
-            ends = np.append(starts[1:], len(src))
-            rng = {int(u): (int(a), int(b))
-                   for u, a, b in zip(us, starts, ends)}
-            seeds = dict(zip(fr["id"].to_numpy(np.int64).tolist(),
-                             fr["dist"].to_numpy(np.int64).tolist()))
-            best: dict = {}
-            heap: list = []
-            for u, d in seeds.items():
-                if d < best.get(u, d + 1):
-                    best[u] = d
-                    heapq.heappush(heap, (d, u))
-            out: dict = {}
-            while heap:
-                d, u = heapq.heappop(heap)
-                if d > best.get(u, d):
-                    continue  # stale entry
-                if cap is not None and d >= cap:
-                    continue  # beyond this bucket — settle next phase
-                ab = rng.get(u)
-                if ab is None:
-                    continue
-                for k in range(ab[0], ab[1]):
-                    nd = d + w[k]
-                    v = int(dst[k])
-                    if cross[k]:
-                        if nd < out.get(v, nd + 1):
-                            out[v] = nd
-                    elif nd < best.get(v, nd + 1):
-                        best[v] = nd
-                        if cap is None or nd < cap:
-                            heapq.heappush(heap, (nd, v))
-            # emit local nodes that improved past their seed, plus all
-            # cross-block candidates (the global min-merge filters)
-            for v, d in best.items():
-                if d < seeds.get(v, d + 1):
-                    out[v] = min(d, out.get(v, d))
-            if not out:
-                return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                     "nd": pd.Series(dtype="int64")})
-            return pd.DataFrame(
-                {"id": np.fromiter(out.keys(), np.int64, len(out)),
-                 "nd": np.fromiter(out.values(), np.int64, len(out))})
+            _, oi, od = _np_block_relax(
+                np.zeros(len(fr), np.int64),
+                fr["id"].to_numpy(np.int64),
+                fr["dist"].to_numpy(np.int64),
+                eg["src"].to_numpy(np.int64),
+                eg["dst"].to_numpy(np.int64),
+                eg["w"].to_numpy(np.int64),
+                eg["x"].to_numpy(bool),
+                cap,
+            )
+            return pd.DataFrame({"id": oi, "nd": od})
 
         return kernel
 
@@ -591,8 +649,9 @@ def travel_time_matrix_delta(
     """Batched multi-source SSSP → ``(src, node_id, dist)`` with the
     same converged output as :func:`travel_time_matrix`, using the
     :func:`shortest_paths_delta` block-fusion machinery in the product
-    space: one heap Dijkstra per block per barrier over entries keyed
-    ``(source, node)``, so ALL sources ride the SAME rounds AND the
+    space: one vectorized block relaxation per barrier over entries
+    keyed ``(source, node)`` (:func:`_np_block_relax` relaxes every
+    source in the same numpy ops), so ALL sources ride the SAME rounds AND the
     rounds themselves collapse from O(diameter in hops) to O(diameter
     in blocks) — the scale fix for catchment/isochrone products on
     high-diameter road graphs. Label-correcting merge keyed
@@ -619,63 +678,25 @@ def travel_time_matrix_delta(
         raise ValueError(
             "travel_time_matrix_delta requires non-negative weights")
 
-    import heapq
-
     import numpy as np
     import pandas as pd
 
     def kernel(_key, fr: pd.DataFrame, eg: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
-                              "id": pd.Series(dtype="int64"),
-                              "nd": pd.Series(dtype="int64")})
         if len(fr) == 0 or len(eg) == 0:
-            return empty
-        es = eg["e_src"].to_numpy(np.int64)
-        order = np.argsort(es, kind="stable")
-        es = es[order]
-        ed = eg["e_dst"].to_numpy(np.int64)[order]
-        w = eg["w"].to_numpy(np.int64)[order]
-        cross = eg["x"].to_numpy(bool)[order]
-        us, starts = np.unique(es, return_index=True)
-        ends = np.append(starts[1:], len(es))
-        rng = {int(u): (int(a), int(b)) for u, a, b in zip(us, starts, ends)}
-        best: dict = {}
-        heap: list = []
-        seeds: dict = {}
-        for s, u, d in zip(fr["src"].to_numpy(np.int64).tolist(),
-                           fr["id"].to_numpy(np.int64).tolist(),
-                           fr["dist"].to_numpy(np.int64).tolist()):
-            k = (s, u)
-            if d < best.get(k, d + 1):
-                best[k] = d
-                seeds[k] = d
-                heapq.heappush(heap, (d, s, u))
-        out: dict = {}
-        while heap:
-            d, s, u = heapq.heappop(heap)
-            if d > best.get((s, u), d):
-                continue
-            ab = rng.get(u)
-            if ab is None:
-                continue
-            for k in range(ab[0], ab[1]):
-                nd = d + w[k]
-                v = int(ed[k])
-                if cross[k]:
-                    if nd < out.get((s, v), nd + 1):
-                        out[(s, v)] = nd
-                elif nd < best.get((s, v), nd + 1):
-                    best[(s, v)] = nd
-                    heapq.heappush(heap, (nd, s, v))
-        for kk, d in best.items():
-            if d < seeds.get(kk, d + 1):
-                out[kk] = min(d, out.get(kk, d))
-        if not out:
-            return empty
-        ks = np.array(list(out.keys()), np.int64)
-        return pd.DataFrame(
-            {"src": ks[:, 0], "id": ks[:, 1],
-             "nd": np.fromiter(out.values(), np.int64, len(out))})
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "nd": pd.Series(dtype="int64")})
+        os_, oi, od = _np_block_relax(
+            fr["src"].to_numpy(np.int64),
+            fr["id"].to_numpy(np.int64),
+            fr["dist"].to_numpy(np.int64),
+            eg["e_src"].to_numpy(np.int64),
+            eg["e_dst"].to_numpy(np.int64),
+            eg["w"].to_numpy(np.int64),
+            eg["x"].to_numpy(bool),
+            None,
+        )
+        return pd.DataFrame({"src": os_, "id": oi, "nd": od})
 
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "src long, id long, dist long"

@@ -80,3 +80,37 @@ def test_no_duplicate_registry_keys():
     keys = Counter(re.findall(r'^\s{8}"([a-z0-9_]+)":', src, re.M))
     bad = {k: v for k, v in keys.items() if v != 2}
     assert not bad, f"registry keys not exactly once per dict: {bad}"
+
+
+def test_head50_samples_every_family():
+    # The external gate checks only the FIRST 50 queries() keys — pin
+    # that the head stays representative (r4 verdict item 3) and that
+    # reordering lost nothing.
+    import osm2geojson_spark.queries as q
+
+    full = q._queries_all()
+    ordered = q.queries()
+    assert set(ordered) == set(full)
+    head = list(ordered)[:50]
+    assert head == q._HEAD_50
+    families = {
+        "joins/windows": {"pricing_summary", "window_topk", "asof_join"},
+        "osm-reference": {"way_assembly", "cogroup_join", "dedup_kv"},
+        "dedup": {"minhash_pairs", "setsim_join", "edit_distance_join"},
+        "ann": {"embedding_ivf", "embedding_pq"},
+        "spatial": {"pip_join", "knn_ring", "vector_tiles", "str_pack"},
+        "routing": {"sssp_delta", "catchment_delta", "cost_distance"},
+        "raster": {"box_filter", "distance_transform", "watershed"},
+        "media": {"image_validate", "audio_dedup", "video_dedup"},
+        "search": {"bm25_topk"},
+        "graph": {"pagerank", "scc"},
+        "stats": {"exact_quantiles", "table_profile"},
+        "cdc": {"snapshot_diff"},
+    }
+    hs = set(head)
+    missing = {fam for fam, keys in families.items() if not keys & hs}
+    assert not missing, missing
+    # oracle ordering mirrors queries ordering for the shared keys
+    osql = list(q.oracle_sql())
+    assert osql[: len([k for k in head if k in set(osql)])] == [
+        k for k in head if k in set(osql)]

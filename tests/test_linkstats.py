@@ -117,6 +117,30 @@ def test_exact_quantiles_bruteforce(spark):
     assert got[1][1] == sv[0]
 
 
+def test_exact_quantiles_auto_coarsen(spark):
+    """A pathological value spread (every row its own bucket, values
+    spanning 2^50) must self-coarsen instead of building a histogram
+    window with one row per input row — and stay EXACT: coarsening
+    only merges buckets, the in-bucket sort still picks the true
+    order statistic."""
+    import random
+
+    from osm2geojson_spark.operators.stats import exact_quantiles
+
+    rng = random.Random(21)
+    vals = [float(rng.randrange(1 << 50)) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [1, 100_000, 500_000, 900_000, 1_000_000]
+    got = {r["p_ppm"]: (r["k"], r["value"])
+           for r in exact_quantiles(df, "x", ps,
+                                    max_buckets=100).collect()}
+    sv = sorted(vals)
+    n = len(sv)
+    for p in ps:
+        k = (p * n + 999_999) // 1_000_000
+        assert got[p] == (k, sv[k - 1]), p
+
+
 def test_exact_quantiles_guards(spark):
     from osm2geojson_spark.operators.stats import exact_quantiles
 
