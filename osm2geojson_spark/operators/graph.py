@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
-           "strongly_connected_components"]
+           "strongly_connected_components", "hits", "label_propagation",
+           "degree_assortativity", "modularity"]
 
 
 def pagerank(
@@ -419,3 +420,249 @@ def clustering_coeff(edges: DataFrame) -> DataFrame:
             .select("node", "deg",
                     F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
                     F.expr("(deg * (deg - 1)) div 2").alias("possible")))
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 8,
+    scale: int = 10**8,
+) -> DataFrame:
+    """Deterministic integer HITS → ``(node_id, hub, auth)`` after
+    ``n_iters`` rounds; hub/scale and auth/scale are the (L1-normalized)
+    hub and authority scores.
+
+    Same discipline as :func:`pagerank`: float HITS normalizes by a
+    sum whose accumulation order varies with partitioning, so the
+    scores drift in the last ulps between runs. Here every update is
+    integer — auth(v) = Σ hub(u) over in-edges (an order-free int64
+    sum), then an L1 rescale ``raw · scale div total`` where ``total``
+    rides along as a ONE-ROW broadcast aggregate (no driver scalar).
+    The ``raw · scale`` product can exceed int64 on large graphs, so
+    the rescale runs through DECIMAL(38,0) — exact, and `div` keeps the
+    floor semantics the pyref twin reproduces with Python big ints.
+    Two equi-joins + two integer-sum shuffles per round against a
+    pre-partitioned persisted edge table; localCheckpoint truncation.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"),
+        )
+        .where(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+        .repartition(F.col("e_src"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .unionByName(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(
+            F.coalesce(F.sum(col), F.lit(0)).cast("decimal(38,0)")
+            .alias("_tot"))
+        return (
+            df.crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                F.when(
+                    F.col("_tot") > 0,
+                    F.expr(
+                        f"CAST((CAST({col} AS DECIMAL(38,0))"
+                        f" * {scale}) DIV _tot AS BIGINT)"),
+                ).otherwise(F.lit(0)).alias(col),
+            )
+        )
+
+    state = nodes.select(
+        "id", F.lit(int(scale)).alias("hub"),
+        F.lit(int(scale)).alias("auth"))
+    for _ in range(n_iters):
+        auth_raw = (
+            state.join(e, state.id == e.e_src)
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _rescale(
+            nodes.join(auth_raw, "id", "left")
+            .select("id", F.coalesce("auth", F.lit(0)).alias("auth")),
+            "auth").localCheckpoint(eager=True)
+        hub_raw = (
+            auth.join(e, auth.id == e.e_dst)
+            .groupBy(F.col("e_src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _rescale(
+            nodes.join(hub_raw, "id", "left")
+            .select("id", F.coalesce("hub", F.lit(0)).alias("hub")),
+            "hub")
+        state = (
+            hub.join(auth, "id")
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return state.select(F.col("id").alias("node_id"), "hub", "auth")
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 4,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation communities → ``(node, label)``.
+
+    Classic LPA with the two determinism choices pinned: updates are
+    synchronous (every node votes on the PREVIOUS round's labels — the
+    asynchronous variant depends on visit order), and ties among
+    equally-frequent neighbor labels break to the SMALLEST label. Both
+    choices make the result a pure function of the graph, so the pyref
+    twin is bit-exact. Labels start as node ids; isolated nodes keep
+    their own label. Distinct from min-label connected components
+    (``dedup.dup_clusters``): LPA splits dense regions joined by thin
+    bridges instead of flooding whole components.
+
+    Per round: one labels⋈adjacency equi-join + one (node, label)
+    count + one per-node argmax via ``max(struct(cnt, -label))`` —
+    all map-side combinable, no driver data, localCheckpoint
+    truncation. Fixed round budget (LPA is not guaranteed to converge;
+    the synchronous form can 2-cycle on bipartite regions — a fixed
+    even budget is the standard, reproducible convention)."""
+    a = F.least(F.col("src"), F.col("dst")).cast("long").alias("a")
+    b = F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct())
+    adj = (canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(canon.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+           .repartition("v")
+           .persist())
+    nodes = (adj.select(F.col("u").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iters):
+        votes = (
+            adj.join(labels, adj.v == labels.node)
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"),
+                                (-F.col("label")).alias("neg")))
+                 .alias("top"))
+            .select("node", (-F.col("top.neg")).alias("new_label"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .join(labels.withColumnRenamed("label", "old"), "node")
+            .select("node",
+                    F.coalesce("new_label", "old").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over all directed realizations of the undirected edge set) as ONE
+    row ``(n_pairs, sx, sxx, sxy, r)`` — the Newman mixing coefficient.
+
+    Every moment is an EXACT int64 power sum (degrees are small ints;
+    sums over 2m pairs are order-free), and the final ``r`` is a
+    single double expression written identically in the SQL twin, so
+    the doubles agree bit-for-bit (the anomaly_zscore discipline). By
+    the both-orientations symmetry sx == sy and sxx == syy, so one
+    copy of each is kept. Shape: degree agg + two degree joins + one
+    global agg — no iteration, no skew surface."""
+    a = F.least(F.col("src"), F.col("dst")).cast("long").alias("a")
+    b = F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct())
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("dg")))
+    pairs = (
+        canon
+        .join(deg.select(F.col("node").alias("a"),
+                         F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("dg").alias("db")), "b")
+        .select(
+            F.col("da").alias("x"), F.col("db").alias("y"))
+    )
+    both = pairs.unionAll(pairs.select(F.col("y").alias("x"),
+                                       F.col("x").alias("y")))
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    # degree-regular graphs have zero degree variance: the Pearson
+    # denominator is 0 and r is undefined — return NULL (never throw
+    # under ANSI mode) and leave the exact moments for the caller.
+    # The guard is on the DOUBLE product (an int64 guard could itself
+    # overflow-throw under ANSI at planet-scale moments).
+    r = ("CASE WHEN ((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE))"
+         " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0"
+         " THEN NULL ELSE"
+         " ((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE))"
+         " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+         " / ((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE))"
+         " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) END")
+    return agg.select("n_pairs", "sx", "sxx", "sxy",
+                      F.expr(r).alias("r"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions as EXACT integer
+    rationals → ``(label, n_nodes, m_in, d_tot, q_num, q_den)`` where
+    the community's modularity share is q_num/q_den and the partition
+    modularity is Σ q_num / q_den.
+
+    Q = Σ_c [ m_c/m − (d_c/2m)² ] = Σ_c (4·m·m_c − d_c²) / (4m²) — the
+    numerator/denominator form keeps everything in int64 (the
+    clustering_coeff cross-multiplication discipline; m ≤ ~10⁹ before
+    4m² leaves the int64 range, far beyond any per-partition slice a
+    caller would score in one call). ``labels`` is (node, label) —
+    typically :func:`label_propagation` output. Shape: two label
+    joins + two small aggs; no iteration."""
+    a = F.least(F.col("src"), F.col("dst")).cast("long").alias("a")
+    b = F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b")
+    canon = (edges.select(a, b)
+             .where(F.col("a") != F.col("b")).distinct()
+             .persist())
+    m = canon.count()
+    la = labels.select(F.col("node").alias("a"),
+                       F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("b"),
+                       F.col("label").alias("lab_b"))
+    tagged = canon.join(la, "a").join(lb, "b")
+    m_in = (tagged.where(F.col("lab_a") == F.col("lab_b"))
+            .groupBy(F.col("lab_a").alias("label"))
+            .agg(F.count(F.lit(1)).alias("m_in")))
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("dg")))
+    d_tot = (labels.join(deg, "node", "left")
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_nodes"),
+                  F.sum(F.coalesce("dg", F.lit(0))).alias("d_tot")))
+    out = (
+        d_tot.join(m_in, "label", "left")
+        .select(
+            "label", "n_nodes",
+            F.coalesce("m_in", F.lit(0)).alias("m_in"),
+            "d_tot",
+            (F.lit(4 * m) * F.coalesce("m_in", F.lit(0))
+             - F.col("d_tot") * F.col("d_tot")).alias("q_num"),
+            F.lit(4 * m * m).alias("q_den"),
+        )
+    )
+    canon.unpersist()
+    return out

@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve", "otsu_threshold"]
+__all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
+           "otsu_threshold", "exact_quantiles", "ks_2samp",
+           "mann_whitney_u", "iqr_outliers"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -189,3 +191,105 @@ def exact_quantiles(df: DataFrame, value_col: str,
             .select("p_ppm", "k",
                     F.element_at("vs", F.col("off").cast("int"))
                     .alias("value")))
+
+
+def ks_2samp(df: DataFrame, value_col: str, group_col: str,
+             g1, g2) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic as ONE row
+    ``(n1, n2, d_num, d)`` — EXACT: the sup over the pooled empirical
+    CDF difference is ``max |c1·n2 − c2·n1|`` over distinct values
+    (c_i = cumulative counts), an integer, and ``d = d_num/(n1·n2)``
+    is one double division written identically in the SQL twin.
+
+    The distribution-drift gate a training-data pipeline runs between
+    two corpus slices before mixing them. Shape: one groupBy(value)
+    histogram shuffle; the cumulative walk rides an unpartitioned
+    window over the DISTINCT-VALUE histogram (the otsu_curve /
+    exact_quantiles bound — histogram-sized, never row-sized)."""
+    src = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+    ).where(F.col("g").isNotNull())
+    counts = src.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"))
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+             F.max(F.abs(F.col("f1") * F.col("n2")
+                         - F.col("f2") * F.col("n1"))).alias("d_num"))
+        .select("n1", "n2", "d_num",
+                F.expr("CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE)"
+                       " * CAST(n2 AS DOUBLE))").alias("d")))
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
+                   g1, g2) -> DataFrame:
+    """Two-sample Mann–Whitney U as ONE row
+    ``(n1, n2, r1_x2, u1_x2, u2_x2)`` — EXACT with the standard
+    tie-averaged midranks, kept integer by carrying 2× the rank: a tie
+    group of size t after s smaller items has midrank ``s + (t+1)/2``,
+    so ``2·midrank = 2s + t + 1`` is an integer for every group.
+    ``u1_x2 = 2·R1 − n1(n1+1)`` (twice the usual U for sample 1);
+    callers divide by 2 at the end if they want the textbook value —
+    halving first would leave engine-dependent .5 doubles.
+
+    Same shape as :func:`ks_2samp`: one value-histogram shuffle + the
+    histogram-sized cumulative walk."""
+    src = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+    ).where(F.col("g").isNotNull())
+    counts = src.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    walk = counts.select(
+        "c1", "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(w)
+         - (F.col("c1") + F.col("c2"))).alias("s"))
+    agg = walk.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+        F.sum(F.col("c1")
+              * (F.lit(2) * F.col("s") + F.col("c1") + F.col("c2")
+                 + F.lit(1))).alias("r1_x2"))
+    return agg.select(
+        "n1", "n2", "r1_x2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        (F.lit(2) * F.col("n1") * F.col("n2")
+         - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)))
+        .alias("u2_x2"))
+
+
+def iqr_outliers(df: DataFrame, value_col: str,
+                 fence_x4: int = 6) -> DataFrame:
+    """Tukey-fence outlier flagging composed on the
+    :func:`exact_quantiles` substrate: q1/q3 are EXACT order statistics
+    (real data values), the fences ``q1 − (fence_x4/4)·iqr`` /
+    ``q3 + (fence_x4/4)·iqr`` keep the conventional 1.5 multiplier as
+    the integer ratio 6/4 (doubles computed identically in the SQL
+    twin), and the 2-row quantile frame pivots to one row and
+    broadcast-joins back onto the stream — no second pass, no driver
+    row data. Returns the input rows OUTSIDE the fences, with the
+    fences attached."""
+    q = exact_quantiles(df, value_col, [250_000, 750_000])
+    fences = (
+        q.agg(
+            F.max(F.when(F.col("p_ppm") == 250_000, F.col("value")))
+            .alias("q1"),
+            F.max(F.when(F.col("p_ppm") == 750_000, F.col("value")))
+            .alias("q3"))
+        .select(
+            "q1", "q3",
+            F.expr(f"q1 - ({fence_x4} * (q3 - q1)) / 4.0").alias("lo"),
+            F.expr(f"q3 + ({fence_x4} * (q3 - q1)) / 4.0").alias("hi")))
+    return (df.crossJoin(F.broadcast(fences))
+            .where((F.col(value_col) < F.col("lo"))
+                   | (F.col(value_col) > F.col("hi"))))

@@ -125,3 +125,64 @@ def locf_resample(
         key,
         (F.col("mi") * step).cast("long").alias("t_sec"),
         F.col("v0").alias("value_locf"))
+
+
+def acf_lags(df, key_col: str, order_cols: list, value_col: str,
+             max_lag: int = 3):
+    """Per-key autocorrelation function at lags 1..max_lag →
+    ``(key, lag, n_pairs, acf)`` — one window pass, one shuffle.
+
+    Exactness discipline: every base moment is an order-free exact sum
+    (decimal(38,6) for the linear sums, decimal(38,4) for the
+    squares/products — the anomaly_zscore 2^53 headroom rule), and the
+    final ``acf`` double is ONE expression written identically in the
+    SQL twin:
+
+        acf(ℓ) = [Σ x_t·x_{t+ℓ} − m·(S_head + S_tail) + (n−ℓ)·m²]
+                 / [Σ x² − n·m²],  m = full-series mean.
+
+    Shape: one partitioned window (lag columns for every ℓ in the same
+    pass) + one groupBy(key) aggregate. Lags are conditional sums over
+    the SAME scan — max_lag never multiplies data passes."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    lag_cols = [F.lag(F.col(value_col), lg).over(w).alias(f"_l{lg}")
+                for lg in range(1, max_lag + 1)]
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(value_col).alias("v"), *lag_cols)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+        .cast("double").alias("ss"),
+    ]
+    for lg in range(1, max_lag + 1):
+        l = F.col(f"_l{lg}")
+        aggs += [
+            F.count(l).alias(f"np{lg}"),
+            F.sum((F.col("v") * l).cast("decimal(38,4)"))
+            .cast("double").alias(f"sxy{lg}"),
+            # head = the lagged copies that participate (x_1..x_{n-ℓ});
+            # tail = the current values with a non-null lag (x_{ℓ+1}..x_n)
+            F.sum(F.when(l.isNotNull(), l).cast("decimal(38,6)"))
+            .cast("double").alias(f"sh{lg}"),
+            F.sum(F.when(l.isNotNull(), F.col("v")).cast("decimal(38,6)"))
+            .cast("double").alias(f"st{lg}"),
+        ]
+    per_key = base.groupBy("key").agg(*aggs)
+    m = "(s / CAST(n AS DOUBLE))"
+    lag_structs = [
+        F.struct(
+            F.lit(lg).cast("long").alias("lag"),
+            F.col(f"np{lg}").alias("n_pairs"),
+            F.expr(
+                f"((sxy{lg} - ({m} * (sh{lg} + st{lg})))"
+                f" + (CAST(np{lg} AS DOUBLE) * ({m} * {m})))"
+                f" / (ss - (CAST(n AS DOUBLE) * ({m} * {m})))"
+            ).alias("acf"))
+        for lg in range(1, max_lag + 1)
+    ]
+    return (per_key.select(
+        "key", F.explode(F.array(*lag_structs)).alias("o"))
+        .select("key", "o.lag", "o.n_pairs", "o.acf"))

@@ -2266,3 +2266,100 @@ def ref_contact_sheet(n: int = 200, seed: int = 42, fmts=None,
         out.append((p0 // per, len(chunk), cols * cell, rows * cell,
                     hashlib.md5(encode_ppm(canvas)).hexdigest()))
     return out
+
+
+# ------------------------------------------------------- graph (round 5)
+
+def hash_graph(n_nodes: int, n_edges: int) -> "list[tuple]":
+    """Deterministic irregular directed graph: edge i = (i·2654435761
+    mod N, (i·40503 + 7) mod N). Closed-form id arithmetic (no RNG, no
+    hashing library) so Spark generates the identical list with
+    `spark.range` column math — the two engines never exchange data."""
+    return [((i * 2654435761) % n_nodes, (i * 40503 + 7) % n_nodes)
+            for i in range(n_edges)]
+
+
+def ref_hits(edges: "list[tuple]", n_iters: int = 8,
+             scale: int = 10**8) -> "list[tuple]":
+    """(node_id, hub, auth) — twin of operators/graph.hits: identical
+    integer L1 rescale (raw·scale // total) each half-step, Python big
+    ints standing in for the engine's DECIMAL(38,0) widening."""
+    e = sorted({(int(u), int(v)) for u, v in edges if int(u) != int(v)})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    hub = {v: scale for v in nodes}
+    auth = {v: scale for v in nodes}
+
+    def rescale(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total <= 0:
+            return {v: 0 for v in nodes}
+        return {v: (raw[v] * scale) // total for v in nodes}
+
+    for _ in range(n_iters):
+        raw_a = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_a[v] += hub[u]
+        auth = rescale(raw_a)
+        raw_h = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_h[u] += auth[v]
+        hub = rescale(raw_h)
+    return [(v, hub[v], auth[v]) for v in nodes]
+
+
+def _canon_undirected(edges: "list[tuple]") -> "list[tuple]":
+    return sorted({(min(int(u), int(v)), max(int(u), int(v)))
+                   for u, v in edges if int(u) != int(v)})
+
+
+def ref_label_propagation(edges: "list[tuple]",
+                          n_iters: int = 4) -> "list[tuple]":
+    """(node, label) — twin of operators/graph.label_propagation:
+    synchronous rounds, most-frequent neighbor label, ties to the
+    SMALLEST label."""
+    from collections import defaultdict
+
+    canon = _canon_undirected(edges)
+    adj = defaultdict(list)
+    for a, b in canon:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    labels = {v: v for v in nodes}
+    for _ in range(n_iters):
+        new = {}
+        for v in nodes:
+            cnt = defaultdict(int)
+            for w in adj[v]:
+                cnt[labels[w]] += 1
+            # max count, then smallest label == max of (cnt, -label)
+            new[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    return sorted(labels.items())
+
+
+def ref_modularity(edges: "list[tuple]",
+                   labels: "list[tuple]") -> "list[tuple]":
+    """(label, n_nodes, m_in, d_tot, q_num, q_den) — twin of
+    operators/graph.modularity (exact integer rational form)."""
+    from collections import defaultdict
+
+    canon = _canon_undirected(edges)
+    m = len(canon)
+    lab = {int(v): int(c) for v, c in labels}
+    deg = defaultdict(int)
+    m_in = defaultdict(int)
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+        if lab[a] == lab[b]:
+            m_in[lab[a]] += 1
+    n_nodes = defaultdict(int)
+    d_tot = defaultdict(int)
+    for v, c in lab.items():
+        n_nodes[c] += 1
+        d_tot[c] += deg.get(v, 0)
+    return sorted(
+        (c, n_nodes[c], m_in[c], d_tot[c],
+         4 * m * m_in[c] - d_tot[c] * d_tot[c], 4 * m * m)
+        for c in n_nodes)

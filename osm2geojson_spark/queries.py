@@ -9136,6 +9136,322 @@ def _sql_contact_sheet() -> str:
 # corpus, ANN/linalg, spatial index+joins, routing/Δ-stepping,
 # rasters/SAT/hydrology, media, search, graph, stats, CDC, behavioral.
 # Keys and semantics unchanged — dict insertion order only.
+# ---------------------------------------------------------------- round 5
+
+_R5_GRAPH_N, _R5_GRAPH_E = 97, 520  # closed-form hash graph (pyref twin)
+
+
+def _r5_hash_edges(spark):
+    """The pyref.hash_graph twin in pure column math — engines never
+    exchange data (the grid_edges discipline)."""
+    return spark.range(_R5_GRAPH_E).select(
+        ((F.col("id") * F.lit(2654435761)) % F.lit(_R5_GRAPH_N))
+        .alias("src"),
+        ((F.col("id") * F.lit(40503) + F.lit(7)) % F.lit(_R5_GRAPH_N))
+        .alias("dst"))
+
+
+def q_hits(spark, sf_dir):
+    """Deterministic integer HITS (operators/graph.hits) over the
+    closed-form hash graph: hub/authority mass as L1-rescaled int64
+    fixed-point — the rescale divides through DECIMAL(38,0) with `DIV`
+    floor semantics, so every engine and partitioning yields identical
+    integers (the pagerank discipline, extended with a broadcast
+    one-row total instead of a damping constant). Oracle: pyref twin
+    with Python big ints."""
+    from osm2geojson_spark.operators.graph import hits
+
+    return hits(_r5_hash_edges(spark), n_iters=8).orderBy("node_id")
+
+
+def _sql_hits() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_hits(
+        pyref.hash_graph(_R5_GRAPH_N, _R5_GRAPH_E), n_iters=8)
+    return pyref.values_sql(
+        rows, [("node_id", "BIGINT"), ("hub", "BIGINT"),
+               ("auth", "BIGINT")]) + " ORDER BY node_id"
+
+
+def q_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.
+    label_propagation) — most-frequent-neighbor label, ties to the
+    smallest, fixed 4 rounds: both determinism choices pinned so the
+    result is a pure graph function (asynchronous LPA depends on visit
+    order and is unreproducible across partitionings). Distinct from
+    min-label CC: LPA splits dense regions linked by thin bridges.
+    Oracle: pyref synchronous twin."""
+    from osm2geojson_spark.operators.graph import label_propagation
+
+    return (label_propagation(_r5_hash_edges(spark), n_iters=4)
+            .orderBy("node"))
+
+
+def _sql_label_prop() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_label_propagation(
+        pyref.hash_graph(_R5_GRAPH_N, _R5_GRAPH_E), n_iters=4)
+    return pyref.values_sql(
+        rows, [("node", "BIGINT"), ("label", "BIGINT")]) + " ORDER BY node"
+
+
+def q_modularity(spark, sf_dir):
+    """Per-community Newman modularity of the label-propagation
+    partition as EXACT integer rationals (operators/graph.modularity):
+    q_num = 4·m·m_c − d_c², q_den = 4m² — the clustering_coeff
+    cross-multiplication discipline, so partition quality is
+    value-hashable with zero float drift. Composes two catalog
+    operators (LPA labels feed the scorer). Oracle: pyref replays
+    both."""
+    from osm2geojson_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    e = _r5_hash_edges(spark)
+    return modularity(e, label_propagation(e, n_iters=4)).orderBy("label")
+
+
+def _sql_modularity() -> str:
+    from osm2geojson_spark import pyref
+
+    g = pyref.hash_graph(_R5_GRAPH_N, _R5_GRAPH_E)
+    rows = pyref.ref_modularity(
+        g, pyref.ref_label_propagation(g, n_iters=4))
+    return pyref.values_sql(
+        rows, [("label", "BIGINT"), ("n_nodes", "BIGINT"),
+               ("m_in", "BIGINT"), ("d_tot", "BIGINT"),
+               ("q_num", "BIGINT"), ("q_den", "BIGINT")]) \
+        + " ORDER BY label"
+
+
+def q_degree_assort(spark, sf_dir):
+    """Degree assortativity (operators/graph.degree_assortativity) of
+    the 400-node events hash graph (the triangle_count substrate):
+    Newman's mixing coefficient via EXACT int64 power sums over both
+    edge orientations; the final r is one double expression written
+    identically in the oracle (the anomaly_zscore discipline). One
+    degree agg + two degree joins + one global aggregate."""
+    from osm2geojson_spark.operators.graph import degree_assortativity
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % F.lit(400)).alias("src"),
+        ((F.col("event_id") * F.lit(_LON_MUL)) % F.lit(400)).alias("dst"))
+    return degree_assortativity(edges)
+
+
+def _sql_degree_assort() -> str:
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM (SELECT (user_id % 400) AS s,
+               ((event_id * {_LON_MUL}) % 400) AS d FROM events)
+  WHERE s <> d),
+deg AS (
+  SELECT node, COUNT(*) AS dg
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node),
+pairs AS (
+  SELECT da.dg AS x, db.dg AS y
+  FROM e0 JOIN deg da ON (da.node = e0.a)
+          JOIN deg db ON (db.node = e0.b)),
+pairs2 AS (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+agg AS (
+  SELECT COUNT(*) AS n_pairs, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(x * y) AS sxy
+  FROM pairs2)
+SELECT n_pairs, sx, sxx, sxy,
+       CASE WHEN ((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE))
+                  - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0
+            THEN NULL ELSE
+       ((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE))
+        - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       / ((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE))
+          - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) END AS r
+FROM agg
+"""
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift gate (operators/stats.
+    ks_2samp) between the click and view value distributions — the
+    check a pipeline runs before mixing two corpus slices. D is exact:
+    max |c1·n2 − c2·n1| over the distinct-value histogram (integer),
+    one division at the end. The cumulative walk is histogram-sized
+    (the exact_quantiles bound), never row-sized."""
+    from osm2geojson_spark.operators.stats import ks_2samp
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_2samp(ev, "value", "event_type", "click", "view")
+
+
+def _sql_ks_test() -> str:
+    return """
+WITH src AS (
+  SELECT value AS v,
+         (CASE WHEN (event_type = 'click') THEN 1
+               WHEN (event_type = 'view') THEN 2 END) AS g
+  FROM events WHERE event_type IN ('click', 'view')),
+counts AS (
+  SELECT v, SUM(CASE WHEN (g = 1) THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN (g = 2) THEN 1 ELSE 0 END) AS c2
+  FROM src GROUP BY v),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         SUM(c2) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+  FROM counts),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts),
+d AS (
+  SELECT max(n1) AS n1, max(n2) AS n2,
+         max(abs((f1 * n2) - (f2 * n1))) AS d_num
+  FROM cum, tot)
+SELECT n1, n2, d_num,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         AS d
+FROM d
+"""
+
+
+def q_mwu_test(spark, sf_dir):
+    """Mann–Whitney rank-sum test (operators/stats.mann_whitney_u)
+    between click and purchase values — EXACT tie-averaged midranks
+    carried as 2×rank integers (a tie group of size t after s smaller
+    items has 2·midrank = 2s+t+1), so U is an integer with zero float
+    drift; same histogram-walk shape as ks_test."""
+    from osm2geojson_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+def _sql_mwu_test() -> str:
+    return """
+WITH src AS (
+  SELECT value AS v,
+         (CASE WHEN (event_type = 'click') THEN 1
+               WHEN (event_type = 'purchase') THEN 2 END) AS g
+  FROM events WHERE event_type IN ('click', 'purchase')),
+counts AS (
+  SELECT v, SUM(CASE WHEN (g = 1) THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN (g = 2) THEN 1 ELSE 0 END) AS c2
+  FROM src GROUP BY v),
+walk AS (
+  SELECT c1, c2,
+         (SUM(c1 + c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - (c1 + c2)) AS s
+  FROM counts),
+agg AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         SUM(c1 * ((2 * s) + c1 + c2 + 1)) AS r1_x2
+  FROM walk)
+SELECT n1, n2, r1_x2,
+       (r1_x2 - (n1 * (n1 + 1))) AS u1_x2,
+       ((2 * n1 * n2) - (r1_x2 - (n1 * (n1 + 1)))) AS u2_x2
+FROM agg
+"""
+
+
+def q_acf(spark, sf_dir):
+    """Per-event-type autocorrelation at lags 1–3 (operators/
+    timeseries.acf_lags) over the value series ordered by (ts,
+    event_id): ONE partitioned window pass computes every lag's pair
+    sums, exact decimal partials for all base moments (the
+    anomaly_zscore 2^53 headroom discipline), and the final acf double
+    is one expression shared verbatim with the oracle."""
+    from osm2geojson_spark.operators.timeseries import acf_lags
+
+    ev = _t(spark, sf_dir, "events")
+    return (acf_lags(ev, "event_type", ["ts", "event_id"], "value",
+                     max_lag=3)
+            .orderBy("key", "lag"))
+
+
+def _sql_acf() -> str:
+    lag_sel = []
+    for lg in (1, 2, 3):
+        lag_sel.append(
+            f"lag(value, {lg}) OVER "
+            f"(PARTITION BY event_type ORDER BY ts, event_id) AS l{lg}")
+    m = "(s / CAST(n AS DOUBLE))"
+    outs = []
+    for lg in (1, 2, 3):
+        outs.append(f"""
+SELECT key, {lg} AS lag, np{lg} AS n_pairs,
+       (((sxy{lg} - ({m} * (sh{lg} + st{lg})))
+         + (CAST(np{lg} AS DOUBLE) * ({m} * {m})))
+        / (ss - (CAST(n AS DOUBLE) * ({m} * {m})))) AS acf
+FROM per_key""")
+    per_lag_aggs = []
+    for lg in (1, 2, 3):
+        per_lag_aggs.append(f"""
+         COUNT(l{lg}) AS np{lg},
+         CAST(SUM(CAST((value * l{lg}) AS DECIMAL(38,4))) AS DOUBLE)
+           AS sxy{lg},
+         CAST(SUM(CAST((CASE WHEN (l{lg} IS NOT NULL) THEN l{lg} END)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sh{lg},
+         CAST(SUM(CAST((CASE WHEN (l{lg} IS NOT NULL) THEN value END)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS st{lg}""")
+    return f"""
+WITH base AS (
+  SELECT event_type AS key, value, {', '.join(lag_sel)}
+  FROM events),
+per_key AS (
+  SELECT key, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST((value * value) AS DECIMAL(38,4))) AS DOUBLE)
+           AS ss,
+         {', '.join(per_lag_aggs)}
+  FROM base GROUP BY key)
+SELECT * FROM ({' UNION ALL '.join(outs)})
+ORDER BY key, lag
+"""
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outliers (operators/stats.iqr_outliers) over the
+    events value stream: q1/q3 from the exact_quantiles histogram
+    substrate (real data values, no global sort), fences at the exact
+    1.5 = 6/4 multiplier, 2-row quantile frame pivoted and broadcast
+    back — one data pass for the histogram, one for the flagging.
+    Oracle: DuckDB brute row_number order statistics + the same fence
+    expression."""
+    from osm2geojson_spark.operators.stats import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return (iqr_outliers(ev, "value")
+            .select("event_id", "value", "q1", "q3", "lo", "hi")
+            .orderBy("event_id"))
+
+
+def _sql_iqr_outliers() -> str:
+    return """
+WITH n AS (SELECT count(*) AS n FROM events),
+r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn
+      FROM events),
+ks AS (SELECT (((250000 * n) + 999999) // 1000000) AS k1,
+              (((750000 * n) + 999999) // 1000000) AS k3 FROM n),
+qq AS (SELECT
+        (SELECT v FROM r, ks WHERE (rn = k1)) AS q1,
+        (SELECT v FROM r, ks WHERE (rn = k3)) AS q3),
+fences AS (
+  SELECT q1, q3,
+         (q1 - ((6 * (q3 - q1)) / 4.0)) AS lo,
+         (q3 + ((6 * (q3 - q1)) / 4.0)) AS hi
+  FROM qq)
+SELECT e.event_id, e.value, f.q1, f.q3, f.lo, f.hi
+FROM events e, fences f
+WHERE ((e.value < f.lo) OR (e.value > f.hi))
+ORDER BY e.event_id
+"""
+
+
 _HEAD_50 = [
     "pricing_summary", "window_topk", "asof_join", "sessionize",
     "grouping_sets",
@@ -9309,6 +9625,14 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": q_staypoints,
         "multimodal_dedup": q_multimodal_dedup,
         "funnel": q_funnel,
+        "hits": q_hits,
+        "label_prop": q_label_prop,
+        "modularity": q_modularity,
+        "degree_assort": q_degree_assort,
+        "ks_test": q_ks_test,
+        "mwu_test": q_mwu_test,
+        "acf": q_acf,
+        "iqr_outliers": q_iqr_outliers,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -9514,6 +9838,14 @@ def _oracle_sql_all() -> dict[str, str]:
         "staypoints": _sql_staypoints(),
         "multimodal_dedup": _sql_multimodal_dedup(),
         "funnel": _sql_funnel(),
+        "hits": _sql_hits(),
+        "label_prop": _sql_label_prop(),
+        "modularity": _sql_modularity(),
+        "degree_assort": _sql_degree_assort(),
+        "ks_test": _sql_ks_test(),
+        "mwu_test": _sql_mwu_test(),
+        "acf": _sql_acf(),
+        "iqr_outliers": _sql_iqr_outliers(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

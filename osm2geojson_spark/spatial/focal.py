@@ -182,6 +182,22 @@ def _focal_mode(padded: np.ndarray) -> np.ndarray:
         stack, enc.argmin(axis=0)[None], axis=0)[0]
 
 
+
+def _focal_tri(padded: np.ndarray) -> np.ndarray:
+    """Terrain Ruggedness Index (Riley et al.): sum of |neighbor −
+    center| over the 8 neighbors — pure int64, boundary clamped like
+    every focal op, so the catalog oracle is the 8-term closed form."""
+    c = padded[1:-1, 1:-1]
+    s = np.zeros(c.shape, dtype=np.int64)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            h, w = c.shape
+            s += np.abs(padded[dy:dy + h, dx:dx + w] - c)
+    return s
+
+
 _OPS = {
     "sum3": (_focal_sum, "array<long>"),
     "mean3": (lambda p: _focal_sum(p) // 9, "array<long>"),
@@ -196,6 +212,8 @@ _OPS = {
     "max3": (lambda p: _focal_extreme(p, np.max), "array<long>"),
     # majority filter: most frequent of the 9, ties -> smallest value
     "mode3": (_focal_mode, "array<long>"),
+    # terrain ruggedness index: sum |neighbor - center| over the 8
+    "tri": (_focal_tri, "array<long>"),
 }
 
 

@@ -289,6 +289,68 @@ def grid_block_part(n: int, block: int):
     return part
 
 
+
+def _build_csr(e_src, e_dst, e_w):
+    """Driver-side CSR over dense node indices for the full-relax
+    kernels: (node_ids_sorted, starts, ends, dst_idx, w)."""
+    import numpy as np
+
+    node_ids = np.unique(np.concatenate([e_src, e_dst]))
+    n = int(node_ids.size)
+    ls = np.searchsorted(node_ids, e_src)
+    ld = np.searchsorted(node_ids, e_dst)
+    order = np.argsort(ls, kind="stable")
+    ls, ld, lw = ls[order], ld[order], e_w[order]
+    bounds = np.searchsorted(ls, np.arange(n + 1))
+    return node_ids, bounds[:-1], bounds[1:], ld, lw
+
+
+def _np_sssp_csr(fr_src, fr_id, fr_dist, csr):
+    """EXACT multi-source SSSP over a prebuilt whole-graph CSR — the
+    full-relax kernel: the same converged worklist relaxation as
+    :func:`_np_block_relax` (Bellman-Ford worklist over dense
+    (source × node) int64 distances, ragged repeat expansion +
+    minimum.at scatter), but with the CSR handed in (no per-call
+    unique/argsort) and the OUTPUT being the distances themselves:
+    with the whole edge set local, the fixpoint IS the exact SSSP
+    answer, so callers need no label-correcting merge loop at all.
+    Returns (src, id, dist) for every reached (source, node) pair,
+    sources' zero rows included; unreachable nodes absent."""
+    import numpy as np
+
+    node_ids, starts, ends, ld, lw = csr
+    n = int(node_ids.size)
+    inf = np.iinfo(np.int64).max
+    srcs = np.unique(fr_src)
+    dist = np.full(int(srcs.size) * n, inf, np.int64)
+    fkey = (np.searchsorted(srcs, fr_src) * n
+            + np.searchsorted(node_ids, fr_id))
+    np.minimum.at(dist, fkey, fr_dist)
+    act = np.unique(fkey)
+    while act.size:
+        uu = act % n
+        cnt = ends[uu] - starts[uu]
+        keep = cnt > 0
+        act_k, uu, cnt = act[keep], uu[keep], cnt[keep]
+        tot = int(cnt.sum())
+        if tot == 0:
+            break
+        rep = np.repeat(act_k, cnt)
+        off = (np.repeat(starts[uu], cnt)
+               + np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        nd = dist[rep] + lw[off]
+        tgt = (rep // n) * n + ld[off]
+        ut, inv = np.unique(tgt, return_inverse=True)
+        cu = np.full(ut.size, inf, np.int64)
+        np.minimum.at(cu, inv, nd)
+        impm = cu < dist[ut]
+        iu = ut[impm]
+        dist[iu] = cu[impm]
+        act = iu
+    fin = np.nonzero(dist < inf)[0]
+    return srcs[fin // n], node_ids[fin % n], dist[fin]
+
+
 def _np_block_relax(fr_src, fr_id, fr_dist, e_src, e_dst, e_w, e_cross,
                     cap):
     """Vectorized exact per-block relaxation — the Δ-stepping
@@ -386,6 +448,97 @@ def _np_block_relax(fr_src, fr_id, fr_dist, e_src, e_dst, e_w, e_cross,
     return os_[first], oi[first], od[first]
 
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_aqe(spark):
+    """Disable AQE for the duration of an iterative loop. Every round
+    is a fixed-shape query over known-size frames; AQE's per-shuffle
+    re-planning materializes extra sub-jobs per round (measured ~0.4 s
+    of a ~1 s toy round), pure overhead when the loop repeats the same
+    plan dozens of times. Restored on exit — one engine session may
+    serve non-iterative queries next."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+# Per-PROCESS cache of broadcast edge blocks: PySpark's Broadcast.value
+# caches on the handle INSTANCE, and every task deserializes a fresh
+# handle — so without this, each task re-reads and re-unpickles the
+# whole edge payload (measured: +2.3 s/round on the 16-source probe,
+# 285 s vs 197 s — slower than the cogroup it replaced). The kernel
+# resolves this dict THROUGH THE MODULE (importable on workers both in
+# local mode and under --py-files), so all tasks of a worker process
+# share one load. Keyed by broadcast id; wiped on each new id so at
+# most one edge set is ever held per process.
+_BLK_CACHE: dict = {}
+_BLK_TOKEN = [0]  # driver-side monotone token (worker Broadcast handles
+                  # expose no stable id, so the token rides the closure)
+
+
+def _blk_cache_get(bc, token):
+    blocks = _BLK_CACHE.get(token)
+    if blocks is None:
+        _BLK_CACHE.clear()
+        blocks = bc.value
+        _BLK_CACHE[token] = blocks
+    return blocks
+
+
+def _block_edge_broadcast(e, src_col: str, dst_col: str, cap: int,
+                          with_csr: bool = False):
+    """Guarded driver materialization of the per-block edge arrays —
+    the ``spatial/pip.py`` broadcast-contract pattern applied to
+    Δ-stepping: when the edge table fits the cap, ship it to every
+    Python worker ONCE (pickled numpy arrays keyed by block id) instead
+    of re-cogrouping ~|E| rows through Arrow on EVERY barrier. The
+    instrumented 16-source cost-matrix probe showed 87% of wall inside
+    the per-round materialization job, dominated by that edge transfer
+    (39 rounds × 2M edge rows); with the broadcast, each round ships
+    only the frontier. Returns ``(broadcast | None, n_edges)`` —
+    ``None`` when over cap, and callers fall back to the cogroup path
+    (the 100 TB shape, where edges exceed any single worker)."""
+    import numpy as np
+
+    n_e = e.count()
+    if n_e > cap:
+        return None, n_e
+    pdf = e.toPandas()  # guarded: n_e <= cap by contract (pip discipline)
+    pdf = pdf.sort_values("p", kind="stable")
+    ps = pdf["p"].to_numpy(np.int64)
+    arrs = (pdf[src_col].to_numpy(np.int64),
+            pdf[dst_col].to_numpy(np.int64),
+            pdf["w"].to_numpy(np.int64),
+            pdf["x"].to_numpy(bool))
+    cuts = np.nonzero(ps[1:] != ps[:-1])[0] + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [ps.size]])
+    blocks = {
+        int(ps[s]): tuple(a[s:t].copy() for a in arrs)
+        for s, t in zip(starts, ends)
+    }
+    if with_csr:
+        # one driver-side CSR build shared by every full-relax task —
+        # kernels skip the per-call unique/argsort entirely
+        blocks["__csr__"] = _build_csr(
+            pdf[src_col].to_numpy(np.int64),
+            pdf[dst_col].to_numpy(np.int64),
+            pdf["w"].to_numpy(np.int64))
+    _BLK_TOKEN[0] += 1
+    return (e.sparkSession.sparkContext.broadcast(blocks),
+            _BLK_TOKEN[0]), n_e
+
+
+BROADCAST_EDGE_CAP = 8_000_000
+
+
 def shortest_paths_delta(
     edges: DataFrame,
     source: int,
@@ -395,6 +548,7 @@ def shortest_paths_delta(
     delta: int | None = None,
     max_rounds: int = 512,
     stats: dict | None = None,
+    broadcast_cap: int = BROADCAST_EDGE_CAP,
 ) -> DataFrame:
     """Single-source shortest paths → ``(node_id, dist)`` — same
     contract and (converged, therefore unique) output as
@@ -478,78 +632,117 @@ def shortest_paths_delta(
 
         return kernel
 
+    _bct, _n_e = _block_edge_broadcast(e, "src", "dst", broadcast_cap)
+    bc, tok = _bct if _bct is not None else (None, None)
+    if bc is not None:
+        e.unpersist()  # the broadcast replaces the cached relation
+
+    def make_bkernel(cap):
+        def kernel(key, fr: pd.DataFrame) -> pd.DataFrame:
+            blk = _blk_cache_get(bc, tok).get(int(key[0]))
+            if blk is None or len(fr) == 0:
+                return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                     "nd": pd.Series(dtype="int64")})
+            _, oi, od = _np_block_relax(
+                np.zeros(len(fr), np.int64),
+                fr["id"].to_numpy(np.int64),
+                fr["dist"].to_numpy(np.int64),
+                blk[0], blk[1], blk[2], blk[3],
+                cap,
+            )
+            return pd.DataFrame({"id": oi, "nd": od})
+
+        return kernel
+
     dist = spark.createDataFrame(
         [(int(source), 0)], "id long, dist long"
     ).localCheckpoint(eager=True)
     frontier = dist.withColumn("p", part("id"))
     rounds = 0
     buckets = 0
-    while True:
-        # ONE scalar job per round: frontier size, bucket floor, and the
-        # set of active blocks (bounded by the number of blocks — block
-        # ids, never row data)
-        agg = frontier.agg(
-            F.count("*").alias("c"), F.min("dist").alias("lo"),
-            F.collect_set("p").alias("ps"),
-        ).collect()[0]
-        if agg["c"] == 0:
-            break
-        rounds += 1
-        if rounds > max_rounds:
-            e.unpersist()
-            raise RuntimeError(
-                f"shortest_paths_delta did not converge in {max_rounds} "
-                f"rounds; raise max_rounds (rounds ≈ graph diameter in "
-                f"blocks × buckets)")
-        if delta is not None:
-            cap = int(agg["lo"]) + int(delta)
-            active = frontier.where(F.col("dist") < cap)
-            pending = frontier.where(F.col("dist") >= cap)
-            buckets += 1
-        else:
-            cap, active, pending = None, frontier, None
-        # only ACTIVE blocks' edges enter the cogroup: a Filter over the
-        # cached relation keeps its hash partitioning (no new exchange),
-        # and quiet blocks stop paying Arrow transfer every round. With
-        # very many blocks the In-list would bloat the plan — ship all
-        # edges instead (the kernel returns instantly on empty frontier).
-        parts = agg["ps"]
-        e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
-                 if len(parts) <= 2048 else e)
-        cand = (
-            active.groupBy("p")
-            .cogroup(e_act.groupBy("p"))
-            .applyInPandas(make_kernel(cap), "id long, nd long")
-            .groupBy("id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        merged = (
-            dist.join(cand, "id", "full")
-            .select(
-                "id",
-                F.least(
-                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
-                ).alias("_imp"),
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        while True:
+            # ONE scalar job per round: frontier size, bucket floor, and the
+            # set of active blocks (bounded by the number of blocks — block
+            # ids, never row data)
+            agg = frontier.agg(
+                F.count("*").alias("c"), F.min("dist").alias("lo"),
+                F.collect_set("p").alias("ps"),
+            ).collect()[0]
+            if agg["c"] == 0:
+                break
+            rounds += 1
+            if rounds > max_rounds:
+                e.unpersist()
+                raise RuntimeError(
+                    f"shortest_paths_delta did not converge in {max_rounds} "
+                    f"rounds; raise max_rounds (rounds ≈ graph diameter in "
+                    f"blocks × buckets)")
+            if delta is not None:
+                cap = int(agg["lo"]) + int(delta)
+                active = frontier.where(F.col("dist") < cap)
+                pending = frontier.where(F.col("dist") >= cap)
+                buckets += 1
+            else:
+                cap, active, pending = None, frontier, None
+            # only ACTIVE blocks' edges enter the cogroup: a Filter over the
+            # cached relation keeps its hash partitioning (no new exchange),
+            # and quiet blocks stop paying Arrow transfer every round. With
+            # very many blocks the In-list would bloat the plan — ship all
+            # edges instead (the kernel returns instantly on empty frontier).
+            if bc is not None:
+                cand = (
+                    active.groupBy("p")
+                    .applyInPandas(make_bkernel(cap), "id long, nd long")
+                    .groupBy("id")
+                    .agg(F.min("nd").alias("nd"))
+                )
+            else:
+                parts = agg["ps"]
+                e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
+                         if len(parts) <= 2048 else e)
+                cand = (
+                    active.groupBy("p")
+                    .cogroup(e_act.groupBy("p"))
+                    .applyInPandas(make_kernel(cap), "id long, nd long")
+                    .groupBy("id")
+                    .agg(F.min("nd").alias("nd"))
+                )
+            merged = (
+                dist.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        improved = merged.where("_imp").select("id", "dist")
-        dist = merged.select("id", "dist")
-        # frontier stays a cheap filter over the checkpointed merge (no
-        # second materialization job per round); only the delta path's
-        # pending anti-join warrants its own checkpoint
-        frontier = improved.withColumn("p", part("id"))
-        if pending is not None:
-            frontier = frontier.unionByName(
-                pending.join(improved, "id", "left_anti")
-            ).localCheckpoint(eager=True)
+            improved = merged.where("_imp").select("id", "dist")
+            dist = merged.select("id", "dist")
+            # frontier stays a cheap filter over the checkpointed merge (no
+            # second materialization job per round); only the delta path's
+            # pending anti-join warrants its own checkpoint
+            frontier = improved.withColumn("p", part("id"))
+            if pending is not None:
+                frontier = frontier.unionByName(
+                    pending.join(improved, "id", "left_anti")
+                ).localCheckpoint(eager=True)
+
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
     e.unpersist()
+    if bc is not None:
+        bc.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
         stats["buckets"] = buckets
+        stats["edge_broadcast"] = bc is not None
     return dist.select(F.col("id").alias("node_id"), "dist")
 
 
@@ -645,6 +838,9 @@ def travel_time_matrix_delta(
     n_parts: int = 64,
     max_rounds: int = 512,
     stats: dict | None = None,
+    broadcast_cap: int = BROADCAST_EDGE_CAP,
+    src_groups: int = 16,
+    full_relax: bool | None = None,
 ) -> DataFrame:
     """Batched multi-source SSSP → ``(src, node_id, dist)`` with the
     same converged output as :func:`travel_time_matrix`, using the
@@ -655,7 +851,29 @@ def travel_time_matrix_delta(
     rounds themselves collapse from O(diameter in hops) to O(diameter
     in blocks) — the scale fix for catchment/isochrone products on
     high-diameter road graphs. Label-correcting merge keyed
-    ``(src, id)``; correctness is partitioner-independent."""
+    ``(src, id)``; correctness is partitioner-independent.
+
+    ``src_groups``: in the broadcast-edges mode the per-barrier task
+    key is ``(block, src mod src_groups)`` instead of block alone —
+    sources are INDEPENDENT shortest-path problems, so splitting them
+    across tasks changes nothing semantically while multiplying the
+    per-barrier parallelism by up to ``src_groups`` (a 16-depot run on
+    a 16-block grid would otherwise cap at 16 concurrent tasks no
+    matter the core count). The cogroup fallback keeps block-only keys
+    (the edge side must align).
+
+    ``full_relax`` (auto when the edge broadcast fits): the matrix
+    workload under the broadcast cap is EMBARRASSINGLY PARALLEL over
+    sources — every task already holds the whole graph, so restricting
+    relaxation to one block per barrier only multiplies barriers. Each
+    ``src mod src_groups`` task instead runs its sources to the FULL
+    vectorized fixpoint in ONE kernel call: total rounds collapse from
+    O(diameter in blocks) × correction-cascade (39 measured on the
+    262k-px cost raster) to 2 (relax + empty-frontier confirmation).
+    This is the standard production split: graph fits a worker →
+    parallelize over sources; graph doesn't → the per-block Δ-stepping
+    cogroup path (which stays, unchanged, as the over-cap branch and
+    the 100 TB story)."""
     spark = edges.sparkSession
     if part is None:
         def part(name: str):
@@ -698,53 +916,155 @@ def travel_time_matrix_delta(
         )
         return pd.DataFrame({"src": os_, "id": oi, "nd": od})
 
+    import time as _t0mod
+    _tb = _t0mod.perf_counter()
+    _bct, _n_e = _block_edge_broadcast(e, "e_src", "e_dst", broadcast_cap,
+                                       with_csr=full_relax is not False)
+    _t_bcast = _t0mod.perf_counter() - _tb
+    bc, tok = _bct if _bct is not None else (None, None)
+    if bc is not None:
+        e.unpersist()  # the broadcast replaces the cached relation
+
+    def bkernel(key, fr: pd.DataFrame) -> pd.DataFrame:
+        blk = _blk_cache_get(bc, tok).get(int(key[0]))
+        if blk is None or len(fr) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "nd": pd.Series(dtype="int64")})
+        os_, oi, od = _np_block_relax(
+            fr["src"].to_numpy(np.int64),
+            fr["id"].to_numpy(np.int64),
+            fr["dist"].to_numpy(np.int64),
+            blk[0], blk[1], blk[2], blk[3],
+            None,
+        )
+        return pd.DataFrame({"src": os_, "id": oi, "nd": od})
+
+    def fkernel(_key, fr: pd.DataFrame) -> pd.DataFrame:
+        # exact full-graph multi-source SSSP for this source group over
+        # the driver-prebuilt CSR: the output IS the final distances
+        if len(fr) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        csr = _blk_cache_get(bc, tok)["__csr__"]
+        os_, oi, od = _np_sssp_csr(
+            fr["src"].to_numpy(np.int64),
+            fr["id"].to_numpy(np.int64),
+            fr["dist"].to_numpy(np.int64),
+            csr,
+        )
+        return pd.DataFrame({"src": os_, "id": oi, "dist": od})
+
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "src long, id long, dist long"
     ).localCheckpoint(eager=True)
+    _full = full_relax if full_relax is not None else (bc is not None)
+    if bc is not None and _full:
+        # replicated-graph mode: every task holds the whole (capped)
+        # edge set, so each source group solves its sources EXACTLY in
+        # one kernel call — no label-correcting loop, no merge joins,
+        # ONE barrier. The distributed block loop below remains the
+        # over-cap path. Groups are assigned by ENUMERATION order, not
+        # src mod G: structured depot ids share factors (the 16 grid-
+        # spread probe sources collapsed into 4 pmod groups — 4 fat
+        # tasks instead of 16), while i % G is perfectly balanced.
+        sg_map = {int(s): i % int(src_groups)
+                  for i, s in enumerate(sources)}
+        sg_expr = F.create_map(
+            *[F.lit(v) for kv in sg_map.items() for v in kv])
+        n_groups = min(int(src_groups), len(sg_map))
+        # explicit range repartition: the seed frame is 16 ROWS but 16
+        # CPU-HEAVY groups — AQE's coalescer sees "tiny shuffle" and
+        # folds every group into ONE task (measured: 16 × 2.6 s kernels
+        # serialized into a 44 s wall). An explicit numbered
+        # repartitionByRange is exempt from AQE coalescing and ranges
+        # over 0..G-1 split one group per partition (hash would
+        # collide).
+        out = (
+            dist.withColumn("sg", sg_expr[F.col("src")])
+            .repartitionByRange(n_groups, "sg")
+            .groupBy("sg")
+            .applyInPandas(fkernel, "src long, id long, dist long")
+        )
+        if stats is not None:
+            stats["rounds"] = 1
+            stats["edge_broadcast"] = True
+            stats["full_relax"] = True
+            stats["t_bcast"] = round(_t_bcast, 2)
+        return out.select("src", F.col("id").alias("node_id"), "dist")
     frontier = dist.withColumn("p", part("id"))
     rounds = 0
-    while True:
-        agg = frontier.agg(
-            F.count("*").alias("c"), F.collect_set("p").alias("ps")
-        ).collect()[0]
-        if agg["c"] == 0:
-            break
-        rounds += 1
-        if rounds > max_rounds:
-            e.unpersist()
-            raise RuntimeError(
-                f"travel_time_matrix_delta did not converge in "
-                f"{max_rounds} rounds; raise max_rounds")
-        parts = agg["ps"]
-        e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
-                 if len(parts) <= 2048 else e)
-        cand = (
-            frontier.groupBy("p")
-            .cogroup(e_act.groupBy("p"))
-            .applyInPandas(kernel, "src long, id long, nd long")
-            .groupBy("src", "id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        merged = (
-            dist.join(cand, ["src", "id"], "full")
-            .select(
-                "src",
-                "id",
-                F.least(
-                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
-                ).alias("_imp"),
+    import time as _time
+    t_agg = t_ckpt = 0.0
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        while True:
+            t0 = _time.perf_counter()
+            agg = frontier.agg(
+                F.count("*").alias("c"), F.collect_set("p").alias("ps")
+            ).collect()[0]
+            t_agg += _time.perf_counter() - t0
+            if agg["c"] == 0:
+                break
+            rounds += 1
+            if rounds > max_rounds:
+                e.unpersist()
+                raise RuntimeError(
+                    f"travel_time_matrix_delta did not converge in "
+                    f"{max_rounds} rounds; raise max_rounds")
+            if bc is not None:
+                cand = (
+                    frontier.groupBy(
+                        "p", F.pmod(F.col("src"),
+                                    F.lit(int(src_groups))).alias("sg"))
+                    .applyInPandas(bkernel, "src long, id long, nd long")
+                    .groupBy("src", "id")
+                    .agg(F.min("nd").alias("nd"))
+                )
+            else:
+                parts = agg["ps"]
+                e_act = (e.where(F.col("p").isin([int(x) for x in parts]))
+                         if len(parts) <= 2048 else e)
+                cand = (
+                    frontier.groupBy("p")
+                    .cogroup(e_act.groupBy("p"))
+                    .applyInPandas(kernel, "src long, id long, nd long")
+                    .groupBy("src", "id")
+                    .agg(F.min("nd").alias("nd"))
+                )
+            t0 = _time.perf_counter()
+            merged = (
+                dist.join(cand, ["src", "id"], "full")
+                .select(
+                    "src",
+                    "id",
+                    F.least(
+                        F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        dist = merged.select("src", "id", "dist")
-        frontier = merged.where("_imp").select(
-            "src", "id", "dist").withColumn("p", part("id"))
+            t_ckpt += _time.perf_counter() - t0
+            dist = merged.select("src", "id", "dist")
+            frontier = merged.where("_imp").select(
+                "src", "id", "dist").withColumn("p", part("id"))
+
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
     e.unpersist()
+    if bc is not None:
+        bc.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+        stats["t_agg"] = round(t_agg, 3)
+        stats["t_ckpt"] = round(t_ckpt, 3)
+        stats["edge_broadcast"] = bc is not None
+        stats["full_relax"] = bool(bc is not None and _full)
     return dist.select("src", F.col("id").alias("node_id"), "dist")
 
 

@@ -249,3 +249,68 @@ def heading_octants(pts: DataFrame, user_col: str, order_col: str,
             .groupBy("sector")
             .agg(F.count("*").alias("n"),
                  F.countDistinct("u").alias("n_users")))
+
+
+def convoys(
+    pts: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    cell: int = 8,
+    bucket_secs: int = 86_400,
+    min_len: int = 3,
+) -> DataFrame:
+    """Co-movement (convoy/flock) detection → one row per user pair
+    and maximal co-location run: ``(user_a, user_b, start_bucket,
+    end_bucket, run_len)`` for runs of ≥ ``min_len`` CONSECUTIVE time
+    buckets in which both users pinged the same spatial cell.
+
+    The classic three-stage distributed shape, no all-pairs scan:
+    (1) presence — distinct (user, bucket, cell) rows, one shuffle;
+    (2) pair generation — a self-equi-join ON (bucket, cell), so only
+        users sharing a cell-bucket ever meet (the LSH-bucket
+        discipline from dedup: candidate pairs are bounded by
+        occupancy², never user-count²; a skew-prone mega-cell should
+        be capped upstream exactly like ``max_bucket_size`` in
+        minhash);
+    (3) gaps-and-islands — per pair, ``bucket − row_number`` groups
+        consecutive buckets into runs (one partitioned window + one
+        groupBy).
+
+    Cells/buckets are integer floors (truncating div after an
+    int-exact floor(x) — the repo's floor/pmod discipline), so the
+    SQL twin is literal."""
+    b = F.expr(
+        f"CAST(floor(CAST(unix_timestamp({ts_col}) AS DOUBLE)"
+        f" / {bucket_secs}) AS BIGINT)")
+    pres = (
+        pts.select(
+            F.col(user_col).alias("u"),
+            b.alias("bucket"),
+            F.expr(f"CAST(floor({x_col} / {cell}) AS BIGINT)").alias("cx"),
+            F.expr(f"CAST(floor({y_col} / {cell}) AS BIGINT)").alias("cy"))
+        .distinct())
+    a = pres.alias("a")
+    bb = pres.alias("b")
+    pairs = (
+        a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.cx") == F.col("b.cx"))
+               & (F.col("a.cy") == F.col("b.cy"))
+               & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("user_a"),
+                F.col("b.u").alias("user_b"),
+                F.col("a.bucket").alias("bucket"))
+        .distinct())
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_a", "user_b").orderBy("bucket")
+    runs = pairs.withColumn(
+        "grp", F.col("bucket") - F.row_number().over(w))
+    return (
+        runs.groupBy("user_a", "user_b", "grp")
+        .agg(F.min("bucket").alias("start_bucket"),
+             F.max("bucket").alias("end_bucket"),
+             F.count("*").alias("run_len"))
+        .where(F.col("run_len") >= int(min_len))
+        .drop("grp"))

@@ -27,10 +27,12 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 #  - operators/stats.py: otsu_curve's cumulative walk over the value
 #    histogram (≤ 2^16 rows for any real bit depth) and
 #    exact_quantiles' walk over the bucket histogram (SELF-ENFORCED
-#    ≤ max_buckets by the auto-coarsening ladder).
+#    ≤ max_buckets by the auto-coarsening ladder), and the ks_2samp /
+#    mann_whitney_u cumulative-CDF walks over the DISTINCT-VALUE
+#    histogram (same bound class).
 WINDOW_WHITELIST = {
     "operators/shards.py": 1,
-    "operators/stats.py": 2,
+    "operators/stats.py": 4,
     "spatial/strpack.py": 1,
 }
 
