@@ -22,9 +22,10 @@ conservative reading when sub-second ordering is not trustworthy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages"]
+__all__ = ["funnel_stages", "touch_attribution"]
 
 
 def funnel_stages(
@@ -53,3 +54,42 @@ def funnel_stages(
                .agg(F.min(sec_col).alias(f"t_{i}")))
         out = out.join(nxt, user_col, "left")
     return out
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    sec_col: str = "sec",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion
+    event, the user's FIRST and LATEST touch event at-or-before it →
+    ``(user, convert_id, convert_sec, first_touch_id, last_touch_id)``
+    (NULLs when the conversion has no preceding touch — kept: unattributed
+    conversions are a metric, not noise).
+
+    ONE partitioned window pass over the per-user ordered stream
+    (first/last with ignorenulls over a touch-id carrier column), then
+    a filter to conversions — no self-join, no per-conversion scan.
+    Ties at the same second break by event id (deterministic total
+    order, the sessionize rule)."""
+    touch_id = F.when(F.col(type_col) == touch_type, F.col(id_col))
+    w = (Window.partitionBy("user").orderBy("sec", "eid")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = events.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("eid"),
+        F.col(sec_col).alias("sec"),
+        F.col(type_col).alias("etype"),
+        touch_id.alias("tid"))
+    attached = flagged.select(
+        "user", "eid", "sec", "etype",
+        F.first("tid", ignorenulls=True).over(w).alias("first_touch_id"),
+        F.last("tid", ignorenulls=True).over(w).alias("last_touch_id"))
+    return (attached.where(F.col("etype") == convert_type)
+            .select("user", F.col("eid").alias("convert_id"),
+                    F.col("sec").alias("convert_sec"),
+                    "first_touch_id", "last_touch_id"))

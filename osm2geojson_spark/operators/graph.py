@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components", "hits", "label_propagation",
-           "degree_assortativity", "modularity"]
+           "degree_assortativity", "modularity", "closeness_centrality"]
 
 
 def pagerank(
@@ -666,3 +666,34 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     canon.unpersist()
     return out
+
+
+def closeness_centrality(edges: DataFrame, sources: list,
+                         **matrix_kwargs) -> DataFrame:
+    """Weighted closeness centrality for a set of seed nodes →
+    ``(src, n_reached, sum_dist, closeness)`` with
+    ``closeness = (n_reached − 1) / Σ dist`` over the reachable set
+    (the classic within-component definition; n_reached counts the
+    source itself, whose zero distance contributes nothing).
+
+    Rides :func:`osm2geojson_spark.spatial.route.travel_time_matrix_delta`
+    — the batched Δ-stepping multi-source SSSP (broadcast-edge
+    full-relax under the cap, distributed block cogroup above it) —
+    then ONE metadata-sized aggregate per source. Exact integer
+    ``n_reached`` / ``sum_dist``; only the final ratio is a double,
+    NULL for isolated sources (Σ dist = 0). Centrality-at-scale is a
+    sampling story: callers pick the seed set (landmarks, stratified
+    samples) and the per-source cost is one SSSP, embarrassingly
+    parallel across seeds."""
+    from osm2geojson_spark.spatial.route import travel_time_matrix_delta
+
+    m = travel_time_matrix_delta(edges, sources, **matrix_kwargs)
+    return (
+        m.groupBy("src")
+        .agg(F.count("*").alias("n_reached"),
+             F.sum("dist").alias("sum_dist"))
+        .select("src", "n_reached", "sum_dist",
+                F.expr("CASE WHEN sum_dist = 0 THEN NULL ELSE"
+                       " CAST(n_reached - 1 AS DOUBLE)"
+                       " / CAST(sum_dist AS DOUBLE) END")
+                .alias("closeness")))

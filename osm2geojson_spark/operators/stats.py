@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "otsu_threshold", "exact_quantiles", "ks_2samp",
-           "mann_whitney_u", "iqr_outliers"]
+           "mann_whitney_u", "iqr_outliers", "spearman_rho",
+           "two_prop_ztest", "welch_ttest", "psi_buckets"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -293,3 +294,155 @@ def iqr_outliers(df: DataFrame, value_col: str,
     return (df.crossJoin(F.broadcast(fences))
             .where((F.col(value_col) < F.col("lo"))
                    | (F.col(value_col) > F.col("hi"))))
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation as ONE row
+    ``(n, sx, sxx, syy, sxy, rho)`` — EXACT moments: tie-averaged
+    midranks are kept integer by carrying 2× the rank (the
+    mann_whitney_u discipline: a tie group of size t after s smaller
+    items has 2·midrank = 2s + t + 1), so every power sum is an exact
+    DECIMAL(38,0) accumulation and only the final Pearson-on-ranks
+    ``rho`` is a double (sqrt is IEEE correctly-rounded in both
+    engines). ``sx`` is shared by x and y (midrank sums are both
+    n(n+1)), so one copy is kept.
+
+    Ranks are DISTRIBUTED: the per-value cumulative count rides an
+    unpartitioned window over the DISTINCT-VALUE histogram (the
+    ks_2samp / exact_quantiles bound — histogram-sized, never
+    row-sized) and joins back onto the rows; no global row sort
+    anywhere. Degenerate inputs (a constant column) return NULL rho
+    with the moments intact."""
+    src = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")) \
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def midrank2(col):
+        h = src.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return h.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(f"r{col}"))
+
+    ranked = (src.join(midrank2("x"), "x").join(midrank2("y"), "y"))
+    d = "CAST({} AS DECIMAL(38,0))"
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(SUM({d.format('rx')}) AS BIGINT)").alias("sx"),
+        F.expr(f"CAST(SUM({d.format('rx')} * rx) AS BIGINT)").alias("sxx"),
+        F.expr(f"CAST(SUM({d.format('ry')} * ry) AS BIGINT)").alias("syy"),
+        F.expr(f"CAST(SUM({d.format('rx')} * ry) AS BIGINT)").alias("sxy"))
+    rho = ("CASE WHEN ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))"
+           " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0"
+           " OR ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))"
+           " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0"
+           " THEN NULL ELSE"
+           " ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))"
+           " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+           " / sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))"
+           " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+           " * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))"
+           " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) END")
+    return agg.select("n", "sx", "sxx", "syy", "sxy",
+                      F.expr(rho).alias("rho"))
+
+
+def two_prop_ztest(df: DataFrame, group_col: str, g1, g2,
+                   success_col: str) -> DataFrame:
+    """Two-proportion z-test as ONE row ``(n1, x1, n2, x2, z)`` — the
+    A/B-experiment gate. Counts are exact integers from one aggregate
+    pass; ``z`` is the single pooled-variance double expression
+    (sqrt correctly rounded), NULL when either arm is empty or the
+    pooled proportion is degenerate (0 or 1 → zero variance).
+    ``success_col`` is any boolean column/expression name."""
+    src = df.select(
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+        F.col(success_col).cast("boolean").alias("s"),
+    ).where(F.col("g").isNotNull())
+    agg = src.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when((F.col("g") == 1) & F.col("s"), 1).otherwise(0))
+        .alias("x1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when((F.col("g") == 2) & F.col("s"), 1).otherwise(0))
+        .alias("x2"))
+    z = ("CASE WHEN (n1 = 0) OR (n2 = 0) OR ((x1 + x2) = 0)"
+         " OR ((x1 + x2) = (n1 + n2)) THEN NULL ELSE"
+         " ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+         " - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+         " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+         " * (1.0E0 - (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
+         " * ((1.0E0 / CAST(n1 AS DOUBLE)) + (1.0E0 / CAST(n2 AS DOUBLE))))"
+         " END")
+    return agg.select("n1", "x1", "n2", "x2", F.expr(z).alias("z"))
+
+
+def welch_ttest(df: DataFrame, value_col: str, group_col: str,
+                g1, g2) -> DataFrame:
+    """Welch's unequal-variance t-test as ONE row
+    ``(n1, n2, s1, s2, ss1, ss2, t, dof)`` — the mean-shift gate
+    between two metric slices. Sums and sums-of-squares go through
+    DECIMAL (exact, order-free — the anomaly-zscore discipline), are
+    cast to double ONCE for output, and ``t`` / Welch–Satterthwaite
+    ``dof`` are single double expressions over those columns (written
+    identically in the SQL twin). NULL t/dof when either arm has < 2
+    rows or both variances vanish."""
+    src = df.select(
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+        F.col(value_col).alias("v"),
+    ).where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    agg = src.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"),
+        F.expr("CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(28,6))"
+               " END) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(SUM(CASE WHEN g = 2 THEN CAST(v AS DECIMAL(28,6))"
+               " END) AS DOUBLE)").alias("s2"),
+        F.expr("CAST(SUM(CASE WHEN g = 1 THEN CAST((v * v) AS"
+               " DECIMAL(38,4)) END) AS DOUBLE)").alias("ss1"),
+        F.expr("CAST(SUM(CASE WHEN g = 2 THEN CAST((v * v) AS"
+               " DECIMAL(38,4)) END) AS DOUBLE)").alias("ss2"))
+    v1 = ("((ss1 - ((s1 * s1) / CAST(n1 AS DOUBLE)))"
+          " / CAST(n1 - 1 AS DOUBLE))")
+    v2 = ("((ss2 - ((s2 * s2) / CAST(n2 AS DOUBLE)))"
+          " / CAST(n2 - 1 AS DOUBLE))")
+    se2 = f"(({v1} / CAST(n1 AS DOUBLE)) + ({v2} / CAST(n2 AS DOUBLE)))"
+    t = (f"CASE WHEN (n1 < 2) OR (n2 < 2) OR ({se2} <= 0.0E0) THEN NULL"
+         f" ELSE ((s1 / CAST(n1 AS DOUBLE)) - (s2 / CAST(n2 AS DOUBLE)))"
+         f" / sqrt({se2}) END")
+    dof = (f"CASE WHEN (n1 < 2) OR (n2 < 2) OR ({se2} <= 0.0E0) THEN NULL"
+           f" ELSE ({se2} * {se2})"
+           f" / ((({v1} / CAST(n1 AS DOUBLE)) * ({v1} / CAST(n1 AS DOUBLE))"
+           f" / CAST(n1 - 1 AS DOUBLE))"
+           f" + (({v2} / CAST(n2 AS DOUBLE)) * ({v2} / CAST(n2 AS DOUBLE))"
+           f" / CAST(n2 - 1 AS DOUBLE))) END")
+    return agg.select("n1", "n2", "s1", "s2", "ss1", "ss2",
+                      F.expr(t).alias("t"), F.expr(dof).alias("dof"))
+
+
+def psi_buckets(df: DataFrame, value_col: str, group_col: str, g1, g2,
+                bucket_width) -> DataFrame:
+    """Population-drift histogram between two slices → one row per
+    value bucket: ``(bucket, n1, n2, p1_ppm, p2_ppm)`` with the
+    per-slice mass in exact integer ppm (``n·10⁶ div N``) — the input
+    to a PSI / KL drift score, kept integer-only so the table is
+    bit-stable across engines (ln mixes libm implementations; the
+    caller applies it to the ppm columns downstream). ZERO-count
+    buckets on either side are included (a vanished bucket is exactly
+    the signal PSI exists to catch). One groupBy(bucket) shuffle;
+    totals re-attach by broadcast."""
+    src = df.select(
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+        F.expr(f"CAST(floor({value_col} / {bucket_width}) AS BIGINT)")
+        .alias("bucket"),
+    ).where(F.col("g").isNotNull())
+    counts = src.groupBy("bucket").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("n2"))
+    tot = counts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("bucket", "n1", "n2",
+                    F.expr("(n1 * 1000000) div t1").alias("p1_ppm"),
+                    F.expr("(n2 * 1000000) div t2").alias("p2_ppm")))

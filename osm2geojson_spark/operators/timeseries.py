@@ -186,3 +186,88 @@ def acf_lags(df, key_col: str, order_cols: list, value_col: str,
     return (per_key.select(
         "key", F.explode(F.array(*lag_structs)).alias("o"))
         .select("key", "o.lag", "o.n_pairs", "o.acf"))
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    sec_col: str,
+    value_col: str,
+    period_secs: int = 86_400,
+    n_phases: int = 24,
+) -> DataFrame:
+    """Seasonal (phase-of-period) decomposition profile → one row per
+    ``(key, phase)``: ``(key, phase, n, sum_value, mean_value)`` with
+    phase = (sec div (period/n_phases)) mod n_phases — the additive-
+    seasonal component a pipeline subtracts before trend/anomaly work
+    (hour-of-day over a daily period by default). ``sum_value`` rides
+    DECIMAL (exact, order-free) and is cast to double once;
+    ``mean_value`` is the single division. ONE groupBy shuffle on
+    (key, phase); no windows, no iteration."""
+    slot = int(period_secs) // int(n_phases)
+    phase = F.expr(f"({sec_col} div {slot}) % {n_phases}")
+    return (
+        df.groupBy(F.col(key_col).alias("key"), phase.alias("phase"))
+        .agg(F.count("*").alias("n"),
+             F.expr(f"CAST(SUM(CAST({value_col} AS DECIMAL(28,6)))"
+                    " AS DOUBLE)").alias("sum_value"))
+        .select("key", "phase", "n", "sum_value",
+                F.expr("sum_value / CAST(n AS DOUBLE)")
+                .alias("mean_value")))
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    target,
+    threshold,
+) -> DataFrame:
+    """CUSUM level-shift detection per key: running sum of
+    ``value − target`` in DECIMAL (exact, so the running state is
+    bit-stable under any partitioning), emitting the rows where
+    ``|cusum|`` crosses ``threshold`` → input row + ``cusum`` (double,
+    one cast at the end). The classic mean-shift changepoint alarm
+    over a metric stream. One partitioned window per key ordered by
+    ``order_cols`` — the sessionize/staypoints shuffle shape; per-key
+    series bound is the module contract above.
+
+    ``target=None`` centers on the PER-KEY MEAN — the usual retro
+    scan, where a misspecified constant target turns the walk into a
+    pure drift line and the alarm saturates. The mean is a rational
+    (Σv)/n, so the comparison is cross-multiplied to stay EXACT and
+    int64: values become micro-units
+    ``v_u = CAST(CAST(v AS DECIMAL(28,6)) * 1000000 AS BIGINT)`` (one
+    deterministic rounding, identical in both engines — decimal×
+    decimal cross-products would hit the engines' DIFFERENT precision-
+    cap rules), the alarm is ``|n·Σ_{j≤i} v_u − i·Σv_u| > n·thr_u``,
+    and the reported ``cusum`` is that numerator divided once by
+    n·10⁶ (double). Adds one per-key total aggregate re-attached by
+    broadcast; threshold must be int-valued."""
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    if target is not None:
+        cum = F.sum(
+            F.expr(f"CAST(({value_col} - {target}) AS DECIMAL(28,6))")
+        ).over(w)
+        return (df.withColumn("cusum", cum.cast("double"))
+                .where(F.abs(F.col("cusum")) > threshold))
+    vu = (f"CAST((CAST({value_col} AS DECIMAL(28,6)) * 1000000)"
+          " AS BIGINT)")
+    tot = df.groupBy(F.col(key_col).alias("_ck")).agg(
+        F.count("*").alias("_cn"),
+        F.sum(F.expr(vu)).alias("_cs"))
+    wi = Window.partitionBy(key_col).orderBy(*order_cols)
+    walked = (
+        df.join(F.broadcast(tot), F.col(key_col) == F.col("_ck"))
+        .withColumn("_run", F.sum(F.expr(vu)).over(w))
+        .withColumn("_i", F.row_number().over(wi).cast("long"))
+        .withColumn("_num", F.expr("_cn * _run - _i * _cs")))
+    thr_u = int(threshold) * 1_000_000
+    return (walked
+            .where(F.expr(f"abs(_num) > _cn * {thr_u}"))
+            .withColumn("cusum", F.expr(
+                "CAST(_num AS DOUBLE)"
+                " / (CAST(_cn AS DOUBLE) * 1000000.0E0)"))
+            .drop("_ck", "_cn", "_cs", "_run", "_i", "_num"))

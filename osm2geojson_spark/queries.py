@@ -9452,6 +9452,464 @@ ORDER BY e.event_id
 """
 
 
+def q_convoys(spark, sf_dir):
+    """Convoy (co-movement) detection (spatial/trajectory.convoys):
+    maximal runs of consecutive day-buckets in which a user PAIR shares
+    a grid cell — presence dedup → cell-bucket self-join (the
+    LSH-bucket discipline: candidates bounded by cell occupancy², never
+    user-count²) → gaps-and-islands. Positions are a deterministic
+    group walk (user_id mod 8, (user_id div 8 + 3-day phase) mod 8) so
+    same-group users genuinely travel together; ts rides through
+    cast(sec AS TIMESTAMP) so unix_timestamp is the exact epoch inverse
+    in any session timezone (the TIMESTAMP_NTZ trap sidestepped)."""
+    from osm2geojson_spark.spatial.trajectory import convoys
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    pts = pts.select(
+        "user_id",
+        F.col("sec").cast("timestamp").alias("pts_ts"),
+        F.expr("CAST((user_id % 8) AS DOUBLE)").alias("x"),
+        F.expr("CAST((((user_id div 8) + (sec div 259200)) % 8) AS DOUBLE)")
+        .alias("y"))
+    return (convoys(pts, user_col="user_id", ts_col="pts_ts",
+                    x_col="x", y_col="y", cell=1, bucket_secs=86_400,
+                    min_len=2)
+            .orderBy("user_a", "user_b", "start_bucket"))
+
+
+def _sql_convoys() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+pres AS (
+  SELECT DISTINCT user_id AS u, (sec // 86400) AS bucket,
+         (user_id % 8) AS cx,
+         (((user_id // 8) + (sec // 259200)) % 8) AS cy
+  FROM ev),
+pairs AS (
+  SELECT DISTINCT a.u AS user_a, b.u AS user_b, a.bucket AS bucket
+  FROM pres a JOIN pres b
+    ON ((a.bucket = b.bucket) AND (a.cx = b.cx) AND (a.cy = b.cy)
+        AND (a.u < b.u))),
+runs AS (
+  SELECT user_a, user_b, bucket,
+         (bucket - ROW_NUMBER() OVER (PARTITION BY user_a, user_b
+                                      ORDER BY bucket)) AS grp
+  FROM pairs)
+SELECT user_a, user_b, MIN(bucket) AS start_bucket,
+       MAX(bucket) AS end_bucket, COUNT(*) AS run_len
+FROM runs
+GROUP BY user_a, user_b, grp
+HAVING (COUNT(*) >= 2)
+ORDER BY user_a, user_b, start_bucket
+"""
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/stats.spearman_rho) between
+    order quantity and extended price — the monotone-association
+    screen. Exact integer 2×-midrank moments (DECIMAL accumulation),
+    distributed ranks via histogram-cumsum + join-back (no global row
+    sort); rho is one guarded double expression, sqrt correctly
+    rounded in both engines."""
+    from osm2geojson_spark.operators.stats import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+def _sql_spearman() -> str:
+    def mid(col):
+        return f"""
+  SELECT {col}, (2 * SUM(cnt) OVER (ORDER BY {col}
+                 ROWS UNBOUNDED PRECEDING) - cnt + 1) AS r{col}
+  FROM (SELECT {col}, COUNT(*) AS cnt FROM src GROUP BY {col})"""
+
+    return f"""
+WITH src AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE ((l_quantity IS NOT NULL) AND (l_extendedprice IS NOT NULL))),
+hx AS ({mid('x')}),
+hy AS ({mid('y')}),
+ranked AS (
+  SELECT hx.rx AS rx, hy.ry AS ry
+  FROM src JOIN hx USING (x) JOIN hy USING (y)),
+agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS BIGINT) AS sx,
+         CAST(SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS BIGINT) AS syy,
+         CAST(SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS BIGINT) AS sxy
+  FROM ranked)
+SELECT n, sx, sxx, syy, sxy,
+       CASE WHEN ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+                  - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0
+            OR ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))
+                - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) = 0.0E0
+            THEN NULL ELSE
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+        - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       / sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+               - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))
+                 - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) END AS rho
+FROM agg
+"""
+
+
+def q_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test (operators/stats.two_prop_ztest) between
+    the click and view arms on the high-value conversion flag — the
+    A/B significance gate. Exact integer counts; z is one pooled
+    double expression."""
+    from osm2geojson_spark.operators.stats import two_prop_ztest
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ok", F.expr("value > 245.0"))
+    return two_prop_ztest(ev, "event_type", "click", "view", "ok")
+
+
+def _sql_ab_ztest() -> str:
+    return """
+WITH agg AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN ((event_type = 'click') AND (value > 245.0))
+             THEN 1 ELSE 0 END) AS x1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN ((event_type = 'view') AND (value > 245.0))
+             THEN 1 ELSE 0 END) AS x2
+  FROM events)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+       CASE WHEN (n1 = 0) OR (n2 = 0) OR ((x1 + x2) = 0)
+            OR ((x1 + x2) = (n1 + n2)) THEN NULL ELSE
+       ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+       / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0E0 - (CAST(x1 + x2 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE)))
+              * ((1.0E0 / CAST(n1 AS DOUBLE))
+                 + (1.0E0 / CAST(n2 AS DOUBLE)))) END AS z
+FROM agg
+"""
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's t-test (operators/stats.welch_ttest) on the click-vs-view
+    value means — the unequal-variance mean-shift gate. Decimal sums,
+    one double cast per moment, single-expression t and
+    Welch–Satterthwaite dof."""
+    from osm2geojson_spark.operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", "event_type", "click", "view")
+
+
+def _sql_welch_ttest() -> str:
+    v1 = ("((ss1 - ((s1 * s1) / CAST(n1 AS DOUBLE)))"
+          " / CAST(n1 - 1 AS DOUBLE))")
+    v2 = ("((ss2 - ((s2 * s2) / CAST(n2 AS DOUBLE)))"
+          " / CAST(n2 - 1 AS DOUBLE))")
+    se2 = f"(({v1} / CAST(n1 AS DOUBLE)) + ({v2} / CAST(n2 AS DOUBLE)))"
+    return f"""
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST((value * value) AS DECIMAL(38,4)) END)
+              AS DOUBLE) AS ss1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST((value * value) AS DECIMAL(38,4)) END)
+              AS DOUBLE) AS ss2
+  FROM events WHERE (value IS NOT NULL))
+SELECT n1, n2, s1, s2, ss1, ss2,
+       CASE WHEN (n1 < 2) OR (n2 < 2) OR ({se2} <= 0.0E0) THEN NULL
+            ELSE ((s1 / CAST(n1 AS DOUBLE)) - (s2 / CAST(n2 AS DOUBLE)))
+            / sqrt({se2}) END AS t,
+       CASE WHEN (n1 < 2) OR (n2 < 2) OR ({se2} <= 0.0E0) THEN NULL
+            ELSE ({se2} * {se2})
+            / ((({v1} / CAST(n1 AS DOUBLE)) * ({v1} / CAST(n1 AS DOUBLE))
+                / CAST(n1 - 1 AS DOUBLE))
+               + (({v2} / CAST(n2 AS DOUBLE)) * ({v2} / CAST(n2 AS DOUBLE))
+                  / CAST(n2 - 1 AS DOUBLE))) END AS dof
+FROM agg
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-drift histogram (operators/stats.psi_buckets) between
+    the click and view value distributions — integer-ppm masses per
+    bucket, zero buckets included (the PSI input table, kept ln-free
+    so it is bit-stable across engines)."""
+    from osm2geojson_spark.operators.stats import psi_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    return (psi_buckets(ev, "value", "event_type", "click", "view", 50)
+            .orderBy("bucket"))
+
+
+def _sql_psi_drift() -> str:
+    return """
+WITH src AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1
+              WHEN event_type = 'view' THEN 2 END AS g,
+         CAST(floor(value / 50) AS BIGINT) AS bucket
+  FROM events
+  WHERE (event_type IN ('click', 'view'))),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM src GROUP BY bucket),
+tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM counts)
+SELECT bucket, n1, n2,
+       CAST(((n1 * 1000000) // t1) AS BIGINT) AS p1_ppm,
+       CAST(((n2 * 1000000) // t2) AS BIGINT) AS p2_ppm
+FROM counts, tot
+ORDER BY bucket
+"""
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile (operators/timeseries.
+    seasonal_profile) per event type — the additive-seasonal component
+    a pipeline subtracts before trend/anomaly work. Decimal sums, one
+    groupBy(key, phase) shuffle."""
+    from osm2geojson_spark.operators.timeseries import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    return (seasonal_profile(ev, "event_type", "sec", "value")
+            .orderBy("key", "phase"))
+
+
+def _sql_seasonal_profile() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type AS key,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS phase,
+         value
+  FROM events)
+SELECT key, phase, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) AS mean_value
+FROM ev
+GROUP BY key, phase
+ORDER BY key, phase
+"""
+
+
+def q_cusum(spark, sf_dir):
+    """Mean-centered CUSUM alarms (operators/timeseries.cusum_alerts,
+    target=None) per event type: the running deviation-from-key-mean
+    walk in exact int64 micro-units (cross-multiplied rational mean —
+    no decimal×decimal precision-cap divergence), emitting rows where
+    the walk leaves a ±1500 band — the retro mean-shift changepoint
+    scan."""
+    from osm2geojson_spark.operators.timeseries import cusum_alerts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    return (cusum_alerts(ev, "event_type", ["sec", "event_id"], "value",
+                         None, 1500)
+            .select("event_type", "event_id", "sec", "value", "cusum")
+            .orderBy("event_type", "sec", "event_id"))
+
+
+def _sql_cusum() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST((CAST(value AS DECIMAL(28,6)) * 1000000) AS BIGINT) AS vu
+  FROM events),
+tot AS (
+  SELECT event_type, COUNT(*) AS cn, SUM(vu) AS cs
+  FROM ev GROUP BY event_type),
+walked AS (
+  SELECT ev.event_type, ev.event_id, ev.sec, ev.value, t.cn,
+         ((CAST(t.cn AS BIGINT) * CAST(SUM(ev.vu)
+            OVER (PARTITION BY ev.event_type ORDER BY ev.sec, ev.event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT))
+          - (CAST(ROW_NUMBER()
+              OVER (PARTITION BY ev.event_type ORDER BY ev.sec, ev.event_id)
+              AS BIGINT) * CAST(t.cs AS BIGINT))) AS num
+  FROM ev JOIN tot t ON (t.event_type = ev.event_type))
+SELECT event_type, event_id, sec, value,
+       (CAST(num AS DOUBLE) / (CAST(cn AS DOUBLE) * 1000000.0E0)) AS cusum
+FROM walked
+WHERE (abs(num) > (cn * 1500000000))
+ORDER BY event_type, sec, event_id
+"""
+
+
+def q_attribution(spark, sf_dir):
+    """First/last-touch attribution (operators/funnel.touch_attribution):
+    every purchase event attributed to the user's first and latest
+    click at-or-before it — ONE partitioned window pass, no self-join.
+    Unattributed purchases kept with NULL touch ids."""
+    from osm2geojson_spark.operators.funnel import touch_attribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    return (touch_attribution(ev).orderBy("user", "convert_sec",
+                                          "convert_id"))
+
+
+def _sql_attribution() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'click' THEN event_id END AS tid
+  FROM events),
+attached AS (
+  SELECT user_id AS "user", event_id AS eid, sec, event_type,
+         first_value(tid IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS first_touch_id,
+         last_value(tid IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_touch_id
+  FROM ev)
+SELECT "user", eid AS convert_id, sec AS convert_sec,
+       first_touch_id, last_touch_id
+FROM attached
+WHERE (event_type = 'purchase')
+ORDER BY "user", convert_sec, convert_id
+"""
+
+
+_CLOSENESS_SOURCES = [(i * 73) % 576 for i in range(8)]
+
+
+def q_closeness(spark, sf_dir):
+    """Weighted closeness centrality (operators/graph.
+    closeness_centrality) for 8 seed depots on the 24×24 grid road
+    network — rides the Δ-stepping multi-source matrix (broadcast-edge
+    full-relax at this size), then one aggregate per source. Oracle =
+    independent pyref heap Dijkstra aggregated the same way."""
+    from osm2geojson_spark.operators.graph import closeness_centrality
+    from osm2geojson_spark.spatial.route import grid_edges
+
+    return (closeness_centrality(grid_edges(spark, _ROUTE_N),
+                                 _CLOSENESS_SOURCES)
+            .orderBy("src"))
+
+
+def _sql_closeness() -> str:
+    from osm2geojson_spark import pyref
+
+    m = pyref.ref_travel_matrix(_ROUTE_N, _CLOSENESS_SOURCES)
+    agg: dict = {}
+    for s, _node, d in m:
+        n, t = agg.get(s, (0, 0))
+        agg[s] = (n + 1, t + d)
+    rows = [(s, n, t, None if t == 0 else float(n - 1) / float(t))
+            for s, (n, t) in sorted(agg.items())]
+    return pyref.values_sql(
+        rows, [("src", "BIGINT"), ("n_reached", "BIGINT"),
+               ("sum_dist", "BIGINT"), ("closeness", "DOUBLE")])
+
+
+_SEG_CELL = 4096
+
+
+def _seg_exprs():
+    """The synthetic segment layer shared by both twins: int endpoints
+    in a 100k square, deltas within ±1500."""
+    ax = f"((event_id * {_LON_MUL}) % 100000)"
+    ay = f"((event_id * {_LAT_MUL} + {_LAT_OFF}) % 100000)"
+    dx = "(((event_id * 40503) + 77) % 3001 - 1500)"
+    dy = "(((event_id * 65587) + 123) % 3001 - 1500)"
+    return ax, ay, f"({ax} + {dx})", f"({ay} + {dy})"
+
+
+def q_segment_intersections(spark, sf_dir):
+    """Exact segment–segment intersection self-join
+    (spatial/segjoin.segment_intersection_join): cell-cover candidate
+    equi-join + pure-int64 orientation tests (no epsilon, no UDF) —
+    the line-layer spatial join (road crossings / conflation). The
+    DuckDB twin is the literal same cover + cross-product algebra."""
+    from osm2geojson_spark.spatial.segjoin import segment_intersection_join
+
+    ax, ay, bx, by = _seg_exprs()
+    segs = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seg_id"),
+        F.expr(ax).alias("ax"), F.expr(ay).alias("ay"),
+        F.expr(bx).alias("bx"), F.expr(by).alias("by"))
+    return (segment_intersection_join(segs, cell=_SEG_CELL)
+            .orderBy("seg_a", "seg_b"))
+
+
+def _sql_segment_intersections() -> str:
+    from osm2geojson_spark.spatial import segjoin
+
+    ax, ay, bx, by = _seg_exprs()
+    c = _SEG_CELL
+    d1 = segjoin._cross("p3x", "p3y", "p4x", "p4y", "p1x", "p1y")
+    d2 = segjoin._cross("p3x", "p3y", "p4x", "p4y", "p2x", "p2y")
+    d3 = segjoin._cross("p1x", "p1y", "p2x", "p2y", "p3x", "p3y")
+    d4 = segjoin._cross("p1x", "p1y", "p2x", "p2y", "p4x", "p4y")
+    on1 = ("((least(p3x, p4x) <= p1x) AND (p1x <= greatest(p3x, p4x))"
+           " AND (least(p3y, p4y) <= p1y) AND (p1y <= greatest(p3y, p4y)))")
+    on2 = ("((least(p3x, p4x) <= p2x) AND (p2x <= greatest(p3x, p4x))"
+           " AND (least(p3y, p4y) <= p2y) AND (p2y <= greatest(p3y, p4y)))")
+    on3 = ("((least(p1x, p2x) <= p3x) AND (p3x <= greatest(p1x, p2x))"
+           " AND (least(p1y, p2y) <= p3y) AND (p3y <= greatest(p1y, p2y)))")
+    on4 = ("((least(p1x, p2x) <= p4x) AND (p4x <= greatest(p1x, p2x))"
+           " AND (least(p1y, p2y) <= p4y) AND (p4y <= greatest(p1y, p2y)))")
+    proper = (f"((((({d1}) > 0) AND (({d2}) < 0))"
+              f" OR ((({d1}) < 0) AND (({d2}) > 0)))"
+              f" AND (((({d3}) > 0) AND (({d4}) < 0))"
+              f" OR ((({d3}) < 0) AND (({d4}) > 0))))")
+    touching = (f"(((({d1}) = 0) AND {on1}) OR ((({d2}) = 0) AND {on2})"
+                f" OR ((({d3}) = 0) AND {on3}) OR ((({d4}) = 0) AND {on4}))")
+    return f"""
+WITH segs AS (
+  SELECT event_id AS sid, {ax} AS ax, {ay} AS ay,
+         {bx} AS bx, {by} AS by
+  FROM events),
+cov1 AS (
+  SELECT sid, ax, ay, bx, by,
+         unnest(range((least(ax, bx) // {c}),
+                      ((greatest(ax, bx) // {c}) + 1))) AS cx
+  FROM segs),
+cov AS (
+  SELECT sid, ax, ay, bx, by, cx,
+         unnest(range((least(ay, by) // {c}),
+                      ((greatest(ay, by) // {c}) + 1))) AS cy
+  FROM cov1),
+cand AS (
+  SELECT DISTINCT a.sid AS seg_a, b.sid AS seg_b,
+         a.ax AS p1x, a.ay AS p1y, a.bx AS p2x, a.by AS p2y,
+         b.ax AS p3x, b.ay AS p3y, b.bx AS p4x, b.by AS p4y
+  FROM cov a JOIN cov b
+    ON ((a.cx = b.cx) AND (a.cy = b.cy) AND (a.sid < b.sid)))
+SELECT seg_a, seg_b, {proper} AS proper
+FROM cand
+WHERE (({proper}) OR ({touching}))
+ORDER BY seg_a, seg_b
+"""
+
+
 _HEAD_50 = [
     "pricing_summary", "window_topk", "asof_join", "sessionize",
     "grouping_sets",
@@ -9633,6 +10091,16 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_test": q_mwu_test,
         "acf": q_acf,
         "iqr_outliers": q_iqr_outliers,
+        "convoys": q_convoys,
+        "spearman": q_spearman,
+        "ab_ztest": q_ab_ztest,
+        "welch_ttest": q_welch_ttest,
+        "psi_drift": q_psi_drift,
+        "seasonal_profile": q_seasonal_profile,
+        "cusum": q_cusum,
+        "attribution": q_attribution,
+        "closeness": q_closeness,
+        "segment_intersections": q_segment_intersections,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -9846,6 +10314,16 @@ def _oracle_sql_all() -> dict[str, str]:
         "mwu_test": _sql_mwu_test(),
         "acf": _sql_acf(),
         "iqr_outliers": _sql_iqr_outliers(),
+        "convoys": _sql_convoys(),
+        "spearman": _sql_spearman(),
+        "ab_ztest": _sql_ab_ztest(),
+        "welch_ttest": _sql_welch_ttest(),
+        "psi_drift": _sql_psi_drift(),
+        "seasonal_profile": _sql_seasonal_profile(),
+        "cusum": _sql_cusum(),
+        "attribution": _sql_attribution(),
+        "closeness": _sql_closeness(),
+        "segment_intersections": _sql_segment_intersections(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

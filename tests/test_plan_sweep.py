@@ -28,11 +28,11 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 #    histogram (≤ 2^16 rows for any real bit depth) and
 #    exact_quantiles' walk over the bucket histogram (SELF-ENFORCED
 #    ≤ max_buckets by the auto-coarsening ladder), and the ks_2samp /
-#    mann_whitney_u cumulative-CDF walks over the DISTINCT-VALUE
-#    histogram (same bound class).
+#    mann_whitney_u / spearman_rho cumulative-CDF and midrank walks
+#    over the DISTINCT-VALUE histogram (same bound class).
 WINDOW_WHITELIST = {
     "operators/shards.py": 1,
-    "operators/stats.py": 4,
+    "operators/stats.py": 5,
     "spatial/strpack.py": 1,
 }
 

@@ -220,3 +220,245 @@ class TestConvoys:
         r = out[0]
         assert (r["user_a"], r["user_b"]) == (1, 2)
         assert (r["start_bucket"], r["end_bucket"], r["run_len"]) == (0, 2, 3)
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        from osm2geojson_spark.operators.stats import spearman_rho
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(10)],
+            "x double, y double")
+        r = spearman_rho(df, "x", "y").collect()[0]
+        assert r["rho"] == pytest.approx(1.0)
+
+    def test_ties_vs_numpy(self, spark):
+        import numpy as np
+        from osm2geojson_spark.operators.stats import spearman_rho
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 8, 60).astype(float)
+        y = (x + rng.integers(0, 5, 60)).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double")
+        r = spearman_rho(df, "x", "y").collect()[0]
+
+        def midranks(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v))
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                ranks[order[i:j]] = (i + j + 1) / 2
+                i = j
+            return ranks
+
+        rx, ry = midranks(x), midranks(y)
+        expect = np.corrcoef(rx, ry)[0, 1]
+        assert r["rho"] == pytest.approx(expect, rel=1e-12)
+
+    def test_constant_column_null(self, spark):
+        from osm2geojson_spark.operators.stats import spearman_rho
+
+        df = spark.createDataFrame(
+            [(1.0, float(i)) for i in range(5)], "x double, y double")
+        r = spearman_rho(df, "x", "y").collect()[0]
+        assert r["rho"] is None and r["n"] == 5
+
+
+class TestABTests:
+    def test_ztest_hand(self, spark):
+        import math
+        from osm2geojson_spark.operators.stats import two_prop_ztest
+
+        rows = ([("a", True)] * 30 + [("a", False)] * 70
+                + [("b", True)] * 50 + [("b", False)] * 50)
+        df = spark.createDataFrame(rows, "grp string, ok boolean")
+        r = two_prop_ztest(df, "grp", "a", "b", "ok").collect()[0]
+        assert (r["n1"], r["x1"], r["n2"], r["x2"]) == (100, 30, 100, 50)
+        pp = 80 / 200
+        want = (0.3 - 0.5) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+        assert r["z"] == pytest.approx(want, rel=1e-12)
+
+    def test_welch_vs_numpy(self, spark):
+        import numpy as np
+        from osm2geojson_spark.operators.stats import welch_ttest
+
+        rng = np.random.default_rng(11)
+        a = np.round(rng.normal(10, 2, 40), 2)
+        b = np.round(rng.normal(11, 3, 55), 2)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        r = welch_ttest(df, "v", "grp", "a", "b").collect()[0]
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v1 / len(a) + v2 / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dof = se2 ** 2 / ((v1 / len(a)) ** 2 / (len(a) - 1)
+                          + (v2 / len(b)) ** 2 / (len(b) - 1))
+        assert r["t"] == pytest.approx(t, rel=1e-9)
+        assert r["dof"] == pytest.approx(dof, rel=1e-9)
+
+    def test_psi_buckets_zero_side(self, spark):
+        from osm2geojson_spark.operators.stats import psi_buckets
+
+        rows = ([("a", 5.0)] * 4 + [("a", 15.0)] * 6 + [("b", 5.0)] * 10)
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["bucket"]: r for r in psi_buckets(
+            df, "v", "grp", "a", "b", 10).collect()}
+        assert out[0]["p1_ppm"] == 400_000 and out[0]["p2_ppm"] == 1_000_000
+        assert out[1]["n2"] == 0 and out[1]["p2_ppm"] == 0
+
+
+class TestTimeseriesR5:
+    def test_seasonal_profile_hand(self, spark):
+        from osm2geojson_spark.operators.timeseries import seasonal_profile
+
+        rows = [("k", 0, 1.0), ("k", 3600, 2.0), ("k", 86400, 3.0),
+                ("k", 90000, 5.0)]
+        df = spark.createDataFrame(rows, "key string, sec long, v double")
+        out = {r["phase"]: r for r in seasonal_profile(
+            df, "key", "sec", "v").collect()}
+        assert out[0]["n"] == 2 and out[0]["mean_value"] == 2.0
+        assert out[1]["n"] == 2 and out[1]["mean_value"] == 3.5
+
+    def test_cusum_hand(self, spark):
+        from osm2geojson_spark.operators.timeseries import cusum_alerts
+
+        # target 10: values 12,12,12 accumulate +2 each; threshold 5
+        # crosses at the third row
+        rows = [("k", i, float(v)) for i, v in
+                enumerate([12, 12, 12, 10, 10])]
+        df = spark.createDataFrame(rows, "key string, i long, v double")
+        out = cusum_alerts(df, "key", ["i"], "v", 10, 5).collect()
+        assert [(r["i"], r["cusum"]) for r in out] == [(2, 6.0), (3, 6.0),
+                                                       (4, 6.0)]
+
+
+class TestAttribution:
+    def test_first_last_touch(self, spark):
+        from osm2geojson_spark.operators.funnel import touch_attribution
+
+        rows = [
+            (1, 10, 100, "click"), (1, 20, 101, "view"),
+            (1, 30, 102, "click"), (1, 40, 103, "purchase"),
+            (1, 50, 104, "purchase"),
+            (2, 10, 200, "purchase"),  # no touch before → NULLs
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, sec long, event_id long, event_type string")
+        out = {r["convert_id"]: r for r in touch_attribution(df).collect()}
+        assert (out[103]["first_touch_id"], out[103]["last_touch_id"]) \
+            == (100, 102)
+        assert (out[104]["first_touch_id"], out[104]["last_touch_id"]) \
+            == (100, 102)
+        assert out[200]["first_touch_id"] is None
+
+
+class TestCloseness:
+    def test_path_graph_hand(self, spark):
+        from osm2geojson_spark.operators.graph import closeness_centrality
+
+        # path 0-1-2-3 with unit weights both ways
+        rows = []
+        for a, b in [(0, 1), (1, 2), (2, 3)]:
+            rows += [(a, b, 1), (b, a, 1)]
+        e = spark.createDataFrame(rows, "src long, dst long, w long")
+        out = {r["src"]: r for r in closeness_centrality(
+            e, [0, 1]).collect()}
+        assert (out[0]["n_reached"], out[0]["sum_dist"]) == (4, 6)
+        assert out[0]["closeness"] == pytest.approx(3 / 6)
+        assert (out[1]["n_reached"], out[1]["sum_dist"]) == (4, 4)
+        assert out[1]["closeness"] == pytest.approx(3 / 4)
+
+
+class TestSegJoin:
+    def test_hand_cases(self, spark):
+        from osm2geojson_spark.spatial.segjoin import (
+            segment_intersection_join)
+
+        segs = [
+            # 1 x 2: proper crossing
+            (1, 0, 0, 10, 10), (2, 0, 10, 10, 0),
+            # 3 touches 1 at an endpoint (collinear touch at (10,10))
+            (3, 10, 10, 20, 5),
+            # 4 is far away, shares no cell content
+            (4, 1000, 1000, 1010, 1010),
+            # 5 parallel to 1, offset — no intersection but same cells
+            (5, 0, 2, 10, 12),
+        ]
+        df = spark.createDataFrame(
+            segs, "seg_id long, ax long, ay long, bx long, by long")
+        out = {(r["seg_a"], r["seg_b"]): r["proper"]
+               for r in segment_intersection_join(df, cell=64).collect()}
+        assert out[(1, 2)] is True
+        assert out[(1, 3)] is False  # endpoint touch
+        # 2 and 5 cross at (4,6); 4 is isolated; 1 ∥ 5 never meet
+        assert out[(2, 5)] is True
+        assert (1, 5) not in out and (1, 4) not in out
+        assert set(out) == {(1, 2), (1, 3), (2, 5)}
+
+    def test_brute_force_parity(self, spark):
+        import numpy as np
+        from osm2geojson_spark.spatial.segjoin import (
+            segment_intersection_join)
+
+        rng = np.random.default_rng(3)
+        n = 120
+        pts = rng.integers(0, 300, size=(n, 2))
+        del_ = rng.integers(-80, 81, size=(n, 2))
+        segs = [(i, int(pts[i, 0]), int(pts[i, 1]),
+                 int(pts[i, 0] + del_[i, 0]), int(pts[i, 1] + del_[i, 1]))
+                for i in range(n)]
+        df = spark.createDataFrame(
+            segs, "seg_id long, ax long, ay long, bx long, by long")
+        got = {(r["seg_a"], r["seg_b"])
+               for r in segment_intersection_join(df, cell=64).collect()}
+
+        def cross(o, a, b):
+            return ((a[0] - o[0]) * (b[1] - o[1])
+                    - (b[0] - o[0]) * (a[1] - o[1]))
+
+        def onseg(p, q, r):
+            return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                    and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+        def inter(s, t):
+            p1, p2 = (s[1], s[2]), (s[3], s[4])
+            p3, p4 = (t[1], t[2]), (t[3], t[4])
+            d1 = cross(p3, p4, p1)
+            d2 = cross(p3, p4, p2)
+            d3 = cross(p1, p2, p3)
+            d4 = cross(p1, p2, p4)
+            if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                    and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+                return True
+            return ((d1 == 0 and onseg(p3, p4, p1))
+                    or (d2 == 0 and onseg(p3, p4, p2))
+                    or (d3 == 0 and onseg(p1, p2, p3))
+                    or (d4 == 0 and onseg(p1, p2, p4)))
+
+        want = {(segs[i][0], segs[j][0])
+                for i in range(n) for j in range(i + 1, n)
+                if inter(segs[i], segs[j])}
+        assert got == want
+
+
+class TestCusumMeanCentered:
+    def test_shifted_series(self, spark):
+        import numpy as np
+        from osm2geojson_spark.operators.timeseries import cusum_alerts
+
+        # level shift halfway: mean-centered walk peaks at the shift
+        vals = [10.0] * 20 + [14.0] * 20
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, i long, v double")
+        out = cusum_alerts(df, "key", ["i"], "v", None, 30).collect()
+        x = np.array(vals)
+        walk = np.cumsum(x - x.mean())
+        want = {(i, w) for i, w in enumerate(walk) if abs(w) > 30}
+        got = {(r["i"], r["cusum"]) for r in out}
+        assert got == want and len(got) > 0
