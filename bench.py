@@ -290,6 +290,12 @@ BENCH_QUERIES = {
     # both over the 1M-pixel DEM the hillshade entry uses
     "box_filter_1m": _box_filter_1m,
     "glcm_1m": _glcm_1m,
+    # round 5: exact segment-segment intersection self-join over 100k
+    # int64 segments (cell-cover candidates + orientation tests, pure
+    # codegen) and Spearman rank correlation over the full lineitem
+    # (distributed histogram-cumsum midranks — no global row sort)
+    "segment_intersections": Q.q_segment_intersections,
+    "spearman": Q.q_spearman,
 }
 
 

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components", "hits", "label_propagation",
-           "degree_assortativity", "modularity", "closeness_centrality"]
+           "degree_assortativity", "modularity", "closeness_centrality",
+           "stress_centrality"]
 
 
 def pagerank(
@@ -697,3 +698,96 @@ def closeness_centrality(edges: DataFrame, sources: list,
                        " CAST(n_reached - 1 AS DOUBLE)"
                        " / CAST(sum_dist AS DOUBLE) END")
                 .alias("closeness")))
+
+
+def stress_centrality(edges: DataFrame, sources: list,
+                      max_rounds: int = 128) -> DataFrame:
+    """Sampled STRESS centrality (Shimbel) → ``(node, stress)``: the
+    number of shortest paths from the seed set that pass THROUGH each
+    node — the exactly-computable cousin of betweenness (betweenness
+    accumulates σ-RATIOS, floats whose summation order varies with
+    partitioning; path COUNTS are int64 and order-free, so the oracle
+    discipline holds).
+
+    Two distributed waves per BFS batch, all sources at once:
+    forward — unweighted frontier BFS carrying ``(src, node, dist,
+    sigma)`` where σ (shortest-path multiplicity) sums over
+    same-round predecessors; backward — by DESCENDING distance, the
+    DAG-path tally ``P(v) = Σ_{w ∈ dagsucc(v)} (1 + P(w))``, so
+    ``σ_sv · P(v)`` counts every shortest path s→·→t through v
+    exactly once per target. Both waves are frontier joins against
+    the persisted edge table with localCheckpoint truncation (the
+    pagerank loop discipline); rounds = graph diameter each way.
+    The seed set is the sampling story at scale (landmarks /
+    stratified seeds), exactly like closeness."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("e_src"),
+            F.col("dst").cast("long").alias("e_dst"))
+        .where(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+        .repartition(F.col("e_src"))
+        .persist())
+    e.count()
+    # ---- forward BFS: settled (src, id, dist, sigma)
+    settled = spark.createDataFrame(
+        [(int(s), int(s), 0, 1) for s in set(sources)],
+        "src long, id long, dist long, sigma long",
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    d = 0
+    while True:
+        if frontier.limit(1).count() == 0:
+            break
+        d += 1
+        if d > max_rounds:
+            e.unpersist()
+            raise RuntimeError(
+                f"stress_centrality forward BFS exceeded {max_rounds} "
+                f"rounds; raise max_rounds (rounds = graph diameter)")
+        nxt = (
+            frontier.join(e, frontier.id == e.e_src)
+            .groupBy("src", F.col("e_dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled.select("src", "id", F.lit(1).alias("_seen")),
+                  ["src", "id"], "left_anti")
+            .select("src", "id", F.lit(d).alias("dist"), "sigma")
+            .localCheckpoint(eager=True))
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # ---- backward wave: P(v) by descending distance over the BFS DAG
+    # DAG edge for source s: (u → w) with dist_s(w) = dist_s(u) + 1
+    su = settled.select(F.col("src").alias("s"), F.col("id").alias("u"),
+                        F.col("dist").alias("du"))
+    sw = settled.select(F.col("src").alias("s2"), F.col("id").alias("w"),
+                        F.col("dist").alias("dw"))
+    dag = (
+        e.join(su, (e.e_src == su.u))
+        .join(sw, (F.col("e_dst") == sw.w) & (su.s == sw.s2)
+              & (sw.dw == su.du + 1))
+        .select("s", "u", "w", "du")
+        .repartition(F.col("s"), F.col("w"))
+        .persist())
+    dag.count()
+    maxd = settled.agg(F.max("dist").alias("m")).collect()[0]["m"] or 0
+    # P rows only materialize where non-zero; absent = leaf (P = 0)
+    p = spark.createDataFrame([], "s long, u long, p long") \
+        .localCheckpoint(eager=True)
+    for dd in range(int(maxd) - 1, -1, -1):
+        layer = (
+            dag.where(F.col("du") == dd)
+            .join(p.select("s", F.col("u").alias("w"),
+                           F.col("p").alias("pw")), ["s", "w"], "left")
+            .groupBy("s", "u")
+            .agg(F.sum(F.coalesce("pw", F.lit(0)) + 1).alias("p")))
+        p = p.unionByName(layer).localCheckpoint(eager=True)
+    out = (
+        settled.where(F.col("dist") > 0)
+        .join(p, (settled.src == p.s) & (settled.id == p.u))
+        .select("id", (F.col("sigma") * F.col("p")).alias("contrib"))
+        .groupBy(F.col("id").alias("node"))
+        .agg(F.sum("contrib").alias("stress")))
+    e.unpersist()
+    dag.unpersist()
+    return out

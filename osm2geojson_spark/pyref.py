@@ -2363,3 +2363,42 @@ def ref_modularity(edges: "list[tuple]",
         (c, n_nodes[c], m_in[c], d_tot[c],
          4 * m * m_in[c] - d_tot[c] * d_tot[c], 4 * m * m)
         for c in n_nodes)
+
+
+def ref_stress(edges: "list[tuple]", sources: "list[int]"
+               ) -> "list[tuple]":
+    """Spark-free stress centrality twin (operators/graph.
+    stress_centrality): per-source BFS σ counts + DAG path tally
+    P(v) = Σ_succ (1 + P(w)), stress(v) = Σ_s σ_sv·P_s(v). Sorted
+    (node, stress), zero rows dropped (matching the engine's
+    join-only materialization)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for a, b in {(int(a), int(b)) for a, b in edges if a != b}:
+        adj[a].append(b)
+    stress: dict = defaultdict(int)
+    for s in sorted(set(int(x) for x in sources)):
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        q = deque([s])
+        order = []
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        p: dict = defaultdict(int)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist.get(w) == dist[u] + 1:
+                    p[u] += 1 + p[w]
+        for v in dist:
+            if v != s and p[v] > 0:
+                stress[v] += sigma[v] * p[v]
+    return sorted((v, c) for v, c in stress.items() if c > 0)

@@ -9910,6 +9910,31 @@ ORDER BY seg_a, seg_b
 """
 
 
+_STRESS_SOURCES = [3, 17, 41, 59, 88]
+
+
+def q_stress(spark, sf_dir):
+    """Sampled stress centrality (operators/graph.stress_centrality)
+    over the closed-form hash graph: exact int64 shortest-path COUNTS
+    through each node (the oracle-compatible cousin of betweenness —
+    σ-ratio accumulation is float and partitioning-ordered, path
+    counting is order-free). Forward BFS σ wave + backward DAG tally,
+    both frontier joins. Oracle: independent pyref BFS twin."""
+    from osm2geojson_spark.operators.graph import stress_centrality
+
+    return (stress_centrality(_r5_hash_edges(spark), _STRESS_SOURCES)
+            .orderBy("node"))
+
+
+def _sql_stress() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_stress(
+        pyref.hash_graph(_R5_GRAPH_N, _R5_GRAPH_E), _STRESS_SOURCES)
+    return pyref.values_sql(
+        rows, [("node", "BIGINT"), ("stress", "BIGINT")]) + " ORDER BY node"
+
+
 _HEAD_50 = [
     "pricing_summary", "window_topk", "asof_join", "sessionize",
     "grouping_sets",
@@ -10101,6 +10126,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "closeness": q_closeness,
         "segment_intersections": q_segment_intersections,
+        "stress": q_stress,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10324,6 +10350,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "attribution": _sql_attribution(),
         "closeness": _sql_closeness(),
         "segment_intersections": _sql_segment_intersections(),
+        "stress": _sql_stress(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

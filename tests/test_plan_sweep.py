@@ -41,6 +41,7 @@ WINDOW_WHITELIST = {
 # compressed PAV blocks, byte-budgeted split fragments, id bounds):
 COLLECT_WHITELIST = {
     "operators/bloom.py": 1,      # sketch params row
+    "operators/graph.py": 1,      # stress max-dist scalar (O(1))
     "operators/bpe.py": 1,        # per-round merge winner (O(1))
     "operators/images.py": 1,     # min/max image_id → rank-bucket LCP
     "operators/isotonic.py": 1,   # compressed PAV blocks (bounded)

@@ -462,3 +462,38 @@ class TestCusumMeanCentered:
         want = {(i, w) for i, w in enumerate(walk) if abs(w) > 30}
         got = {(r["i"], r["cusum"]) for r in out}
         assert got == want and len(got) > 0
+
+
+class TestStress:
+    def test_path_graph_hand(self, spark):
+        from osm2geojson_spark.operators.graph import stress_centrality
+
+        # directed path 0->1->2->3 from source 0: paths through 1:
+        # 0-1-2, 0-1-2-3 => 2; through 2: 0-1-2-3 => 1; 3 interior of
+        # nothing
+        e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+        out = {r["node"]: r["stress"]
+               for r in stress_centrality(e, [0]).collect()}
+        assert out == {1: 2, 2: 1}
+
+    def test_diamond_sigma(self, spark):
+        from osm2geojson_spark.operators.graph import stress_centrality
+
+        # diamond 0->{1,2}->3->4: sigma(3)=2; through 3: 2 paths to 4
+        # => sigma*P = 2*1 = 2; through 1: paths 0-1-3, 0-1-3-4 => 2
+        e = _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+        out = {r["node"]: r["stress"]
+               for r in stress_centrality(e, [0]).collect()}
+        assert out == {1: 2, 2: 2, 3: 2, 4: 0} or out == {1: 2, 2: 2,
+                                                          3: 2}
+
+    def test_pyref_parity(self, spark):
+        from osm2geojson_spark import pyref
+        from osm2geojson_spark.operators.graph import stress_centrality
+
+        g = pyref.hash_graph(29, 80)
+        srcs = [1, 5, 9]
+        got = sorted(
+            (r["node"], r["stress"])
+            for r in stress_centrality(_edges(spark, g), srcs).collect())
+        assert got == pyref.ref_stress(g, srcs)

@@ -20,7 +20,9 @@ AND 5-min < ~1-2 (CLAUDE.md discipline).
 Usage: python tools/hydro_scale_bench.py [tiles_per_side] [tile_size]
   (default 8 128 → 1024² = 1.05M pixels)
 Env: SCALE_REPS (default 2), SCALE_LEVELS (default "8,32"),
-     SCALE_OPS (default "watershed,cost")
+     SCALE_OPS (default "watershed,cost"), SCALE_SOURCES (costmatrix
+     seed count, default 16 — the full-relax mode parallelizes over
+     sources, so scaling past N cores needs >= N sources)
 """
 
 from __future__ import annotations
@@ -72,9 +74,10 @@ for op in ops:
                 grid_block_part, travel_time_matrix_delta)
             import os as _os
             blk = int(_os.environ.get("SCALE_BLOCK", str(t)))
+            nsrc = int(_os.environ.get("SCALE_SOURCES", "16"))
             df = travel_time_matrix_delta(
-                cost_edges(tiles, t, w, w), _spread_sources(w, 16),
-                part=grid_block_part(w, blk))
+                cost_edges(tiles, t, w, w), _spread_sources(w, nsrc),
+                part=grid_block_part(w, blk), src_groups=nsrc)
         else:
             df = cost_distance(tiles, t, w, w, source=0)
         df.write.format("noop").mode("overwrite").save()
