@@ -271,3 +271,29 @@ def cusum_alerts(
                 "CAST(_num AS DOUBLE)"
                 " / (CAST(_cn AS DOUBLE) * 1000000.0E0)"))
             .drop("_ck", "_cn", "_cs", "_run", "_i", "_num"))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    okey_col: str,
+    value_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """OHLC resampling → one row per ``(key, bucket)``:
+    ``(key, bucket, open, high, low, close, n)`` — the candlestick /
+    metric-rollup primitive. ``okey_col`` is a caller-built UNIQUE
+    int64 order key (e.g. ``sec·10⁷ + event_id`` — encoding the
+    tie-break into one integer keeps open/close deterministic under
+    any partitioning AND lets the DuckDB twin use the same
+    ``min_by``/``max_by`` pair; struct-ordered arg-extremes don't
+    exist portably). ONE groupBy shuffle, all aggregates map-side
+    combinable."""
+    return (
+        df.groupBy(F.col(key_col).alias("key"),
+                   F.col(bucket_col).alias("bucket"))
+        .agg(F.expr(f"min_by({value_col}, {okey_col})").alias("open"),
+             F.max(value_col).alias("high"),
+             F.min(value_col).alias("low"),
+             F.expr(f"max_by({value_col}, {okey_col})").alias("close"),
+             F.count("*").alias("n")))

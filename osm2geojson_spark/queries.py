@@ -9935,6 +9935,44 @@ def _sql_stress() -> str:
         rows, [("node", "BIGINT"), ("stress", "BIGINT")]) + " ORDER BY node"
 
 
+def q_ohlc(spark, sf_dir):
+    """Daily OHLC bars (operators/timeseries.ohlc_bars) per event type:
+    open/high/low/close/n per (type, day) with the open/close
+    tie-break encoded into one unique int64 order key
+    (sec·10⁷ + event_id) so min_by/max_by are deterministic and the
+    DuckDB twin is the literal same aggregate pair."""
+    from osm2geojson_spark.operators.timeseries import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("sec"))
+    ev = ev.select(
+        "event_type", "value",
+        F.expr("sec div 86400").alias("day"),
+        F.expr("sec * 10000000 + event_id").alias("okey"))
+    return (ohlc_bars(ev, "event_type", "okey", "value", "day")
+            .orderBy("key", "bucket"))
+
+
+def _sql_ohlc() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+         ((CAST(floor(epoch(ts)) AS BIGINT) * 10000000) + event_id)
+           AS okey
+  FROM events)
+SELECT event_type AS key, day AS bucket,
+       min_by(value, okey) AS open, MAX(value) AS high,
+       MIN(value) AS low, max_by(value, okey) AS close,
+       COUNT(*) AS n
+FROM ev
+GROUP BY event_type, day
+ORDER BY key, bucket
+"""
+
+
 _HEAD_50 = [
     "pricing_summary", "window_topk", "asof_join", "sessionize",
     "grouping_sets",
@@ -10127,6 +10165,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "segment_intersections": q_segment_intersections,
         "stress": q_stress,
+        "ohlc": q_ohlc,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10351,6 +10390,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "closeness": _sql_closeness(),
         "segment_intersections": _sql_segment_intersections(),
         "stress": _sql_stress(),
+        "ohlc": _sql_ohlc(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

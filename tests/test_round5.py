@@ -497,3 +497,19 @@ class TestStress:
             (r["node"], r["stress"])
             for r in stress_centrality(_edges(spark, g), srcs).collect())
         assert got == pyref.ref_stress(g, srcs)
+
+
+class TestOhlc:
+    def test_hand_bars(self, spark):
+        from osm2geojson_spark.operators.timeseries import ohlc_bars
+
+        rows = [("k", 0, 10, 5.0), ("k", 0, 11, 9.0), ("k", 0, 12, 2.0),
+                ("k", 1, 13, 7.0)]
+        df = spark.createDataFrame(
+            rows, "key string, day long, okey long, v double")
+        out = {r["bucket"]: r for r in ohlc_bars(
+            df, "key", "okey", "v", "day").collect()}
+        b0 = out[0]
+        assert (b0["open"], b0["high"], b0["low"], b0["close"],
+                b0["n"]) == (5.0, 9.0, 2.0, 2.0, 3)
+        assert out[1]["open"] == out[1]["close"] == 7.0
