@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "otsu_threshold", "exact_quantiles", "ks_2samp",
            "mann_whitney_u", "iqr_outliers", "spearman_rho",
-           "two_prop_ztest", "welch_ttest", "psi_buckets"]
+           "two_prop_ztest", "welch_ttest", "psi_buckets",
+           "kendall_tau", "mann_kendall"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -446,3 +447,175 @@ def psi_buckets(df: DataFrame, value_col: str, group_col: str, g1, g2,
             .select("bucket", "n1", "n2",
                     F.expr("(n1 * 1000000) div t1").alias("p1_ppm"),
                     F.expr("(n2 * 1000000) div t2").alias("p2_ppm")))
+
+
+def _dominance_cells(x, y, c) -> int:
+    """Exact weighted strict 2-D dominance count over distinct cells:
+    Σ c_i·c_j over unordered pairs with x_i < x_j AND y_i < y_j.
+
+    Vectorized per distinct-x wave: cells arrive lexsorted by (x, y);
+    each wave queries the cumulative stripe-local y-rank histogram of
+    everything STRICTLY before it (prefix at rank index → count of
+    smaller y), then scatters its own counts in. O(g·Y + m) for g
+    distinct x and Y distinct y in the stripe — no Python-per-pair
+    work. The running total is a Python int (unbounded); per-wave dot
+    products stay in int64 (documented bound: stripe rows < ~3·10⁹)."""
+    import numpy as np
+
+    if len(x) == 0:
+        return 0
+    order = np.lexsort((y, x))
+    xs, ys, cs = x[order], y[order], c[order].astype(np.int64)
+    yvals, yr = np.unique(ys, return_inverse=True)
+    hist = np.zeros(len(yvals) + 1, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+    ends = np.r_[starts[1:], len(xs)]
+    total = 0
+    for s, e in zip(starts, ends):
+        if s:
+            pref = np.cumsum(hist)  # pref[k] = seen cells with yrank < k
+            total += int(np.dot(cs[s:e], pref[yr[s:e]]))
+        np.add.at(hist, yr[s:e] + 1, cs[s:e])
+    return total
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str, *,
+                blocks: int = 32) -> DataFrame:
+    """Kendall tau-b as ONE row ``(n, p, q, tx_only, ty_only, txy,
+    tau_b)`` — EXACT integer pair counts (concordant / discordant /
+    tied-x-only / tied-y-only / tied-both) with NO all-pairs join.
+
+    Decomposition (inclusion–exclusion over equidepth value blocks):
+    rows map to ``blocks`` x-blocks and y-blocks (monotone equidepth
+    over the DISTINCT-value histograms — the spearman/ks window bound,
+    histogram-sized, never row-sized). A concordant pair lives in
+    exactly one of
+      * different x-block AND different y-block → both strict by
+        construction: Σ m_a·m_b over block pairs with ax<bx, ay<by —
+        a k²-row broadcast self-join over the block-count matrix;
+      * same x-block → exact dominance inside the x-stripe;
+      * same y-block → exact dominance inside the y-stripe;
+    with same-x-AND-same-y-block pairs counted by both stripe passes
+    once each, so  P = P_blocks + D_bx + D_by − D_bxby  (the third
+    stripe pass over (x-block, y-block) groups subtracts the overlap).
+    Q and the tie splits then follow algebraically from exact groupBy
+    tie counts: q = n0 − p − tx − ty + b. Only ``tau_b`` is a double
+    (one expression, sqrt correctly rounded).
+
+    Scale shape: one cells groupBy shuffle (distinct (x,y) histogram),
+    three applyInPandas stripe passes over bounded stripes (~cells/k),
+    all scalars crossJoin-broadcast. Columns must be integer-typed
+    (exactness contract; cast upstream). ``kendall_cleanup()`` on the
+    result releases the cells persist."""
+    import pandas as pd
+
+    src = (df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+             .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()))
+    cells = src.groupBy("x", "y").agg(F.count("*").alias("c"))
+
+    def bmap(col: str, alias: str) -> DataFrame:
+        h = cells.select(col).distinct()
+        w = Window.orderBy(col)
+        w_all = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        return (h.select(col, F.row_number().over(w).alias("rn"),
+                         F.count("*").over(w_all).alias("nd"))
+                 .select(col, F.expr(f"((rn - 1) * {int(blocks)}) div nd")
+                         .alias(alias)))
+
+    labeled = (cells.join(bmap("x", "xb"), "x")
+                    .join(bmap("y", "yb"), "y")).persist()
+
+    m = labeled.groupBy("xb", "yb").agg(F.sum("c").alias("m"))
+    a = m.select(F.col("xb").alias("ax"), F.col("yb").alias("ay"),
+                 F.col("m").alias("am"))
+    p_blocks = (a.join(F.broadcast(m),
+                       (F.col("ax") < F.col("xb"))
+                       & (F.col("ay") < F.col("yb")))
+                .agg(F.coalesce(
+                    F.expr("CAST(SUM(CAST(am AS DECIMAL(19,0)) * m)"
+                           " AS BIGINT)"), F.lit(0).cast("long"))
+                    .alias("p_blocks")))
+
+    def _dom_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = _dominance_cells(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                             pdf["c"].to_numpy())
+        return pd.DataFrame({"d": [d]})
+
+    def stripe(keys) -> DataFrame:
+        part = labeled.select("x", "y", "c", *keys).groupBy(*keys)
+        return (part.applyInPandas(_dom_pdf, "d long")
+                .agg(F.coalesce(F.sum("d"), F.lit(0).cast("long"))
+                     .alias("d")))
+
+    d_bx = stripe(["xb"]).withColumnRenamed("d", "d_bx")
+    d_by = stripe(["yb"]).withColumnRenamed("d", "d_by")
+    d_bxby = stripe(["xb", "yb"]).withColumnRenamed("d", "d_bxby")
+
+    ties = labeled.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST(SUM((c * (c - 1)) div 2) AS BIGINT)").alias("b"))
+    tx = (labeled.groupBy("x").agg(F.sum("c").alias("g"))
+          .agg(F.expr("CAST(SUM((g * (g - 1)) div 2) AS BIGINT)")
+               .alias("tx")))
+    ty = (labeled.groupBy("y").agg(F.sum("c").alias("g"))
+          .agg(F.expr("CAST(SUM((g * (g - 1)) div 2) AS BIGINT)")
+               .alias("ty")))
+
+    row = (ties.crossJoin(tx).crossJoin(ty).crossJoin(p_blocks)
+           .crossJoin(d_bx).crossJoin(d_by).crossJoin(d_bxby)
+           .select("n", "tx", "ty", "b",
+                   F.expr("(n * (n - 1)) div 2").alias("n0"),
+                   F.expr("p_blocks + d_bx + d_by - d_bxby").alias("p")))
+    tau = ("CASE WHEN ((n0 - tx) = 0) OR ((n0 - ty) = 0) THEN NULL ELSE"
+           " (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))"
+           " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))"
+           " END")
+    out = (row.withColumn("q", F.expr("n0 - p - tx - ty + b"))
+           .select("n", "p", "q",
+                   F.expr("tx - b").alias("tx_only"),
+                   F.expr("ty - b").alias("ty_only"),
+                   F.col("b").alias("txy"),
+                   F.expr(tau).alias("tau_b")))
+
+    def _cleanup(blocking: bool = False) -> int:
+        labeled.unpersist(blocking)
+        return 1
+
+    out.kendall_cleanup = _cleanup
+    return out
+
+
+def mann_kendall(df: DataFrame, time_col: str, value_col: str, *,
+                 blocks: int = 32) -> DataFrame:
+    """Mann–Kendall trend test as ONE row ``(n, s, var18, z)`` — the
+    monotone-trend gate over a time series. ``s = P − Q`` rides the
+    exact kendall_tau pair counts with x = time; duplicate timestamps
+    are collapsed first (min value per instant — the standard
+    unique-times MK precondition, and what makes the classic
+    value-ties-only variance formula exact): ``var18 = n(n−1)(2n+5) −
+    Σ_g g(g−1)(2g+5)`` over value tie groups (18× the variance, kept
+    integer). ``z`` applies the ±1 continuity correction in one double
+    expression. Same scale shape as kendall_tau."""
+    series = (df.where(F.col(time_col).isNotNull()
+                       & F.col(value_col).isNotNull())
+              .groupBy(F.col(time_col).alias("t"))
+              .agg(F.min(value_col).alias("v")))
+    kt = kendall_tau(series, "t", "v", blocks=blocks)
+    ties = (series.groupBy("v").agg(F.count("*").alias("g"))
+            .agg(F.coalesce(
+                F.expr("CAST(SUM(g * (g - 1) * (2 * g + 5)) AS BIGINT)"),
+                F.lit(0).cast("long")).alias("tie18")))
+    z = ("CASE WHEN var18 <= 0 THEN NULL"
+         " WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0E0)"
+         " / sqrt(CAST(var18 AS DOUBLE) / 18.0E0)"
+         " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0E0)"
+         " / sqrt(CAST(var18 AS DOUBLE) / 18.0E0)"
+         " ELSE 0.0E0 END")
+    out = (kt.crossJoin(ties)
+           .select("n", F.expr("p - q").alias("s"),
+                   F.expr("(n * (n - 1)) * (2 * n + 5) - tie18")
+                   .alias("var18"))
+           .select("n", "s", "var18", F.expr(z).alias("z")))
+    out.kendall_cleanup = kt.kendall_cleanup
+    return out

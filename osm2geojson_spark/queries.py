@@ -9973,6 +9973,117 @@ ORDER BY key, bucket
 """
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b (operators/stats.kendall_tau) between quantity and
+    price-bucket on a deterministic 1/37 order slice — EXACT pair
+    counts (concordant/discordant/tie splits) with NO all-pairs join:
+    equidepth block inclusion–exclusion (P = blocks + x-stripes +
+    y-stripes − both-stripes) over the distinct-cell histogram. The
+    oracle brute-forces the same slice all-pairs (the slice keeps it
+    ~1.3M pairs); FLOOR casts both sides (double→long cast truncates in
+    Spark and rounds in DuckDB — determinism rules)."""
+    from osm2geojson_spark.operators.stats import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").where("(l_orderkey % 37) = 0") \
+        .select(
+            F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("qx"),
+            F.expr("CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT)")
+            .alias("qy"))
+    return kendall_tau(li, "qx", "qy")
+
+
+def _sql_kendall() -> str:
+    return """
+WITH s AS (
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS y,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rid
+  FROM lineitem
+  WHERE (((l_orderkey % 37) = 0) AND (l_quantity IS NOT NULL)
+         AND (l_extendedprice IS NOT NULL))),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN (((a.x < b.x) AND (a.y < b.y))
+                        OR ((a.x > b.x) AND (a.y > b.y)))
+             THEN 1 ELSE 0 END) AS BIGINT) AS p,
+    CAST(SUM(CASE WHEN (((a.x < b.x) AND (a.y > b.y))
+                        OR ((a.x > b.x) AND (a.y < b.y)))
+             THEN 1 ELSE 0 END) AS BIGINT) AS q,
+    CAST(SUM(CASE WHEN ((a.x = b.x) AND (a.y <> b.y))
+             THEN 1 ELSE 0 END) AS BIGINT) AS tx_only,
+    CAST(SUM(CASE WHEN ((a.x <> b.x) AND (a.y = b.y))
+             THEN 1 ELSE 0 END) AS BIGINT) AS ty_only,
+    CAST(SUM(CASE WHEN ((a.x = b.x) AND (a.y = b.y))
+             THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM s a JOIN s b ON (a.rid < b.rid)),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+SELECT n, p, q, tx_only, ty_only, txy,
+       CASE WHEN ((((n * (n - 1)) // 2) - (tx_only + txy)) = 0)
+            OR ((((n * (n - 1)) // 2) - (ty_only + txy)) = 0)
+            THEN NULL ELSE
+       (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+       / sqrt(CAST(((n * (n - 1)) // 2) - (tx_only + txy) AS DOUBLE)
+              * CAST(((n * (n - 1)) // 2) - (ty_only + txy) AS DOUBLE))
+       END AS tau_b
+FROM agg CROSS JOIN cnt
+"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test (operators/stats.mann_kendall) on the
+    floored event value over epoch seconds, 1/17 event slice —
+    ``s = P − Q`` rides the exact kendall pair counts with x = time
+    (duplicate instants collapsed to min value first, the unique-times
+    MK precondition), ``var18`` is the exact integer tie-corrected
+    variance numerator, ``z`` the ±1-continuity double."""
+    from osm2geojson_spark.operators.stats import mann_kendall
+
+    ev = _t(spark, sf_dir, "events").where("(event_id % 17) = 0").select(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " CAST(ts AS TIMESTAMP_NTZ))").alias("t"),
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("v"))
+    return mann_kendall(ev, "t", "v")
+
+
+def _sql_mann_kendall() -> str:
+    return """
+WITH raw AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(FLOOR(value) AS BIGINT) AS v
+  FROM events
+  WHERE (((event_id % 17) = 0) AND (ts IS NOT NULL)
+         AND (value IS NOT NULL))),
+series AS (SELECT t, MIN(v) AS v FROM raw GROUP BY t),
+s AS (SELECT t, v, ROW_NUMBER() OVER (ORDER BY t) AS rid FROM series),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN (((a.t < b.t) AND (a.v < b.v))
+                        OR ((a.t > b.t) AND (a.v > b.v)))
+             THEN 1 ELSE 0 END) AS BIGINT) AS p,
+    CAST(SUM(CASE WHEN (((a.t < b.t) AND (a.v > b.v))
+                        OR ((a.t > b.t) AND (a.v < b.v)))
+             THEN 1 ELSE 0 END) AS BIGINT) AS q
+  FROM s a JOIN s b ON (a.rid < b.rid)),
+ties AS (
+  SELECT COALESCE(CAST(SUM((g * (g - 1)) * ((2 * g) + 5)) AS BIGINT), 0)
+         AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM series GROUP BY v)),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM series),
+row1 AS (
+  SELECT n, (p - q) AS s,
+         ((n * (n - 1)) * ((2 * n) + 5) - tie18) AS var18
+  FROM agg CROSS JOIN ties CROSS JOIN cnt)
+SELECT n, s, var18,
+       CASE WHEN (var18 <= 0) THEN NULL
+            WHEN (s > 0) THEN (CAST(s AS DOUBLE) - 1.0E0)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0E0)
+            WHEN (s < 0) THEN (CAST(s AS DOUBLE) + 1.0E0)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0E0)
+            ELSE 0.0E0 END AS z
+FROM row1
+"""
+
+
 _HEAD_50 = [
     "pricing_summary", "window_topk", "asof_join", "sessionize",
     "grouping_sets",
@@ -10166,6 +10277,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": q_segment_intersections,
         "stress": q_stress,
         "ohlc": q_ohlc,
+        "kendall": q_kendall,
+        "mann_kendall": q_mann_kendall,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10391,6 +10504,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "segment_intersections": _sql_segment_intersections(),
         "stress": _sql_stress(),
         "ohlc": _sql_ohlc(),
+        "kendall": _sql_kendall(),
+        "mann_kendall": _sql_mann_kendall(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

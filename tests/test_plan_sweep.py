@@ -29,10 +29,11 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 #    exact_quantiles' walk over the bucket histogram (SELF-ENFORCED
 #    ≤ max_buckets by the auto-coarsening ladder), and the ks_2samp /
 #    mann_whitney_u / spearman_rho cumulative-CDF and midrank walks
-#    over the DISTINCT-VALUE histogram (same bound class).
+#    over the DISTINCT-VALUE histogram (same bound class), plus
+#    kendall_tau's equidepth block map over the same histograms.
 WINDOW_WHITELIST = {
     "operators/shards.py": 1,
-    "operators/stats.py": 5,
+    "operators/stats.py": 6,
     "spatial/strpack.py": 1,
 }
 

@@ -513,3 +513,73 @@ class TestOhlc:
         assert (b0["open"], b0["high"], b0["low"], b0["close"],
                 b0["n"]) == (5.0, 9.0, 2.0, 2.0, 3)
         assert out[1]["open"] == out[1]["close"] == 7.0
+
+
+class TestKendall:
+    @staticmethod
+    def _brute(rows):
+        p = q = txo = tyo = txy = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (xa, ya), (xb, yb) = rows[i], rows[j]
+                if xa == xb and ya == yb:
+                    txy += 1
+                elif xa == xb:
+                    txo += 1
+                elif ya == yb:
+                    tyo += 1
+                elif (xa < xb) == (ya < yb):
+                    p += 1
+                else:
+                    q += 1
+        return p, q, txo, tyo, txy
+
+    def _check(self, spark, rows, blocks):
+        from osm2geojson_spark.operators.stats import kendall_tau
+
+        df = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in rows], "x long, y long")
+        out = kendall_tau(df, "x", "y", blocks=blocks)
+        got = out.collect()[0]
+        out.kendall_cleanup()
+        p, q, txo, tyo, txy = self._brute(rows)
+        assert (got["n"], got["p"], got["q"], got["tx_only"],
+                got["ty_only"], got["txy"]) == (len(rows), p, q,
+                                                txo, tyo, txy)
+        return got
+
+    def test_tie_heavy_vs_brute_force(self, spark):
+        # deterministic hash series with heavy ties in BOTH columns and
+        # repeated cells (txy > 0); block count smaller than, equal to
+        # and larger than the distinct-value count all agree
+        rows = [((i * 37 + 11) % 7, (i * 101 + 5) % 9) for i in range(80)]
+        got = self._check(spark, rows, blocks=4)
+        assert got["txy"] > 0 and got["tx_only"] > 0
+        for blocks in (1, 9, 64):
+            self._check(spark, rows, blocks=blocks)
+
+    def test_perfect_orders(self, spark):
+        got = self._check(spark, [(i, i * 2) for i in range(25)], 4)
+        assert got["tau_b"] == 1.0
+        got = self._check(spark, [(i, -i) for i in range(25)], 4)
+        assert got["tau_b"] == -1.0
+
+    def test_degenerate_constant_column(self, spark):
+        got = self._check(spark, [(1, i) for i in range(10)], 4)
+        assert got["tau_b"] is None and got["tx_only"] == 45
+
+    def test_mann_kendall_collapses_duplicate_instants(self, spark):
+        # rising series with one duplicated timestamp: MK must collapse
+        # to min value per instant, then S over the 5 unique times
+        from osm2geojson_spark.operators.stats import mann_kendall
+
+        df = spark.createDataFrame(
+            [(0, 3), (1, 5), (2, 7), (2, 100), (3, 7), (4, 9)],
+            "t long, v long")
+        got = mann_kendall(df, "t", "v").collect()[0]
+        # series: (0,3)(1,5)(2,7)(3,7)(4,9): p=9, q=0, s=9
+        assert got["n"] == 5 and got["s"] == 9
+        # var18 = 5*4*15 - one tie pair (g=2): 2*1*9 = 282
+        assert got["var18"] == 300 - 18
+        import math
+        assert got["z"] == (9.0 - 1.0) / math.sqrt(282.0 / 18.0)
