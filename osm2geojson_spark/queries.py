@@ -9973,6 +9973,61 @@ ORDER BY key, bucket
 """
 
 
+def q_getis(spark, sf_dir):
+    """Getis–Ord Gi* hotspots (spatial/autocorr.getis_gi_star): the
+    local-hotspot z-score per pixel over the tiled DEM — one focal
+    halo-exchange pass for the 3×3 window sum, one broadcast row of
+    exact global power sums, z as a single double expression over
+    exact int64 inputs. Returns the |z| ≥ 1.5 hot/cold cells. Oracle =
+    9 clamped closed-form DEM terms + grid-wide aggregates, no join
+    (the focal-family discipline)."""
+    from osm2geojson_spark.spatial.autocorr import getis_gi_star
+    from osm2geojson_spark.spatial.focal import synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    out = getis_gi_star(tiles, t)
+    return (out.where("(z >= 1.5) OR (z <= -1.5)")
+            .orderBy("y", "x"))
+
+
+def _sql_getis() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    terms = " + ".join(v(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    val = v(0, 0)
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y),
+px AS (SELECT x, y, ({terms}) AS wx, ({val}) AS val FROM xs, ys),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(val * val) AS BIGINT) AS q
+  FROM px),
+scored AS (
+  SELECT px.x, px.y, px.wx,
+         ((g.n * px.wx) - (9 * g.s)) AS a,
+         CASE WHEN (((g.n * g.q) - (g.s * g.s)) <= 0) OR (g.n <= 9)
+              THEN NULL
+              ELSE CAST((g.n * px.wx) - (9 * g.s) AS DOUBLE)
+              / sqrt(CAST((g.n * g.q) - (g.s * g.s) AS DOUBLE)
+                     * CAST((9 * g.n) - 81 AS DOUBLE)
+                     / CAST(g.n - 1 AS DOUBLE)) END AS z
+  FROM px CROSS JOIN g)
+SELECT x, y, wx, a, z
+FROM scored
+WHERE ((z >= 1.5) OR (z <= -1.5))
+ORDER BY y, x
+"""
+
+
 def q_kendall(spark, sf_dir):
     """Kendall tau-b (operators/stats.kendall_tau) between quantity and
     price-bucket on a deterministic 1/37 order slice — EXACT pair
@@ -10279,6 +10334,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "kendall": q_kendall,
         "mann_kendall": q_mann_kendall,
+        "getis_hotspots": q_getis,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10506,6 +10562,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "ohlc": _sql_ohlc(),
         "kendall": _sql_kendall(),
         "mann_kendall": _sql_mann_kendall(),
+        "getis_hotspots": _sql_getis(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

@@ -34,7 +34,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["moran_zone_stats"]
+__all__ = ["moran_zone_stats", "getis_gi_star"]
 
 _CENTER, _FROM_EAST, _FROM_SOUTH = 0, 1, 2
 
@@ -126,3 +126,63 @@ def moran_zone_stats(tiles: DataFrame, tile_size: int,
         F.expr(f"CAST(({d.format('1000000')} * (n - 1) * n * n * e_d2)"
                f" div (w * {den}) AS BIGINT)").alias("geary_ppm"),
     )
+
+
+def getis_gi_star(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """Getis–Ord Gi* local hotspot statistic per pixel over
+    ``(tx, ty, data array<long>)`` tiles → ``(x, y, wx, a, z)``.
+
+    Binary 3×3 weights INCLUDING self (the * variant); boundary
+    semantics are the focal family's GDAL-style edge replication, so
+    every pixel has exactly 9 (clamped) samples and the weight sum is
+    the constant 9 — the property that keeps both the Spark plan (one
+    halo-exchange focal pass) and the DuckDB oracle (9 clamped
+    closed-form terms, no join) exact.
+
+    Exact integer core: ``wx = Σ_{3×3} x_j`` (the focal sum) and
+    ``a = n·wx − 9·s`` (the n-scaled mean-centered numerator); with
+    ``b = n·q − s²`` and the constant ``c = 9·n − 81``,
+
+        z = a / sqrt(b·c/(n−1))
+
+    is the classic Gi* z-score — ONE double expression over exact
+    int64 inputs (identical IEEE ops in any engine; b, a stay below
+    2⁵³ for rasters up to ~10⁹ px of 16-bit values, documented bound).
+    Scale shape: the focal halo shuffle + a one-row broadcast of the
+    global power sums; nothing else."""
+    from osm2geojson_spark.spatial.focal import focal_op
+
+    t = int(tile_size)
+    tiles = tiles.persist()
+    acc = "CAST(0 AS BIGINT)"
+    globals_row = tiles.select(
+        F.expr("CAST(size(data) AS BIGINT)").alias("n_t"),
+        F.expr(f"aggregate(data, {acc}, (a, v) -> a + v)").alias("s_t"),
+        F.expr(f"aggregate(data, {acc}, (a, v) -> a + v * v)")
+        .alias("q_t"),
+    ).agg(F.sum("n_t").alias("n"), F.sum("s_t").alias("s"),
+          F.sum("q_t").alias("q"))
+    focal = focal_op(tiles, op="sum3", tile_size=t)
+    px = (focal.select(
+            "tx", "ty", F.posexplode("data").alias("i", "wx"))
+          .select(
+              (F.col("tx") * t + F.col("i") % t).alias("x"),
+              (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+              .cast("long").alias("y"),
+              "wx"))
+    z = ("CASE WHEN (((n * q) - (s * s)) <= 0) OR (n <= 9) THEN NULL"
+         " ELSE CAST((n * wx) - (9 * s) AS DOUBLE)"
+         " / sqrt(CAST((n * q) - (s * s) AS DOUBLE)"
+         " * CAST((9 * n) - 81 AS DOUBLE)"
+         " / CAST(n - 1 AS DOUBLE)) END")
+    out = (px.crossJoin(F.broadcast(globals_row))
+           .select("x", "y", "wx",
+                   F.expr("(n * wx) - (9 * s)").alias("a"),
+                   F.expr(z).alias("z")))
+
+    def _cleanup(blocking: bool = False) -> int:
+        tiles.unpersist(blocking)
+        return 1
+
+    out.gi_cleanup = _cleanup
+    return out

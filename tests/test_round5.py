@@ -583,3 +583,55 @@ class TestKendall:
         assert got["var18"] == 300 - 18
         import math
         assert got["z"] == (9.0 - 1.0) / math.sqrt(282.0 / 18.0)
+
+
+class TestGetisGiStar:
+    def test_vs_numpy_padded_reference(self, spark):
+        # hash-valued 16x16 raster in 4 tiles: z must equal the padded
+        # single-array reference at every pixel (different substrate
+        # than the closed-form DEM the catalog oracle uses)
+        import math
+
+        import numpy as np
+
+        from osm2geojson_spark.spatial.autocorr import getis_gi_star
+
+        t, nt = 8, 2
+        side = t * nt
+        grid = np.array([[(x * 31 + y * 57) % 23 + ((x * x + y) % 5)
+                          for x in range(side)] for y in range(side)],
+                        dtype=np.int64)
+        rows = []
+        for ty in range(nt):
+            for tx in range(nt):
+                tile = grid[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+                rows.append((tx, ty, [int(v) for v in tile.ravel()]))
+        tiles = spark.createDataFrame(
+            rows, "tx long, ty long, data array<long>")
+        out = getis_gi_star(tiles, t)
+        got = {(r["x"], r["y"]): (r["wx"], r["a"], r["z"])
+               for r in out.collect()}
+        out.gi_cleanup()
+
+        pad = np.pad(grid, 1, mode="edge")
+        n = side * side
+        s = int(grid.sum())
+        q = int((grid.astype(object) ** 2).sum())
+        assert len(got) == n
+        for y in range(side):
+            for x in range(side):
+                wx = int(pad[y:y + 3, x:x + 3].sum())
+                a = n * wx - 9 * s
+                z = a / math.sqrt((n * q - s * s) * (9 * n - 81) / (n - 1))
+                gwx, ga, gz = got[(x, y)]
+                assert (gwx, ga) == (wx, a), (x, y)
+                assert gz == pytest.approx(z, rel=1e-12), (x, y)
+
+    def test_constant_raster_null_z(self, spark):
+        from osm2geojson_spark.spatial.autocorr import getis_gi_star
+
+        tiles = spark.createDataFrame(
+            [(0, 0, [7] * 16)], "tx long, ty long, data array<long>")
+        out = getis_gi_star(tiles, 4)
+        assert all(r["z"] is None for r in out.collect())
+        out.gi_cleanup()
