@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components", "hits", "label_propagation",
            "degree_assortativity", "modularity", "closeness_centrality",
-           "stress_centrality"]
+           "stress_centrality", "eccentricity_sample"]
 
 
 def pagerank(
@@ -791,3 +791,26 @@ def stress_centrality(edges: DataFrame, sources: list,
     e.unpersist()
     dag.unpersist()
     return out
+
+
+def eccentricity_sample(edges: DataFrame, sources: list,
+                        **matrix_kwargs) -> DataFrame:
+    """Sampled weighted eccentricity → ``(src, n_reached, ecc)`` plus
+    the running ``diam_lb`` (the max eccentricity over the sample — the
+    classic double-sweep diameter LOWER bound; exact diameter is
+    all-pairs and off the table at scale by design).
+
+    Same substrate as :func:`closeness_centrality`: one Δ-stepping
+    multi-source matrix over the seed set, then one metadata-sized
+    aggregate per source — all int64, no floats anywhere, so the
+    oracle discipline is trivial. Seeds are the caller's sampling
+    policy (landmarks / stratified), the per-seed cost is one SSSP."""
+    from osm2geojson_spark.spatial.route import travel_time_matrix_delta
+
+    m = travel_time_matrix_delta(edges, sources, **matrix_kwargs)
+    per_src = (m.groupBy("src")
+               .agg(F.count("*").alias("n_reached"),
+                    F.max("dist").alias("ecc")))
+    lb = per_src.agg(F.max("ecc").alias("diam_lb"))
+    return per_src.crossJoin(F.broadcast(lb)) \
+                  .select("src", "n_reached", "ecc", "diam_lb")

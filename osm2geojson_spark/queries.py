@@ -9973,6 +9973,39 @@ ORDER BY key, bucket
 """
 
 
+_ECC_SOURCES = [(i * 131 + 7) % 576 for i in range(12)]
+
+
+def q_eccentricity(spark, sf_dir):
+    """Sampled weighted eccentricity + diameter lower bound
+    (operators/graph.eccentricity_sample) for 12 seeds on the 24×24
+    grid road network — the Δ-stepping multi-source matrix reduced by
+    a per-source max; diam_lb broadcast back onto every row. All
+    int64. Oracle = independent pyref heap Dijkstra, same reduction."""
+    from osm2geojson_spark.operators.graph import eccentricity_sample
+    from osm2geojson_spark.spatial.route import grid_edges
+
+    return (eccentricity_sample(grid_edges(spark, _ROUTE_N),
+                                _ECC_SOURCES)
+            .orderBy("src"))
+
+
+def _sql_eccentricity() -> str:
+    from osm2geojson_spark import pyref
+
+    m = pyref.ref_travel_matrix(_ROUTE_N, _ECC_SOURCES)
+    agg: dict = {}
+    for s, _node, d in m:
+        n, e = agg.get(s, (0, 0))
+        agg[s] = (n + 1, max(e, d))
+    diam_lb = max(e for _n, e in agg.values())
+    rows = [(s, n, e, diam_lb) for s, (n, e) in sorted(agg.items())]
+    return pyref.values_sql(
+        rows, [("src", "BIGINT"), ("n_reached", "BIGINT"),
+               ("ecc", "BIGINT"), ("diam_lb", "BIGINT")]) \
+        + " ORDER BY src"
+
+
 def q_getis(spark, sf_dir):
     """Getis–Ord Gi* hotspots (spatial/autocorr.getis_gi_star): the
     local-hotspot z-score per pixel over the tiled DEM — one focal
@@ -10335,6 +10368,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall": q_kendall,
         "mann_kendall": q_mann_kendall,
         "getis_hotspots": q_getis,
+        "eccentricity": q_eccentricity,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10563,6 +10597,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "kendall": _sql_kendall(),
         "mann_kendall": _sql_mann_kendall(),
         "getis_hotspots": _sql_getis(),
+        "eccentricity": _sql_eccentricity(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

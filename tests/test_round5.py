@@ -635,3 +635,17 @@ class TestGetisGiStar:
         out = getis_gi_star(tiles, 4)
         assert all(r["z"] is None for r in out.collect())
         out.gi_cleanup()
+
+
+class TestEccentricity:
+    def test_weighted_path_graph(self, spark):
+        # path 0-1-2-3 with weights 2,3,5 (both directions):
+        # ecc(0)=10, ecc(3)=10, diam_lb=10
+        from osm2geojson_spark.operators.graph import eccentricity_sample
+
+        edges = spark.createDataFrame(
+            [(0, 1, 2), (1, 0, 2), (1, 2, 3), (2, 1, 3),
+             (2, 3, 5), (3, 2, 5)], "src long, dst long, w long")
+        got = {r["src"]: (r["n_reached"], r["ecc"], r["diam_lb"])
+               for r in eccentricity_sample(edges, [0, 3]).collect()}
+        assert got == {0: (4, 10, 10), 3: (4, 10, 10)}
