@@ -2402,3 +2402,70 @@ def ref_stress(edges: "list[tuple]", sources: "list[int]"
             if v != s and p[v] > 0:
                 stress[v] += sigma[v] * p[v]
     return sorted((v, c) for v, c in stress.items() if c > 0)
+
+
+def ref_traj_lcss(n_objs: int = 60, m: int = 24, group_mod: int = 6,
+                  eps_sq: int = 0) -> "list[tuple]":
+    """Twin of the ``trajectory_lcss`` catalog query: same int-lattice
+    synth as queries._haus_points, but LCSS/EDR run as MEMOIZED
+    RECURSION over prefix lengths from the (end,end) corner (the
+    engine rolls rows forward — different evaluation order, same
+    integers). Returns sorted
+    [(id_a, id_b, lcss_len, lcss_ppm, edr_dist)]."""
+    import sys
+
+    lon_mul, lat_mul = 2654435761, 2246822519
+
+    def pts(obj):
+        return [(((obj * 31 + i * 17 + 3) * lon_mul) % 1_000_000,
+                 ((obj * 29 + i * 13 + 11) * lat_mul) % 1_000_000)
+                for i in range(m)]
+
+    def solve(pa, pb):
+        match = [[(ax - bx) ** 2 + (ay - by) ** 2 <= eps_sq
+                  for bx, by in pb] for ax, ay in pa]
+        memo_l: "dict[tuple, int]" = {}
+        memo_e: "dict[tuple, int]" = {}
+
+        def lcss(i, j):
+            if i == 0 or j == 0:
+                return 0
+            if (i, j) in memo_l:
+                return memo_l[(i, j)]
+            if match[i - 1][j - 1]:
+                v = lcss(i - 1, j - 1) + 1
+            else:
+                v = max(lcss(i - 1, j), lcss(i, j - 1))
+            memo_l[(i, j)] = v
+            return v
+
+        def edr(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            if (i, j) in memo_e:
+                return memo_e[(i, j)]
+            v = min(edr(i - 1, j - 1)
+                    + (0 if match[i - 1][j - 1] else 1),
+                    edr(i - 1, j) + 1, edr(i, j - 1) + 1)
+            memo_e[(i, j)] = v
+            return v
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 4 * (len(pa) + len(pb)) + 100))
+        try:
+            return lcss(len(pa), len(pb)), edr(len(pa), len(pb))
+        finally:
+            sys.setrecursionlimit(old)
+
+    out = []
+    for a in range(n_objs):
+        for b in range(a + 1, n_objs):
+            if a % group_mod != b % group_mod:
+                continue
+            pa, pb = pts(a), pts(b)
+            ll, ed = solve(pa, pb)
+            out.append((a, b, ll, ll * 1_000_000 // min(len(pa), len(pb)),
+                        ed))
+    return sorted(out)

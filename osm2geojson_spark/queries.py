@@ -9973,6 +9973,39 @@ ORDER BY key, bucket
 """
 
 
+_LCSS_EPS_SQ = 30_000_000_000  # ε ≈ 173k on the 1M lattice
+
+
+def q_trajectory_lcss(spark, sf_dir):
+    """Threshold-based trajectory similarity: exact-integer LCSS match
+    length (+ ppm of min length) and EDR edit distance over the same
+    candidate pairs as ``trajectory_dtw`` — the robust family (an
+    outlier ping costs 1, not its squared distance). Same mapInPandas
+    DP kernel shape; oracle = pyref memoized-recursion literal table
+    (different evaluation order, same integers)."""
+    from osm2geojson_spark.spatial.dtw import lcss_similarity_pairs
+    from osm2geojson_spark.spatial.hausdorff import collect_geoms
+
+    geoms = collect_geoms(_haus_points(spark))
+    objs = geoms.select("obj_id")
+    pairs = (objs.select(F.col("obj_id").alias("id_a"))
+             .join(objs.select(F.col("obj_id").alias("id_b")),
+                   F.expr("id_a < id_b AND (id_a % 6) = (id_b % 6)")))
+    return (lcss_similarity_pairs(geoms, pairs, _LCSS_EPS_SQ)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_trajectory_lcss() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_traj_lcss(n_objs=_HAUS_OBJS, m=_HAUS_PTS,
+                               group_mod=6, eps_sq=_LCSS_EPS_SQ)
+    return pyref.values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+               ("lcss_len", "BIGINT"), ("lcss_ppm", "BIGINT"),
+               ("edr_dist", "BIGINT")]) + " ORDER BY id_a, id_b"
+
+
 _ECC_SOURCES = [(i * 131 + 7) % 576 for i in range(12)]
 
 
@@ -10369,6 +10402,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "getis_hotspots": q_getis,
         "eccentricity": q_eccentricity,
+        "trajectory_lcss": q_trajectory_lcss,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10598,6 +10632,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "mann_kendall": _sql_mann_kendall(),
         "getis_hotspots": _sql_getis(),
         "eccentricity": _sql_eccentricity(),
+        "trajectory_lcss": _sql_trajectory_lcss(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

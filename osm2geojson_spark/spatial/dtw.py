@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dtw_int", "frechet_int", "trajectory_similarity_pairs"]
+__all__ = ["dtw_int", "frechet_int", "trajectory_similarity_pairs",
+           "lcss_int", "edr_int", "lcss_similarity_pairs"]
 
 
 def _costs(pa, pb) -> "list[list[int]]":
@@ -95,5 +96,74 @@ def trajectory_similarity_pairs(geoms: DataFrame,
                              frechet_int(pa, pb)))
             yield pd.DataFrame(rows, columns=[
                 "id_a", "id_b", "dtw_sq_sum", "frechet_sq"])
+
+    return j.mapInPandas(run, out_schema)
+
+
+def lcss_int(pa: "list[tuple]", pb: "list[tuple]", eps_sq: int) -> int:
+    """Longest common subsequence under an ε-match (squared-distance
+    threshold, exact ints): dp[i][j] = dp[i-1][j-1]+1 on match else
+    max(↑, ←). Rolling row; returns the match length."""
+    c = _costs(pa, pb)
+    m = len(pb)
+    prev = [0] * (m + 1)
+    for i in range(len(pa)):
+        cur = [0] * (m + 1)
+        for j in range(m):
+            if c[i][j] <= eps_sq:
+                cur[j + 1] = prev[j] + 1
+            else:
+                cur[j + 1] = max(prev[j + 1], cur[j])
+        prev = cur
+    return prev[m]
+
+
+def edr_int(pa: "list[tuple]", pb: "list[tuple]", eps_sq: int) -> int:
+    """Edit Distance on Real sequences (Chen et al.): unit-cost
+    insert/delete/substitute with a free ε-match — the robust
+    companion to DTW (outliers cost 1, not their squared distance).
+    dp[i][j] = min(↖ + (0 if match else 1), ↑+1, ←+1)."""
+    c = _costs(pa, pb)
+    m = len(pb)
+    prev = list(range(m + 1))
+    for i in range(len(pa)):
+        cur = [i + 1] + [0] * m
+        for j in range(m):
+            sub = prev[j] + (0 if c[i][j] <= eps_sq else 1)
+            cur[j + 1] = min(sub, prev[j + 1] + 1, cur[j] + 1)
+        prev = cur
+    return prev[m]
+
+
+def lcss_similarity_pairs(geoms: DataFrame, pairs: DataFrame,
+                          eps_sq: int) -> DataFrame:
+    """(id_a, id_b, lcss_len, lcss_ppm, edr_dist) for candidate pairs —
+    the threshold-based trajectory similarity family (LCSS match
+    length, LCSS similarity as exact integer ppm of min length, EDR).
+    Same contract and kernel shape as trajectory_similarity_pairs."""
+    ga = geoms.select(F.col("obj_id").alias("id_a"),
+                      F.col("pts").alias("pa"))
+    gb = geoms.select(F.col("obj_id").alias("id_b"),
+                      F.col("pts").alias("pb"))
+    j = pairs.join(ga, "id_a").join(gb, "id_b")
+    e = int(eps_sq)
+
+    out_schema = ("id_a long, id_b long, lcss_len long, "
+                  "lcss_ppm long, edr_dist long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                pa = [(int(p["x"]), int(p["y"])) for p in t.pa]
+                pb = [(int(p["x"]), int(p["y"])) for p in t.pb]
+                if not pa or not pb:
+                    raise ValueError("empty geometry in similarity pair")
+                ll = lcss_int(pa, pb, e)
+                rows.append((t.id_a, t.id_b, ll,
+                             ll * 1_000_000 // min(len(pa), len(pb)),
+                             edr_int(pa, pb, e)))
+            yield pd.DataFrame(rows, columns=[
+                "id_a", "id_b", "lcss_len", "lcss_ppm", "edr_dist"])
 
     return j.mapInPandas(run, out_schema)

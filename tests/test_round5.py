@@ -649,3 +649,28 @@ class TestEccentricity:
         got = {r["src"]: (r["n_reached"], r["ecc"], r["diam_lb"])
                for r in eccentricity_sample(edges, [0, 3]).collect()}
         assert got == {0: (4, 10, 10), 3: (4, 10, 10)}
+
+
+class TestLcssEdr:
+    def test_hand_cases(self):
+        from osm2geojson_spark.spatial.dtw import edr_int, lcss_int
+
+        a = [(0, 0), (10, 0), (20, 0)]
+        # identical: full match, zero edits
+        assert lcss_int(a, a, 0) == 3 and edr_int(a, a, 0) == 0
+        # disjoint beyond eps: no matches; EDR = max len
+        b = [(1000, 1000), (2000, 1000)]
+        assert lcss_int(a, b, 4) == 0 and edr_int(a, b, 4) == 3
+        # partial: b shares the middle point within eps=1 (sq dist 1)
+        c = [(10, 1), (999, 999)]
+        assert lcss_int(a, c, 1) == 1
+        assert edr_int(a, c, 1) == 2  # match 1, sub/del the rest
+
+    def test_invariants_vs_pyref_corpus(self, spark):
+        # engine pairs == pyref + structural invariants on every pair
+        from osm2geojson_spark import pyref
+
+        rows = pyref.ref_traj_lcss(12, 10, 3, 30_000_000_000)
+        for _a, _b, ll, ppm, ed in rows:
+            assert 0 <= ll <= 10 and ppm == ll * 1_000_000 // 10
+            assert max(0, 10 - ll) <= ed <= 20 - 2 * ll
