@@ -803,3 +803,73 @@ def contact_sheet(df: DataFrame, cols: int = 8, rows: int = 8,
             .applyInPandas(assemble,
                            schema="page long, n_images long, w_px int, "
                                   "h_px int, md5 string"))
+
+
+def geo_mosaic(df: DataFrame, world_px: int = 1024, tile: int = 128,
+               thumb: int = 16) -> DataFrame:
+    """Geo-referenced photo mosaic — the map-tile rendering of an
+    image corpus: every image's exact-integer thumbnail is placed at
+    its (lon, lat)-derived world-pixel origin on a ``world_px``-square
+    equirectangular canvas, overlaps resolved by EXACT per-pixel
+    integer mean (sum div count), and each non-empty ``tile``×``tile``
+    canvas tile re-encoded as lossless ppm and md5-pinned (the
+    contact_sheet discipline — the BYTES are the value). Returns
+    ``(tx, ty, n_contrib, w_px, h_px, md5)``.
+
+    Scale shape: one decode pass (``thumb_vectors``), pixel-origin
+    math as pure column algebra (floor over the same IEEE expression
+    the pyref twin evaluates), a ≤4-way ``sequence`` explode onto the
+    straddled tile keys, and ONE groupBy(tile) Arrow kernel that clips
+    and accumulates — per-task memory is one tile canvas + its
+    contributions, never the world raster. Hot cells (city-clustered
+    corpora) concentrate contributions per tile, not per task beyond
+    the tile's own load — the documented skew surface is the tile key,
+    and callers shrink ``tile`` to spread it."""
+    import hashlib
+
+    w, t, s = int(world_px), int(tile), int(thumb)
+    thumbs = (thumb_vectors(df, s, s)
+              .where(F.col("error").isNull())
+              .select("image_id", "vec"))
+    placed = (df.select("image_id", "lon", "lat").join(thumbs, "image_id")
+              .select(
+                  "image_id", "vec",
+                  F.expr(f"least(greatest(CAST(FLOOR(((lon + 180.0D)"
+                         f" / 360.0D) * {w}.0D) AS BIGINT), 0),"
+                         f" {w - s})").alias("px0"),
+                  F.expr(f"least(greatest(CAST(FLOOR(((85.0D - lat)"
+                         f" / 170.0D) * {w}.0D) AS BIGINT), 0),"
+                         f" {w - s})").alias("py0")))
+    exploded = (placed.select(
+        "vec", "px0", "py0",
+        F.explode(F.expr(f"sequence(px0 div {t},"
+                         f" (px0 + {s - 1}) div {t})")).alias("tx"))
+        .select("vec", "px0", "py0", "tx",
+                F.explode(F.expr(f"sequence(py0 div {t},"
+                                 f" (py0 + {s - 1}) div {t})"))
+                .alias("ty")))
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        ox, oy = tx * t, ty * t
+        acc = np.zeros((t, t, 3), dtype=np.int64)
+        cnt = np.zeros((t, t, 1), dtype=np.int64)
+        for vec, px0, py0 in zip(pdf["vec"], pdf["px0"], pdf["py0"]):
+            px0, py0 = int(px0), int(py0)
+            x0, x1 = max(px0, ox), min(px0 + s, ox + t)
+            y0, y1 = max(py0, oy), min(py0 + s, oy + t)
+            block = np.asarray(vec, np.int64).reshape(s, s, 3)
+            acc[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += \
+                block[y0 - py0:y1 - py0, x0 - px0:x1 - px0]
+            cnt[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += 1
+        out = np.where(cnt > 0, acc // np.maximum(cnt, 1), 0) \
+            .astype(np.uint8)
+        ppm = ENCODERS["ppm"](out)
+        return pd.DataFrame(
+            [(tx, ty, len(pdf), t, t, hashlib.md5(ppm).hexdigest())],
+            columns=["tx", "ty", "n_contrib", "w_px", "h_px", "md5"])
+
+    return (exploded.groupBy("tx", "ty")
+            .applyInPandas(render,
+                           schema="tx long, ty long, n_contrib long, "
+                                  "w_px int, h_px int, md5 string"))

@@ -2469,3 +2469,62 @@ def ref_traj_lcss(n_objs: int = 60, m: int = 24, group_mod: int = 6,
             out.append((a, b, ll, ll * 1_000_000 // min(len(pa), len(pb)),
                         ed))
     return sorted(out)
+
+
+def ref_geo_mosaic(n: int = 300, seed: int = 42, fmts=None,
+                   world_px: int = 1024, tile: int = 128,
+                   thumb: int = 16) -> "list[tuple]":
+    """Twin of the ``geo_mosaic`` catalog query: same synth corpus and
+    IEEE placement expression, but thumbnails via the row-by-row
+    python accumulator (_thumb_ref) and tiles accumulated in plain
+    dict-of-python-int pixel maps (no numpy canvas math) — different
+    summation route, identical bytes. Returns sorted
+    [(tx, ty, n_contrib, w_px, h_px, md5)]."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        FMTS_TIFF,
+        encode_ppm,
+        make_image_row,
+    )
+
+    fmts = fmts or FMTS_TIFF
+    w, t, s = int(world_px), int(tile), int(thumb)
+    tiles: "dict[tuple, dict]" = {}
+    contribs: "dict[tuple, int]" = {}
+    for i in range(n):
+        (_iid, buf, _w, _h, fmt, _cap, _ph, lon,
+         lat) = make_image_row(i * 2 + seed, fmts)
+        vec = _thumb_ref(DECODERS[fmt](buf), s, s)
+        px0 = min(max(math.floor(((lon + 180.0) / 360.0) * float(w)),
+                      0), w - s)
+        py0 = min(max(math.floor(((85.0 - lat) / 170.0) * float(w)),
+                      0), w - s)
+        for ty in range(py0 // t, (py0 + s - 1) // t + 1):
+            for tx in range(px0 // t, (px0 + s - 1) // t + 1):
+                key = (tx, ty)
+                cell = tiles.setdefault(key, {})
+                contribs[key] = contribs.get(key, 0) + 1
+                ox, oy = tx * t, ty * t
+                x0, x1 = max(px0, ox), min(px0 + s, ox + t)
+                y0, y1 = max(py0, oy), min(py0 + s, oy + t)
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        base = ((y - py0) * s + (x - px0)) * 3
+                        sm, c0 = cell.get((x, y), ([0, 0, 0], 0))
+                        sm = [sm[k] + vec[base + k] for k in range(3)]
+                        cell[(x, y)] = (sm, c0 + 1)
+    out = []
+    for (tx, ty), cell in tiles.items():
+        canvas = np.zeros((t, t, 3), dtype=np.uint8)
+        ox, oy = tx * t, ty * t
+        for (x, y), (sm, c0) in cell.items():
+            for k in range(3):
+                canvas[y - oy, x - ox, k] = sm[k] // c0
+        out.append((tx, ty, contribs[(tx, ty)], t, t,
+                    hashlib.md5(encode_ppm(canvas)).hexdigest()))
+    return sorted(out, key=lambda r: (r[1], r[0]))

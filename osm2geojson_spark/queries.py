@@ -9973,6 +9973,36 @@ ORDER BY key, bucket
 """
 
 
+def q_geo_mosaic(spark, sf_dir):
+    """Geo-referenced photo mosaic (operators/images.geo_mosaic): the
+    graft cell's flagship geospatial×image op — exact-integer
+    thumbnails placed at lon/lat world-pixel origins on an
+    equirectangular canvas, a ≤4-way tile-straddle explode, ONE
+    groupBy(tile) Arrow kernel clipping + mean-blending overlaps
+    (sum div count), tiles md5-pinned as lossless ppm. City-clustered
+    coords exercise the hot-cell skew surface. Oracle: pyref twin with
+    row-accumulator thumbnails + dict-of-int pixel maps — different
+    summation route, identical bytes."""
+    from osm2geojson_spark.operators.images import geo_mosaic
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return geo_mosaic(imgs, world_px=1024, tile=128, thumb=16) \
+        .orderBy("ty", "tx")
+
+
+def _sql_geo_mosaic() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_geo_mosaic(n=300, seed=42, world_px=1024,
+                                tile=128, thumb=16)
+    return pyref.values_sql(
+        rows, [("tx", "BIGINT"), ("ty", "BIGINT"),
+               ("n_contrib", "BIGINT"), ("w_px", "INTEGER"),
+               ("h_px", "INTEGER"), ("md5", "VARCHAR")]) \
+        + " ORDER BY ty, tx"
+
+
 _LCSS_EPS_SQ = 30_000_000_000  # ε ≈ 173k on the 1M lattice
 
 
@@ -10403,6 +10433,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_hotspots": q_getis,
         "eccentricity": q_eccentricity,
         "trajectory_lcss": q_trajectory_lcss,
+        "geo_mosaic": q_geo_mosaic,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10633,6 +10664,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "getis_hotspots": _sql_getis(),
         "eccentricity": _sql_eccentricity(),
         "trajectory_lcss": _sql_trajectory_lcss(),
+        "geo_mosaic": _sql_geo_mosaic(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

@@ -674,3 +674,46 @@ class TestLcssEdr:
         for _a, _b, ll, ppm, ed in rows:
             assert 0 <= ll <= 10 and ppm == ll * 1_000_000 // 10
             assert max(0, 10 - ll) <= ed <= 20 - 2 * ll
+
+
+class TestGeoMosaic:
+    def test_overlap_mean_and_tile_straddle(self, spark):
+        # two solid 16x16 thumbs at (504,504) and (512,512): the first
+        # straddles 4 tiles at t=128; the 8x8 overlap must be the exact
+        # integer mean (100+51)//2 = 75
+        import hashlib
+
+        import numpy as np
+
+        from osm2geojson_spark.operators.images import geo_mosaic
+        from osm2geojson_spark.synth.images import encode_ppm
+
+        def row(iid, val, lon, lat):
+            px = np.full((16, 16, 3), val, dtype=np.uint8)
+            return (iid, bytearray(encode_ppm(px)), 16, 16, "ppm",
+                    float(lon), float(lat))
+
+        # px0 = floor((lon+180)/360*1024); 504 -> lon=-2.8125 (exact),
+        # 512 -> lon=0.0; py0 = floor((85-lat)/170*1024);
+        # 504 -> lat=1.328125, 512 -> lat=0.0
+        df = spark.createDataFrame(
+            [row("a", 100, -2.8125, 1.328125), row("b", 51, 0.0, 0.0)],
+            "image_id string, bytes binary, w int, h int, fmt string,"
+            " lon double, lat double")
+        out = geo_mosaic(df, world_px=1024, tile=128, thumb=16)
+        got = {(r["tx"], r["ty"]): r for r in out.collect()}
+        # thumb A straddles tiles (3,3),(4,3),(3,4),(4,4); B only (4,4)
+        assert set(got) == {(3, 3), (4, 3), (3, 4), (4, 4)}
+        assert got[(4, 4)]["n_contrib"] == 2
+        # rebuild tile (4,4) expected canvas and compare md5
+        canvas = np.zeros((128, 128, 3), dtype=np.int64)
+        cnt = np.zeros((128, 128, 1), dtype=np.int64)
+        canvas[0:8, 0:8] += 100   # A clip: world rows/cols 512..519
+        cnt[0:8, 0:8] += 1
+        canvas[0:16, 0:16] += 51  # B: 512..527
+        cnt[0:16, 0:16] += 1
+        exp = np.where(cnt > 0, canvas // np.maximum(cnt, 1), 0) \
+            .astype(np.uint8)
+        assert exp[0, 0, 0] == 75 and exp[8, 8, 0] == 51
+        assert got[(4, 4)]["md5"] == hashlib.md5(
+            encode_ppm(exp)).hexdigest()
