@@ -26,7 +26,7 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "otsu_threshold", "exact_quantiles", "ks_2samp",
            "mann_whitney_u", "iqr_outliers", "spearman_rho",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
-           "kendall_tau", "mann_kendall"]
+           "kendall_tau", "mann_kendall", "kruskal_wallis"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -619,3 +619,54 @@ def mann_kendall(df: DataFrame, time_col: str, value_col: str, *,
            .select("n", "s", "var18", F.expr(z).alias("z")))
     out.kendall_cleanup = kt.kendall_cleanup
     return out
+
+
+def kruskal_wallis(df: DataFrame, value_col: str,
+                   group_col: str) -> DataFrame:
+    """Kruskal–Wallis k-sample rank test as ONE row
+    ``(n, k, tie3, sum_t, h, h_adj)`` — the nonparametric ANOVA gate.
+
+    Rides the mann_whitney/spearman midrank substrate: 2× midranks
+    from the DISTINCT-VALUE histogram window (histogram-sized bound),
+    per-group rank sums ``s2r`` as exact integers. The rank-sum-square
+    term ``sum_t = Σ s2r²/(4·n_g)`` is irreducibly rational, so it is
+    an ORDERED double fold over the group-sorted stats (the IDW
+    discipline: ``F.aggregate`` == DuckDB ``list_reduce`` — groups are
+    metadata-sized). ``h = 12·sum_t/(n(n+1)) − 3(n+1)``; ``h_adj``
+    divides by the tie correction ``1 − tie3/(n³−n)`` (``tie3 =
+    Σ t³−t`` exact int; NULL when every value ties). All doubles are
+    single fixed-order expressions."""
+    src = (df.select(F.col(group_col).alias("g"),
+                     F.col(value_col).alias("v"))
+           .where(F.col(group_col).isNotNull()
+                  & F.col(value_col).isNotNull()))
+    hist = src.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = hist.select(
+        "v", (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("r2"))
+    grp = (src.join(ranks, "v")
+           .groupBy("g")
+           .agg(F.count("*").alias("n_g"), F.sum("r2").alias("s2r")))
+    folded = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(g, s2r, n_g))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc"
+            " + ((CAST(x.s2r AS DOUBLE) * CAST(x.s2r AS DOUBLE))"
+            " / (4.0E0 * CAST(x.n_g AS DOUBLE))))").alias("sum_t"))
+    ties = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.expr("(cnt * cnt * cnt) - cnt")),
+                   F.lit(0)).cast("long").alias("tie3"))
+    hh = ("((12.0E0 * sum_t)"
+          " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
+          " - (3.0E0 * CAST(n + 1 AS DOUBLE))")
+    n3 = ("((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+          " - CAST(n AS DOUBLE))")
+    h_adj = (f"CASE WHEN (n < 2) OR (CAST(tie3 AS DOUBLE) = {n3})"
+             f" THEN NULL ELSE ({hh})"
+             f" / (1.0E0 - (CAST(tie3 AS DOUBLE) / {n3})) END")
+    return (ties.crossJoin(folded)
+            .select("n", "k", "tie3", "sum_t",
+                    F.expr(hh).alias("h"),
+                    F.expr(h_adj).alias("h_adj")))

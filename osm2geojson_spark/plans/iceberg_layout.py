@@ -638,3 +638,41 @@ class IcebergLikeTable:
              for c in val_cols])
         return {"added": added, "removed": removed,
                 "changed": joined.where(neq)}
+
+
+def plan_compaction_groups(files: DataFrame, target_bytes: int,
+                           part_col: str = "part",
+                           file_col: str = "file",
+                           size_col: str = "bytes") -> DataFrame:
+    """Size-aware small-file compaction planning (the RewriteDataFiles
+    binPack planner shape) over ANY ``(partition, file, bytes)``
+    listing — including this module's manifest entries: files are
+    ordered deterministically within each partition, and a file joins
+    the rewrite group its cumulative START OFFSET falls into
+    (``offset div target_bytes`` — the offset-bucketing rule: every
+    group's input is ≤ target_bytes + one straddling file, and the
+    grouping is pure window algebra, no sequential driver state).
+    Returns ``(part, group_id, n_files, group_bytes, files)``;
+    singleton groups at target size are no-op rewrites the executor
+    skips. One partition-keyed window + one groupBy — both on the
+    METADATA-sized manifest, never the data."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = int(target_bytes)
+    if t <= 0:
+        raise ValueError("target_bytes must be positive")
+    staged = files.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("long").alias("bytes")) \
+        .withColumn("off", F.sum("bytes").over(
+            W.partitionBy("part").orderBy("file")
+            .rowsBetween(W.unboundedPreceding, 0)) - F.col("bytes"))
+    return (staged
+            .select("part", "file", "bytes",
+                    F.expr(f"off div {t}").alias("group_id"))
+            .groupBy("part", "group_id")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("bytes").alias("group_bytes"),
+                 F.sort_array(F.collect_list("file")).alias("files")))

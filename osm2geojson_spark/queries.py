@@ -9973,6 +9973,116 @@ ORDER BY key, bucket
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (plans/iceberg_layout.
+    plan_compaction_groups): the RewriteDataFiles binPack planner
+    shape — deterministic in-partition file order, offset-bucketed
+    rewrite groups (``start_offset div target``), one partition-keyed
+    window + one groupBy over the METADATA-sized manifest. Run here on
+    a closed-form synthetic manifest (per-brand file listings with
+    int-derived sizes) so the DuckDB twin is the literal same window
+    algebra; the pytest twin runs it over a REAL IcebergLikeTable
+    manifest."""
+    from osm2geojson_spark.plans.iceberg_layout import (
+        plan_compaction_groups,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    manifest = p.select(
+        F.col("p_brand").alias("part"),
+        F.format_string("f%08d.parquet", F.col("p_partkey"))
+        .alias("file"),
+        (((F.col("p_partkey") * 2654435761) % 40_000_000) + 1024)
+        .alias("bytes"))
+    out = plan_compaction_groups(manifest, 64_000_000)
+    return (out.select("part", "group_id", "n_files", "group_bytes",
+                       F.array_join("files", "|").alias("files"))
+            .orderBy("part", "group_id"))
+
+
+def _sql_compaction_plan() -> str:
+    return """
+WITH manifest AS (
+  SELECT p_brand AS part, printf('f%08d.parquet', p_partkey) AS file,
+         (((p_partkey * 2654435761) % 40000000) + 1024) AS bytes
+  FROM part),
+staged AS (
+  SELECT part, file, bytes,
+         (SUM(bytes) OVER (PARTITION BY part ORDER BY file
+                           ROWS UNBOUNDED PRECEDING) - bytes) AS off
+  FROM manifest)
+SELECT part, (off // 64000000) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       string_agg(file, '|' ORDER BY file) AS files
+FROM staged
+GROUP BY part, (off // 64000000)
+ORDER BY part, group_id
+"""
+
+
+def q_kruskal(spark, sf_dir):
+    """Kruskal–Wallis k-sample rank test (operators/stats.
+    kruskal_wallis) on floored event value across event types — the
+    nonparametric does-the-group-matter gate. Exact integer midrank
+    sums and tie correction; the rational rank-sum-square term is an
+    ordered double fold over the group-sorted stats (F.aggregate ==
+    DuckDB list_reduce, the IDW discipline)."""
+    from osm2geojson_spark.operators.stats import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("fv"))
+    return kruskal_wallis(ev, "fv", "event_type")
+
+
+def _sql_kruskal() -> str:
+    return """
+WITH src AS (
+  SELECT event_type AS g, CAST(FLOOR(value) AS BIGINT) AS v
+  FROM events
+  WHERE ((event_type IS NOT NULL) AND (value IS NOT NULL))),
+hist AS (SELECT v, COUNT(*) AS cnt FROM src GROUP BY v),
+ranks AS (
+  SELECT v, ((2 * SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))
+             - cnt + 1) AS r2
+  FROM hist),
+grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(r2) AS BIGINT) AS s2r
+  FROM src JOIN ranks USING (v) GROUP BY g),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(
+           list_prepend(CAST(0.0E0 AS DOUBLE),
+             list((CAST(s2r AS DOUBLE) * CAST(s2r AS DOUBLE))
+                  / (4.0E0 * CAST(n_g AS DOUBLE)) ORDER BY g)),
+           (a, b) -> (a + b)) AS sum_t
+  FROM grp),
+ties AS (
+  SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS n,
+         COALESCE(CAST(SUM((cnt * cnt * cnt) - cnt) AS BIGINT), 0)
+           AS tie3
+  FROM hist)
+SELECT n, k, tie3, sum_t,
+       (((12.0E0 * sum_t)
+         / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+        - (3.0E0 * CAST(n + 1 AS DOUBLE))) AS h,
+       CASE WHEN (n < 2) OR (CAST(tie3 AS DOUBLE) =
+                 ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE)) - CAST(n AS DOUBLE)))
+            THEN NULL ELSE
+       ((((12.0E0 * sum_t)
+          / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+         - (3.0E0 * CAST(n + 1 AS DOUBLE)))
+        / (1.0E0 - (CAST(tie3 AS DOUBLE)
+           / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE)) - CAST(n AS DOUBLE)))))
+       END AS h_adj
+FROM ties CROSS JOIN folded
+"""
+
+
 def q_geo_mosaic(spark, sf_dir):
     """Geo-referenced photo mosaic (operators/images.geo_mosaic): the
     graft cell's flagship geospatial×image op — exact-integer
@@ -10434,6 +10544,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "trajectory_lcss": q_trajectory_lcss,
         "geo_mosaic": q_geo_mosaic,
+        "kruskal": q_kruskal,
+        "compaction_plan": q_compaction_plan,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10665,6 +10777,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "eccentricity": _sql_eccentricity(),
         "trajectory_lcss": _sql_trajectory_lcss(),
         "geo_mosaic": _sql_geo_mosaic(),
+        "kruskal": _sql_kruskal(),
+        "compaction_plan": _sql_compaction_plan(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

@@ -717,3 +717,74 @@ class TestGeoMosaic:
         assert exp[0, 0, 0] == 75 and exp[8, 8, 0] == 51
         assert got[(4, 4)]["md5"] == hashlib.md5(
             encode_ppm(exp)).hexdigest()
+
+
+class TestKruskal:
+    def test_hand_case_no_ties(self, spark):
+        from osm2geojson_spark.operators.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("b", 4)],
+            "g string, v long")
+        got = kruskal_wallis(df, "v", "g").collect()[0]
+        # R_a=3, R_b=7 -> H = 12/20*(9/2+49/2) - 15 = 2.4; no ties
+        assert (got["n"], got["k"], got["tie3"]) == (4, 2, 0)
+        assert got["sum_t"] == 29.0
+        assert got["h"] == pytest.approx(2.4, abs=1e-12)
+        assert got["h_adj"] == got["h"]
+
+    def test_hand_case_with_ties(self, spark):
+        from osm2geojson_spark.operators.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2)], "g string, v long")
+        got = kruskal_wallis(df, "v", "g").collect()[0]
+        # mid-ranks 1.5,1.5,3 -> H = 1.5; tie3 = 6, C = 0.75 -> 2.0
+        assert got["tie3"] == 6
+        assert got["h"] == pytest.approx(1.5, abs=1e-12)
+        assert got["h_adj"] == pytest.approx(2.0, abs=1e-12)
+
+    def test_all_tied_null(self, spark):
+        from osm2geojson_spark.operators.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 5), ("b", 5)], "g string, v long")
+        got = kruskal_wallis(df, "v", "g").collect()[0]
+        assert got["h_adj"] is None
+
+
+class TestCompactionPlan:
+    def test_real_manifest_bounds(self, spark, tmp_path):
+        # plan over a REAL IcebergLikeTable manifest: groups cover every
+        # file exactly once; every group except possibly the last per
+        # partition starts inside its offset window
+        from pyspark.sql import functions as SF
+
+        from osm2geojson_spark.plans.iceberg_layout import (
+            IcebergLikeTable,
+            plan_compaction_groups,
+        )
+
+        tbl = IcebergLikeTable(str(tmp_path / "t"))
+        df = spark.range(2000).select(
+            SF.col("id"), (SF.col("id") % 4).alias("bucket"))
+        for _ in range(3):  # three appends -> many small files
+            tbl.append(df, partition_by="bucket")
+        import os
+
+        entries = tbl._entries()
+        sizes = {e["path"]: os.path.getsize(
+            os.path.join(str(tmp_path / "t"), e["path"]))
+            for e in entries}
+        manifest = spark.createDataFrame(
+            [(str(e.get("partition", "")), e["path"], sizes[e["path"]])
+             for e in entries],
+            "part string, file string, bytes long")
+        biggest = max(sizes.values())
+        target = 3 * biggest
+        plan = plan_compaction_groups(manifest, target).collect()
+        assert sum(r["n_files"] for r in plan) == len(entries)
+        for r in plan:
+            # offset-bucketing bound: group input <= target + one file
+            assert r["group_bytes"] <= target + biggest
+        assert any(r["n_files"] > 1 for r in plan)
