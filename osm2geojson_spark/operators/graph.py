@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components", "hits", "label_propagation",
            "degree_assortativity", "modularity", "closeness_centrality",
-           "stress_centrality", "eccentricity_sample"]
+           "stress_centrality", "eccentricity_sample",
+           "harmonic_centrality"]
 
 
 def pagerank(
@@ -814,3 +815,34 @@ def eccentricity_sample(edges: DataFrame, sources: list,
     lb = per_src.agg(F.max("ecc").alias("diam_lb"))
     return per_src.crossJoin(F.broadcast(lb)) \
                   .select("src", "n_reached", "ecc", "diam_lb")
+
+
+def harmonic_centrality(edges: DataFrame, sources: list,
+                        **matrix_kwargs) -> DataFrame:
+    """Sampled harmonic centrality → ``(src, n_reached, harmonic)``
+    with ``harmonic = Σ_{v≠src} 1/d(src,v)`` — the disconnection-robust
+    closeness variant (unreachable nodes contribute 0 instead of
+    poisoning the mean).
+
+    The reciprocal sum is irrational, so it rides the repo's ordered-
+    fold discipline: distances collapse to a per-source DISTANCE
+    HISTOGRAM (metadata-sized — grid weights are bounded ints), and
+    ``Σ n_d/d`` folds over the dist-sorted histogram with a fixed
+    0.0 init (``F.aggregate`` == the pyref twin's left fold — same
+    IEEE op order, bit-identical). Same Δ-stepping matrix substrate
+    as closeness/eccentricity."""
+    from osm2geojson_spark.spatial.route import travel_time_matrix_delta
+
+    m = travel_time_matrix_delta(edges, sources, **matrix_kwargs)
+    hist = (m.groupBy("src", "dist")
+            .agg(F.count("*").alias("n_d")))
+    return (hist.groupBy("src")
+            .agg(F.sum("n_d").cast("long").alias("n_reached"),
+                 F.expr(
+                     "aggregate(sort_array(collect_list("
+                     "  struct(dist, n_d))), CAST(0.0 AS DOUBLE),"
+                     " (acc, x) -> acc + (CASE WHEN x.dist = 0"
+                     " THEN CAST(0.0 AS DOUBLE)"
+                     " ELSE CAST(x.n_d AS DOUBLE)"
+                     " / CAST(x.dist AS DOUBLE) END))")
+                 .alias("harmonic")))

@@ -9973,6 +9973,83 @@ ORDER BY key, bucket
 """
 
 
+def q_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (operators/graph.
+    harmonic_centrality) for the eccentricity seed set on the 24×24
+    grid — Σ 1/d as an ordered fold over the per-source distance
+    HISTOGRAM (F.aggregate == the pyref twin's left fold, bit-exact
+    doubles); rides the Δ-stepping matrix."""
+    from osm2geojson_spark.operators.graph import harmonic_centrality
+    from osm2geojson_spark.spatial.route import grid_edges
+
+    return (harmonic_centrality(grid_edges(spark, _ROUTE_N),
+                                _ECC_SOURCES)
+            .orderBy("src"))
+
+
+def _sql_harmonic() -> str:
+    from osm2geojson_spark import pyref
+
+    m = pyref.ref_travel_matrix(_ROUTE_N, _ECC_SOURCES)
+    hist: dict = {}
+    for s, _node, d in m:
+        hist.setdefault(s, {})
+        hist[s][d] = hist[s].get(d, 0) + 1
+    rows = []
+    for s in sorted(hist):
+        acc = 0.0
+        for d in sorted(hist[s]):
+            if d != 0:
+                acc = acc + (float(hist[s][d]) / float(d))
+        rows.append((s, sum(hist[s].values()), acc))
+    return pyref.values_sql(
+        rows, [("src", "BIGINT"), ("n_reached", "BIGINT"),
+               ("harmonic", "DOUBLE")]) + " ORDER BY src"
+
+
+def q_tri(spark, sf_dir):
+    """Terrain Ruggedness Index (Riley et al.) over the tiled DEM —
+    the focal 'tri' kernel (sum |neighbor − center| over the 8) via
+    the SAME halo exchange as focal_sum; boundary clamped, so the
+    oracle is the 8-term closed form over the synthetic DEM (no
+    join)."""
+    from osm2geojson_spark.spatial.focal import focal_op, synth_dem_tiles
+
+    t = _FOCAL_T
+    tiles = synth_dem_tiles(spark, _FOCAL_TILES, _FOCAL_TILES, t)
+    out = focal_op(tiles, op="tri", tile_size=t)
+    return (
+        out.select("tx", "ty", F.posexplode("data").alias("i", "tri"))
+        .select(
+            (F.col("tx") * t + F.col("i") % t).alias("x"),
+            (F.col("ty") * t + (F.col("i") - F.col("i") % t) / t)
+            .cast("long").alias("y"),
+            "tri")
+        .orderBy("y", "x"))
+
+
+def _sql_tri() -> str:
+    w = _FOCAL_T * _FOCAL_TILES
+
+    def v(dx, dy):
+        a = f"least(greatest((x + {dx}), 0), {w - 1})"
+        b = f"least(greatest((y + {dy}), 0), {w - 1})"
+        return (f"(((({a}) * 73 + ({b}) * 19) % 100)"
+                f" + ((({a}) * ({a}) + 3 * (({b}) * ({b}))) % 7))")
+
+    c = v(0, 0)
+    terms = " + ".join(f"abs({v(dx, dy)} - {c})"
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                       if not (dx == 0 and dy == 0))
+    return f"""
+WITH xs AS (SELECT unnest(range(0, {w})) AS x),
+ys AS (SELECT unnest(range(0, {w})) AS y)
+SELECT x, y, ({terms}) AS tri
+FROM xs, ys
+ORDER BY y, x
+"""
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (plans/iceberg_layout.
     plan_compaction_groups): the RewriteDataFiles binPack planner
@@ -10546,6 +10623,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_mosaic": q_geo_mosaic,
         "kruskal": q_kruskal,
         "compaction_plan": q_compaction_plan,
+        "tri_ruggedness": q_tri,
+        "harmonic": q_harmonic,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10779,6 +10858,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "geo_mosaic": _sql_geo_mosaic(),
         "kruskal": _sql_kruskal(),
         "compaction_plan": _sql_compaction_plan(),
+        "tri_ruggedness": _sql_tri(),
+        "harmonic": _sql_harmonic(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

@@ -788,3 +788,17 @@ class TestCompactionPlan:
             # offset-bucketing bound: group input <= target + one file
             assert r["group_bytes"] <= target + biggest
         assert any(r["n_files"] > 1 for r in plan)
+
+
+class TestHarmonic:
+    def test_weighted_path_graph(self, spark):
+        from osm2geojson_spark.operators.graph import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(0, 1, 2), (1, 0, 2), (1, 2, 3), (2, 1, 3)],
+            "src long, dst long, w long")
+        got = {r["src"]: (r["n_reached"], r["harmonic"])
+               for r in harmonic_centrality(edges, [0, 1]).collect()}
+        # d(0,·) = {0,2,5} -> 1/2 + 1/5; d(1,·) = {0,2,3} -> 1/2 + 1/3
+        assert got[0][0] == 3 and got[0][1] == pytest.approx(0.7, abs=1e-15)
+        assert got[1][1] == pytest.approx(0.5 + 1.0 / 3.0, abs=1e-15)
