@@ -805,6 +805,36 @@ def contact_sheet(df: DataFrame, cols: int = 8, rows: int = 8,
                                   "h_px int, md5 string"))
 
 
+def mosaic_contribs(df: DataFrame, world_px: int, tile: int,
+                    thumb: int) -> DataFrame:
+    """The placement stage of :func:`geo_mosaic`, shared with the
+    streaming twin: decode → thumbnail → clamped world-pixel origin
+    (the exact IEEE expression the pyref twin evaluates) → ≤4-way
+    explode onto straddled tile keys. Returns
+    ``(vec, px0, py0, tx, ty)``."""
+    w, t, s = int(world_px), int(tile), int(thumb)
+    thumbs = (thumb_vectors(df, s, s)
+              .where(F.col("error").isNull())
+              .select("image_id", "vec"))
+    placed = (df.select("image_id", "lon", "lat").join(thumbs, "image_id")
+              .select(
+                  "image_id", "vec",
+                  F.expr(f"least(greatest(CAST(FLOOR(((lon + 180.0D)"
+                         f" / 360.0D) * {w}.0D) AS BIGINT), 0),"
+                         f" {w - s})").alias("px0"),
+                  F.expr(f"least(greatest(CAST(FLOOR(((85.0D - lat)"
+                         f" / 170.0D) * {w}.0D) AS BIGINT), 0),"
+                         f" {w - s})").alias("py0")))
+    return (placed.select(
+        "vec", "px0", "py0",
+        F.explode(F.expr(f"sequence(px0 div {t},"
+                         f" (px0 + {s - 1}) div {t})")).alias("tx"))
+        .select("vec", "px0", "py0", "tx",
+                F.explode(F.expr(f"sequence(py0 div {t},"
+                                 f" (py0 + {s - 1}) div {t})"))
+                .alias("ty")))
+
+
 def geo_mosaic(df: DataFrame, world_px: int = 1024, tile: int = 128,
                thumb: int = 16) -> DataFrame:
     """Geo-referenced photo mosaic — the map-tile rendering of an
@@ -828,26 +858,7 @@ def geo_mosaic(df: DataFrame, world_px: int = 1024, tile: int = 128,
     import hashlib
 
     w, t, s = int(world_px), int(tile), int(thumb)
-    thumbs = (thumb_vectors(df, s, s)
-              .where(F.col("error").isNull())
-              .select("image_id", "vec"))
-    placed = (df.select("image_id", "lon", "lat").join(thumbs, "image_id")
-              .select(
-                  "image_id", "vec",
-                  F.expr(f"least(greatest(CAST(FLOOR(((lon + 180.0D)"
-                         f" / 360.0D) * {w}.0D) AS BIGINT), 0),"
-                         f" {w - s})").alias("px0"),
-                  F.expr(f"least(greatest(CAST(FLOOR(((85.0D - lat)"
-                         f" / 170.0D) * {w}.0D) AS BIGINT), 0),"
-                         f" {w - s})").alias("py0")))
-    exploded = (placed.select(
-        "vec", "px0", "py0",
-        F.explode(F.expr(f"sequence(px0 div {t},"
-                         f" (px0 + {s - 1}) div {t})")).alias("tx"))
-        .select("vec", "px0", "py0", "tx",
-                F.explode(F.expr(f"sequence(py0 div {t},"
-                                 f" (py0 + {s - 1}) div {t})"))
-                .alias("ty")))
+    exploded = mosaic_contribs(df, w, t, s)
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])

@@ -74,3 +74,23 @@ def test_ingest_ts_deterministic(spark, img_dir):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_mosaic_stream_equals_batch(spark, img_dir, tmp_path):
+    from osm2geojson_spark.operators.images import geo_mosaic
+    from osm2geojson_spark.streaming.images import (
+        mosaic_from_state,
+        mosaic_stream,
+    )
+
+    state = str(tmp_path / "mosaic_state")
+    mosaic_stream(
+        spark, stream_images_from_parquet(spark, img_dir), state,
+        world_px=1024, tile=128, thumb=16)
+    got = {(r["tx"], r["ty"]): (r["n_contrib"], r["md5"])
+           for r in mosaic_from_state(spark, state, tile=128).collect()}
+    want = {(r["tx"], r["ty"]): (r["n_contrib"], r["md5"])
+            for r in geo_mosaic(spark.read.parquet(img_dir),
+                                world_px=1024, tile=128,
+                                thumb=16).collect()}
+    assert got == want and len(got) > 5
