@@ -297,3 +297,53 @@ def ohlc_bars(
              F.min(value_col).alias("low"),
              F.expr(f"max_by({value_col}, {okey_col})").alias("close"),
              F.count("*").alias("n")))
+
+
+def seasonal_decompose(df, key_col: str, t_col: str, value_col: str,
+                       period: int = 24, half: int = 12):
+    """Classical additive seasonal decomposition (STL-lite) per key
+    over an integer time grid → ``(key, t, v, wsum, wn, phase, snum,
+    sden, trend, seasonal, resid)``.
+
+    Exact core: the centered moving window ``[t−half, t+half]`` rides
+    a RANGE window (gap-robust — missing grid points shrink ``wn`` and
+    the trend is NULL unless the window is complete), so ``wsum``/
+    ``wn`` are exact ints; the detrended value ``w·v − wsum`` (w =
+    2·half+1) stays integer, and the per-phase seasonal component is
+    the exact rational ``(snum, sden)`` aggregated over complete
+    windows only. ``trend``/``seasonal``/``resid`` are fixed-order
+    double expressions over those ints — bit-identical in any IEEE
+    engine. Scale shape: one partitioned window pass + one
+    (key, phase) aggregate joined back by broadcast-sized key·period
+    table."""
+    w = 2 * int(half) + 1
+    p = int(period)
+    src = df.select(F.col(key_col).alias("key"),
+                    F.col(t_col).cast("long").alias("t"),
+                    F.col(value_col).cast("long").alias("v"))
+    win = (Window.partitionBy("key").orderBy("t")
+           .rangeBetween(-int(half), int(half)))
+    base = (src
+            .withColumn("wsum", F.sum("v").over(win))
+            .withColumn("wn", F.count("*").over(win))
+            .withColumn("phase", F.expr(f"((t % {p}) + {p}) % {p}")))
+    seas = (base.where(F.col("wn") == w)
+            .groupBy("key", "phase")
+            .agg(F.sum(F.expr(f"({w} * v) - wsum")).alias("snum"),
+                 F.count("*").alias("sden")))
+    trend = (f"CASE WHEN wn = {w} THEN CAST(wsum AS DOUBLE) / {w}.0E0"
+             " ELSE NULL END")
+    seasonal = ("CASE WHEN sden IS NULL THEN NULL ELSE"
+                " CAST(snum AS DOUBLE)"
+                f" / ({w}.0E0 * CAST(sden AS DOUBLE)) END")
+    resid = (f"CASE WHEN (wn = {w}) AND (sden IS NOT NULL) THEN"
+             f" (CAST(({w} * v) - wsum AS DOUBLE) / {w}.0E0)"
+             " - (CAST(snum AS DOUBLE)"
+             f" / ({w}.0E0 * CAST(sden AS DOUBLE)))"
+             " ELSE NULL END")
+    return (base.join(F.broadcast(seas), ["key", "phase"], "left")
+            .select("key", "t", "v", "wsum", "wn", "phase",
+                    "snum", "sden",
+                    F.expr(trend).alias("trend"),
+                    F.expr(seasonal).alias("seasonal"),
+                    F.expr(resid).alias("resid")))

@@ -9973,6 +9973,66 @@ ORDER BY key, bucket
 """
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (operators/timeseries.
+    seasonal_decompose) of hourly event counts per type: centered
+    25-hour RANGE-window trend (exact int sums, NULL at incomplete
+    windows), per-phase seasonal as the exact rational (snum, sden)
+    over complete windows, trend/seasonal/resid as fixed-order double
+    expressions. DuckDB twin is the literal same window algebra."""
+    from osm2geojson_spark.operators.timeseries import seasonal_decompose
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("timestampdiff(SECOND,"
+                         " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                         " CAST(ts AS TIMESTAMP_NTZ)) div 3600")
+                  .alias("hour"))
+          .groupBy("event_type", "hour")
+          .agg(F.count("*").alias("n")))
+    return (seasonal_decompose(ev, "event_type", "hour", "n",
+                               period=24, half=12)
+            .orderBy("key", "t"))
+
+
+def _sql_seasonal_decompose() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type AS key,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events
+  GROUP BY event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600)),
+base AS (
+  SELECT key, t, v,
+         CAST(SUM(v) OVER w AS BIGINT) AS wsum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+         (((t % 24) + 24) % 24) AS phase
+  FROM ev
+  WINDOW w AS (PARTITION BY key ORDER BY t
+               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+seas AS (
+  SELECT key, phase,
+         CAST(SUM((25 * v) - wsum) AS BIGINT) AS snum,
+         CAST(COUNT(*) AS BIGINT) AS sden
+  FROM base WHERE (wn = 25) GROUP BY key, phase)
+SELECT b.key, b.t, b.v, b.wsum, b.wn, b.phase, s.snum, s.sden,
+       CASE WHEN (b.wn = 25) THEN (CAST(b.wsum AS DOUBLE) / 25.0E0)
+            ELSE NULL END AS trend,
+       CASE WHEN (s.sden IS NULL) THEN NULL ELSE
+            (CAST(s.snum AS DOUBLE)
+             / (25.0E0 * CAST(s.sden AS DOUBLE))) END AS seasonal,
+       CASE WHEN ((b.wn = 25) AND (s.sden IS NOT NULL)) THEN
+            ((CAST((25 * b.v) - b.wsum AS DOUBLE) / 25.0E0)
+             - (CAST(s.snum AS DOUBLE)
+                / (25.0E0 * CAST(s.sden AS DOUBLE))))
+            ELSE NULL END AS resid
+FROM base b LEFT JOIN seas s
+  ON ((b.key = s.key) AND (b.phase = s.phase))
+ORDER BY b.key, b.t
+"""
+
+
 def q_harmonic(spark, sf_dir):
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality) for the eccentricity seed set on the 24×24
@@ -10625,6 +10685,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "tri_ruggedness": q_tri,
         "harmonic": q_harmonic,
+        "seasonal_decompose": q_seasonal_decompose,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10860,6 +10921,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "compaction_plan": _sql_compaction_plan(),
         "tri_ruggedness": _sql_tri(),
         "harmonic": _sql_harmonic(),
+        "seasonal_decompose": _sql_seasonal_decompose(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

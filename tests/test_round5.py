@@ -802,3 +802,47 @@ class TestHarmonic:
         # d(0,·) = {0,2,5} -> 1/2 + 1/5; d(1,·) = {0,2,3} -> 1/2 + 1/3
         assert got[0][0] == 3 and got[0][1] == pytest.approx(0.7, abs=1e-15)
         assert got[1][1] == pytest.approx(0.5 + 1.0 / 3.0, abs=1e-15)
+
+
+class TestSeasonalDecompose:
+    def test_pure_seasonal_series(self, spark):
+        # v = phase lookup on a complete grid: trend == phase-mean
+        # everywhere the window is complete; resid == 0 exactly
+        from osm2geojson_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        pat = [10, 20, 30, 40]
+        rows = [("k", t, pat[t % 4]) for t in range(40)]
+        df = spark.createDataFrame(rows, "key string, t long, v long")
+        out = seasonal_decompose(df, "key", "t", "v",
+                                 period=4, half=2).collect()
+        mean = sum(pat) / len(pat)
+        for r in out:
+            if r["wn"] == 5:
+                # 5-point centered window over a period-4 pattern
+                # double counts the edge phase (t+2) % 4
+                assert r["trend"] == \
+                    (sum(pat) + pat[(r["t"] + 2) % 4]) / 5.0
+            else:
+                assert r["trend"] is None
+        # seasonal + trend reconstructs v on complete windows:
+        # resid = v - trend - seasonal must be 0 for this exact pattern
+        for r in out:
+            if r["resid"] is not None:
+                assert r["v"] - r["trend"] - r["seasonal"] == \
+                    pytest.approx(r["resid"], abs=1e-12)
+        _ = mean
+
+    def test_gap_shrinks_window(self, spark):
+        from osm2geojson_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        rows = [("k", t, 5) for t in range(20) if t != 10]
+        df = spark.createDataFrame(rows, "key string, t long, v long")
+        out = {r["t"]: r for r in seasonal_decompose(
+            df, "key", "t", "v", period=4, half=2).collect()}
+        # neighbors of the gap have wn=4 -> NULL trend
+        assert out[9]["wn"] == 4 and out[9]["trend"] is None
+        assert out[5]["wn"] == 5 and out[5]["trend"] == 5.0
