@@ -130,6 +130,32 @@ def _hillshade_dem(spark, sf_dir):
     return focal_op(tiles, op="hillshade", tile_size=64)
 
 
+def _geo_mosaic_bench(spark, sf_dir):
+    """Geo-referenced mosaic over a 4,000-image synthetic corpus (the
+    full 9-codec rotation decodes in the hot path): placement algebra,
+    ≤4-way tile-straddle explode, one groupBy(tile) Arrow mean-blend."""
+    from osm2geojson_spark.operators.images import geo_mosaic
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=4000, seed=42, fmts=FMTS_TIFF)
+    return geo_mosaic(imgs, world_px=4096, tile=256, thumb=16)
+
+
+def _kendall_full(spark, sf_dir):
+    """Exact Kendall tau-b over the FULL lineitem (600k rows at sf0.1)
+    — block inclusion–exclusion dominance counting; the brute force
+    would be 1.8·10¹¹ pairs."""
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators.stats import kendall_tau
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("qx"),
+        F.expr("CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT)")
+        .alias("qy"))
+    return kendall_tau(li, "qx", "qy")
+
+
 def _box_filter_1m(spark, sf_dir):
     """Distributed SAT + radius-5 box filter over the 1M-pixel DEM:
     two line-window exchanges + the (k+1)-wide halo shuffle — the
@@ -296,6 +322,12 @@ BENCH_QUERIES = {
     # (distributed histogram-cumsum midranks — no global row sort)
     "segment_intersections": Q.q_segment_intersections,
     "spearman": Q.q_spearman,
+    # round 5 second session: the graft cell's geospatial×image
+    # flagship (decode → thumbnail → tile-straddle explode → one
+    # groupBy(tile) mean-blend kernel) and exact Kendall tau-b on the
+    # full lineitem (equidepth block inclusion–exclusion — no n² join)
+    "geo_mosaic": _geo_mosaic_bench,
+    "kendall": _kendall_full,
 }
 
 

@@ -9973,6 +9973,73 @@ ORDER BY key, bucket
 """
 
 
+def _areal_rect_sql(key: str, mul_w: int, mul_h: int, base: int,
+                    spread: int) -> tuple:
+    x0 = f"(({key} * {_LON_MUL}) % 100000)"
+    y0 = f"((({key} * {_LAT_MUL}) + {_LAT_OFF}) % 100000)"
+    w = f"({base} + (({key} * {mul_w}) % {spread}))"
+    h = f"({base} + (({key} * {mul_h}) % {spread}))"
+    return x0, y0, w, h
+
+
+def q_areal_interp(spark, sf_dir):
+    """Areal-weighted interpolation (spatial/overlap.
+    rect_areal_interpolate): reallocate part sizes from 2,000 source
+    rect zones onto 100 supplier target zones by EXACT int64 overlap
+    areas; the reallocated estimate is an ordered fold over sid-sorted
+    contributions (F.aggregate == list_reduce). Cell-cover candidate
+    join Spark-side; the oracle brute-forces all pairs."""
+    from osm2geojson_spark.spatial.overlap import rect_areal_interpolate
+
+    sx0, sy0, sw, sh = _areal_rect_sql("p_partkey", 13, 29, 500, 2000)
+    src = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("sid"),
+        F.expr(sx0).alias("x0"), F.expr(sy0).alias("y0"),
+        F.expr(f"{sx0} + {sw}").alias("x1"),
+        F.expr(f"{sy0} + {sh}").alias("y1"),
+        F.col("p_size").cast("long").alias("val"))
+    tx0, ty0, tw, th = _areal_rect_sql("s_suppkey", 37, 41, 3000, 9000)
+    tgt = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("tid"),
+        F.expr(tx0).alias("x0"), F.expr(ty0).alias("y0"),
+        F.expr(f"{tx0} + {tw}").alias("x1"),
+        F.expr(f"{ty0} + {th}").alias("y1"))
+    return rect_areal_interpolate(src, tgt, res=4096).orderBy("tid")
+
+
+def _sql_areal_interp() -> str:
+    sx0, sy0, sw, sh = _areal_rect_sql("p_partkey", 13, 29, 500, 2000)
+    tx0, ty0, tw, th = _areal_rect_sql("s_suppkey", 37, 41, 3000, 9000)
+    return f"""
+WITH src AS (
+  SELECT p_partkey AS sid, {sx0} AS sx0, {sy0} AS sy0,
+         ({sx0} + {sw}) AS sx1, ({sy0} + {sh}) AS sy1,
+         CAST(p_size AS BIGINT) AS val
+  FROM part),
+tgt AS (
+  SELECT s_suppkey AS tid, {tx0} AS tx0, {ty0} AS ty0,
+         ({tx0} + {tw}) AS tx1, ({ty0} + {th}) AS ty1
+  FROM supplier),
+pairs AS (
+  SELECT sid, tid, val,
+         ((least(sx1, tx1) - greatest(sx0, tx0))
+          * (least(sy1, ty1) - greatest(sy0, ty0))) AS inter,
+         ((sx1 - sx0) * (sy1 - sy0)) AS sarea
+  FROM src CROSS JOIN tgt
+  WHERE ((sx0 < tx1) AND (tx0 < sx1) AND (sy0 < ty1) AND (ty0 < sy1)))
+SELECT tid, CAST(COUNT(*) AS BIGINT) AS n_src,
+       CAST(SUM(inter) AS BIGINT) AS wsum_area,
+       list_reduce(
+         list_prepend(CAST(0.0E0 AS DOUBLE),
+           list(CAST(val * inter AS DOUBLE) / CAST(sarea AS DOUBLE)
+                ORDER BY sid)),
+         (a, b) -> (a + b)) AS est
+FROM pairs
+GROUP BY tid
+ORDER BY tid
+"""
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition (operators/timeseries.
     seasonal_decompose) of hourly event counts per type: centered
@@ -10686,6 +10753,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tri_ruggedness": q_tri,
         "harmonic": q_harmonic,
         "seasonal_decompose": q_seasonal_decompose,
+        "areal_interp": q_areal_interp,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10922,6 +10990,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "tri_ruggedness": _sql_tri(),
         "harmonic": _sql_harmonic(),
         "seasonal_decompose": _sql_seasonal_decompose(),
+        "areal_interp": _sql_areal_interp(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

@@ -190,3 +190,62 @@ def _polys_intersect(a: np.ndarray, b: np.ndarray) -> bool:
     if _segments_cross(a, b):
         return True
     return _point_in(b, a[0]) or _point_in(a, b[0])
+
+
+def rect_areal_interpolate(src: DataFrame, tgt: DataFrame,
+                           res: int = 4096) -> DataFrame:
+    """Areal-weighted interpolation between RECTANGULAR zone layers —
+    the change-of-support operation (reaggregate census values onto a
+    different zoning): each target zone receives
+    ``Σ_src val · inter_area / src_area`` over the sources it
+    overlaps. Returns ``(tid, n_src, wsum_area, est)``.
+
+    Exactness contract: integer rectangle corners make every
+    intersection area an exact int64 (min/max algebra — no clipping
+    kernel, no epsilon); only the final reallocation is a double, and
+    it is an ORDERED fold over the sid-sorted contribution list
+    (``F.aggregate`` == DuckDB ``list_reduce`` — per-target source
+    lists are bounded by overlap fan-in). Scale shape: cell-cover
+    candidate equi-join (the segjoin discipline — a shared ``res``
+    cell is a provable superset of bbox overlap), pair dedupe, one
+    target-keyed aggregate. Degenerate sources (zero area) are the
+    caller's bug and excluded."""
+    r = int(res)
+
+    def cover(df, p):
+        return df.select(
+            "*",
+            F.explode(F.expr(f"sequence({p}x0 div {r},"
+                             f" ({p}x1 - 1) div {r})")).alias("cx")) \
+            .select("*", F.explode(
+                F.expr(f"sequence({p}y0 div {r},"
+                       f" ({p}y1 - 1) div {r})")).alias("cy"))
+
+    s = cover(src.select(F.col("sid"), F.col("x0").alias("sx0"),
+                         F.col("y0").alias("sy0"),
+                         F.col("x1").alias("sx1"),
+                         F.col("y1").alias("sy1"), F.col("val"))
+              .where("(sx1 > sx0) AND (sy1 > sy0)"), "s")
+    t = cover(tgt.select(F.col("tid"), F.col("x0").alias("tx0"),
+                         F.col("y0").alias("ty0"),
+                         F.col("x1").alias("tx1"),
+                         F.col("y1").alias("ty1")), "t")
+    pairs = (s.join(t, ["cx", "cy"])
+             .where("(sx0 < tx1) AND (tx0 < sx1)"
+                    " AND (sy0 < ty1) AND (ty0 < sy1)")
+             .dropDuplicates(["sid", "tid"])
+             .select(
+                 "sid", "tid", "val",
+                 F.expr("(least(sx1, tx1) - greatest(sx0, tx0))"
+                        " * (least(sy1, ty1) - greatest(sy0, ty0))")
+                 .alias("inter"),
+                 F.expr("(sx1 - sx0) * (sy1 - sy0)").alias("sarea")))
+    return (pairs.groupBy("tid")
+            .agg(F.count("*").alias("n_src"),
+                 F.sum("inter").alias("wsum_area"),
+                 F.expr(
+                     "aggregate(sort_array(collect_list("
+                     "  struct(sid, val, inter, sarea))),"
+                     " CAST(0.0 AS DOUBLE), (acc, x) -> acc"
+                     " + (CAST(x.val * x.inter AS DOUBLE)"
+                     " / CAST(x.sarea AS DOUBLE)))").alias("est")))

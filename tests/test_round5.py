@@ -846,3 +846,40 @@ class TestSeasonalDecompose:
         # neighbors of the gap have wn=4 -> NULL trend
         assert out[9]["wn"] == 4 and out[9]["trend"] is None
         assert out[5]["wn"] == 5 and out[5]["trend"] == 5.0
+
+
+class TestArealInterp:
+    def test_hand_case(self, spark):
+        # one 10x10 source (val 100) split half/quarter onto two targets
+        from osm2geojson_spark.spatial.overlap import (
+            rect_areal_interpolate,
+        )
+
+        src = spark.createDataFrame(
+            [(1, 0, 0, 10, 10, 100)],
+            "sid long, x0 long, y0 long, x1 long, y1 long, val long")
+        tgt = spark.createDataFrame(
+            [(7, 0, 0, 5, 10), (8, 5, 0, 10, 5), (9, 50, 50, 60, 60)],
+            "tid long, x0 long, y0 long, x1 long, y1 long")
+        got = {r["tid"]: r for r in
+               rect_areal_interpolate(src, tgt, res=8).collect()}
+        assert got[7]["est"] == 50.0 and got[7]["wsum_area"] == 50
+        assert got[8]["est"] == 25.0
+        assert 9 not in got  # disjoint target receives nothing
+
+    def test_cell_cover_superset(self, spark):
+        # rects straddling many cells still pair exactly once
+        from osm2geojson_spark.spatial.overlap import (
+            rect_areal_interpolate,
+        )
+
+        src = spark.createDataFrame(
+            [(1, 0, 0, 100, 100, 7)],
+            "sid long, x0 long, y0 long, x1 long, y1 long, val long")
+        tgt = spark.createDataFrame(
+            [(2, 50, 50, 150, 150)],
+            "tid long, x0 long, y0 long, x1 long, y1 long")
+        got = rect_areal_interpolate(src, tgt, res=16).collect()
+        assert len(got) == 1 and got[0]["n_src"] == 1
+        assert got[0]["wsum_area"] == 2500
+        assert got[0]["est"] == 7.0 * 2500 / 10000
