@@ -10040,6 +10040,31 @@ ORDER BY tid
 """
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Sampled effective diameter (operators/graph.effective_diameter)
+    on the 24×24 grid for the eccentricity seeds: exact p90 of the
+    pooled sampled distances via a cumulative walk over the distance
+    HISTOGRAM (rank = ceil ppm, no interpolation, all int64). Oracle =
+    pyref Dijkstra distances ranked the same way."""
+    from osm2geojson_spark.operators.graph import effective_diameter
+    from osm2geojson_spark.spatial.route import grid_edges
+
+    return effective_diameter(grid_edges(spark, _ROUTE_N), _ECC_SOURCES)
+
+
+def _sql_effective_diameter() -> str:
+    from osm2geojson_spark import pyref
+
+    dists = sorted(d for _s, _node, d in
+                   pyref.ref_travel_matrix(_ROUTE_N, _ECC_SOURCES))
+    n = len(dists)
+    k = -((-900_000 * n) // 1_000_000)
+    rows = [(n, k, dists[k - 1])]
+    return pyref.values_sql(
+        rows, [("n_pairs", "BIGINT"), ("k", "BIGINT"),
+               ("eff_diam", "BIGINT")])
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition (operators/timeseries.
     seasonal_decompose) of hourly event counts per type: centered
@@ -10754,6 +10779,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "seasonal_decompose": q_seasonal_decompose,
         "areal_interp": q_areal_interp,
+        "effective_diameter": q_effective_diameter,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -10991,6 +11017,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "harmonic": _sql_harmonic(),
         "seasonal_decompose": _sql_seasonal_decompose(),
         "areal_interp": _sql_areal_interp(),
+        "effective_diameter": _sql_effective_diameter(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

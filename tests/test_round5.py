@@ -883,3 +883,20 @@ class TestArealInterp:
         assert len(got) == 1 and got[0]["n_src"] == 1
         assert got[0]["wsum_area"] == 2500
         assert got[0]["est"] == 7.0 * 2500 / 10000
+
+
+class TestEffectiveDiameter:
+    def test_path_graph_p90(self, spark):
+        from osm2geojson_spark.operators.graph import effective_diameter
+
+        # path 0-1-...-4, unit weights, sources {0}: dists 0,1,2,3,4
+        edges = spark.createDataFrame(
+            [(i, i + 1, 1) for i in range(4)]
+            + [(i + 1, i, 1) for i in range(4)],
+            "src long, dst long, w long")
+        got = effective_diameter(edges, [0]).collect()[0]
+        # k = ceil(0.9*5) = 5 -> the max distance 4
+        assert (got["n_pairs"], got["k"], got["eff_diam"]) == (5, 5, 4)
+        got = effective_diameter(edges, [0], p_ppm=500_000).collect()[0]
+        # k = ceil(2.5) = 3 -> distance 2 (median)
+        assert (got["k"], got["eff_diam"]) == (3, 2)
