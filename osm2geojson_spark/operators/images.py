@@ -884,3 +884,85 @@ def geo_mosaic(df: DataFrame, world_px: int = 1024, tile: int = 128,
             .applyInPandas(render,
                            schema="tx long, ty long, n_contrib long, "
                                   "w_px int, h_px int, md5 string"))
+
+
+def mosaic_pyramid(df: DataFrame, world_px: int = 1024, tile: int = 128,
+                   thumb: int = 16, levels: int = 3) -> DataFrame:
+    """Overview pyramid of the geo-mosaic (the map-server zoom stack):
+    level 0 is the blended base mosaic; level L+1 merges each 2×2
+    block of level-L tiles into one parent tile by nested 2×2
+    floor-means (the raster_pyramid semantics — deterministic by
+    definition, pinned byte-exactly). A parent exists iff ≥1 child
+    does; absent quadrants are black. Returns
+    ``(level, tx, ty, w_px, h_px, md5)``.
+
+    Scale shape: the base render is geo_mosaic's kernel keeping pixels
+    (not just md5); each level is ONE groupBy(parent) Arrow kernel
+    over ≤4 child arrays — ``levels`` driver rounds over
+    geometrically-shrinking tile sets."""
+    import hashlib
+
+    w, t, s = int(world_px), int(tile), int(thumb)
+
+    def render_px(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        ox, oy = tx * t, ty * t
+        acc = np.zeros((t, t, 3), dtype=np.int64)
+        cnt = np.zeros((t, t, 1), dtype=np.int64)
+        for vec, px0, py0 in zip(pdf["vec"], pdf["px0"], pdf["py0"]):
+            px0, py0 = int(px0), int(py0)
+            x0, x1 = max(px0, ox), min(px0 + s, ox + t)
+            y0, y1 = max(py0, oy), min(py0 + s, oy + t)
+            block = np.asarray(vec, np.int64).reshape(s, s, 3)
+            acc[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += \
+                block[y0 - py0:y1 - py0, x0 - px0:x1 - px0]
+            cnt[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += 1
+        out = np.where(cnt > 0, acc // np.maximum(cnt, 1), 0)
+        return pd.DataFrame(
+            [(tx, ty, [int(v) for v in out.reshape(-1)])],
+            columns=["tx", "ty", "px"])
+
+    def shrink(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(pdf["ptx"].iloc[0]), int(pdf["pty"].iloc[0])
+        canvas = np.zeros((2 * t, 2 * t, 3), dtype=np.int64)
+        for tx, ty, px in zip(pdf["tx"], pdf["ty"], pdf["px"]):
+            qx, qy = (int(tx) - 2 * ptx) * t, (int(ty) - 2 * pty) * t
+            canvas[qy:qy + t, qx:qx + t] = \
+                np.asarray(px, np.int64).reshape(t, t, 3)
+        half = (canvas[0::2, 0::2] + canvas[0::2, 1::2]
+                + canvas[1::2, 0::2] + canvas[1::2, 1::2]) // 4
+        return pd.DataFrame(
+            [(ptx, pty, [int(v) for v in half.reshape(-1)])],
+            columns=["tx", "ty", "px"])
+
+    def stamp(level: int, tiles_px: DataFrame) -> DataFrame:
+        def md5_row(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            r = pdf.iloc[0]
+            arr = np.asarray(r["px"], np.int64).reshape(t, t, 3) \
+                .astype(np.uint8)
+            return pd.DataFrame(
+                [(level, int(r["tx"]), int(r["ty"]), t, t,
+                  hashlib.md5(ENCODERS["ppm"](arr)).hexdigest())],
+                columns=["level", "tx", "ty", "w_px", "h_px", "md5"])
+
+        return tiles_px.groupBy("tx", "ty").applyInPandas(
+            md5_row, "level int, tx long, ty long, w_px int, "
+                     "h_px int, md5 string")
+
+    base = (mosaic_contribs(df, w, t, s)
+            .groupBy("tx", "ty")
+            .applyInPandas(render_px,
+                           "tx long, ty long, px array<long>")
+            .localCheckpoint(eager=True))
+    out = stamp(0, base)
+    cur = base
+    for lvl in range(1, int(levels)):
+        cur = (cur
+               .withColumn("ptx", F.expr("tx div 2"))
+               .withColumn("pty", F.expr("ty div 2"))
+               .groupBy("ptx", "pty")
+               .applyInPandas(shrink,
+                              "tx long, ty long, px array<long>")
+               .localCheckpoint(eager=True))
+        out = out.unionByName(stamp(lvl, cur))
+    return out

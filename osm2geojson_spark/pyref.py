@@ -2528,3 +2528,58 @@ def ref_geo_mosaic(n: int = 300, seed: int = 42, fmts=None,
         out.append((tx, ty, contribs[(tx, ty)], t, t,
                     hashlib.md5(encode_ppm(canvas)).hexdigest()))
     return sorted(out, key=lambda r: (r[1], r[0]))
+
+
+def ref_mosaic_pyramid(n: int = 300, seed: int = 42, fmts=None,
+                       world_px: int = 1024, tile: int = 128,
+                       thumb: int = 16, levels: int = 3) -> "list[tuple]":
+    """Twin of the ``mosaic_pyramid`` catalog query: the WHOLE world
+    canvas is materialized once (sum/count numpy arrays — a route the
+    tile-sharded engine never takes), mean-blended, then nested 2×2
+    floor-means build each level and tiles slice out of the level
+    canvas; a tile is emitted iff one of its base descendants was
+    touched. Returns sorted [(level, tx, ty, w_px, h_px, md5)]."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from osm2geojson_spark.synth.images import (
+        DECODERS,
+        FMTS_TIFF,
+        encode_ppm,
+        make_image_row,
+    )
+
+    fmts = fmts or FMTS_TIFF
+    w, t, s = int(world_px), int(tile), int(thumb)
+    acc = np.zeros((w, w, 3), dtype=np.int64)
+    cnt = np.zeros((w, w, 1), dtype=np.int64)
+    touched: "set[tuple]" = set()
+    for i in range(n):
+        (_iid, buf, _w, _h, fmt, _cap, _ph, lon,
+         lat) = make_image_row(i * 2 + seed, fmts)
+        vec = _thumb_ref(DECODERS[fmt](buf), s, s)
+        px0 = min(max(math.floor(((lon + 180.0) / 360.0) * float(w)),
+                      0), w - s)
+        py0 = min(max(math.floor(((85.0 - lat) / 170.0) * float(w)),
+                      0), w - s)
+        block = np.asarray(vec, np.int64).reshape(s, s, 3)
+        acc[py0:py0 + s, px0:px0 + s] += block
+        cnt[py0:py0 + s, px0:px0 + s] += 1
+        for ty in range(py0 // t, (py0 + s - 1) // t + 1):
+            for tx in range(px0 // t, (px0 + s - 1) // t + 1):
+                touched.add((tx, ty))
+    world = np.where(cnt > 0, acc // np.maximum(cnt, 1), 0)
+    out = []
+    level_tiles = touched
+    for lvl in range(int(levels)):
+        for tx, ty in sorted(level_tiles):
+            sl = world[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t] \
+                .astype(np.uint8)
+            out.append((lvl, tx, ty, t, t,
+                        hashlib.md5(encode_ppm(sl)).hexdigest()))
+        world = (world[0::2, 0::2] + world[0::2, 1::2]
+                 + world[1::2, 0::2] + world[1::2, 1::2]) // 4
+        level_tiles = {(tx // 2, ty // 2) for tx, ty in level_tiles}
+    return sorted(out)

@@ -10040,6 +10040,34 @@ ORDER BY tid
 """
 
 
+def q_mosaic_pyramid(spark, sf_dir):
+    """Overview pyramid of the geo-mosaic (operators/images.
+    mosaic_pyramid): base mean-blend render keeping pixels, then one
+    groupBy(parent) kernel per level merging ≤4 children with nested
+    2×2 floor-means (absent quadrants black). Oracle: pyref twin
+    materializes the WHOLE world canvas once and slices level tiles —
+    a route the tile-sharded engine never takes, identical bytes."""
+    from osm2geojson_spark.operators.images import mosaic_pyramid
+    from osm2geojson_spark.synth.images import FMTS_TIFF, images_table
+
+    imgs = images_table(spark, n=300, seed=42, fmts=FMTS_TIFF)
+    return (mosaic_pyramid(imgs, world_px=1024, tile=128, thumb=16,
+                           levels=3)
+            .orderBy("level", "ty", "tx"))
+
+
+def _sql_mosaic_pyramid() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_mosaic_pyramid(n=300, seed=42, world_px=1024,
+                                    tile=128, thumb=16, levels=3)
+    rows = sorted(rows, key=lambda r: (r[0], r[2], r[1]))
+    return pyref.values_sql(
+        rows, [("level", "INTEGER"), ("tx", "BIGINT"), ("ty", "BIGINT"),
+               ("w_px", "INTEGER"), ("h_px", "INTEGER"),
+               ("md5", "VARCHAR")]) + " ORDER BY level, ty, tx"
+
+
 def q_effective_diameter(spark, sf_dir):
     """Sampled effective diameter (operators/graph.effective_diameter)
     on the 24×24 grid for the eccentricity seeds: exact p90 of the
@@ -10780,6 +10808,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "areal_interp": q_areal_interp,
         "effective_diameter": q_effective_diameter,
+        "mosaic_pyramid": q_mosaic_pyramid,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11018,6 +11047,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "seasonal_decompose": _sql_seasonal_decompose(),
         "areal_interp": _sql_areal_interp(),
         "effective_diameter": _sql_effective_diameter(),
+        "mosaic_pyramid": _sql_mosaic_pyramid(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

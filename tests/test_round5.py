@@ -900,3 +900,24 @@ class TestEffectiveDiameter:
         got = effective_diameter(edges, [0], p_ppm=500_000).collect()[0]
         # k = ceil(2.5) = 3 -> distance 2 (median)
         assert (got["k"], got["eff_diam"]) == (3, 2)
+
+
+class TestMosaicPyramid:
+    def test_level_structure(self, spark):
+        from osm2geojson_spark.operators.images import mosaic_pyramid
+        from osm2geojson_spark.synth.images import (
+            FMTS_TIFF,
+            images_table,
+        )
+
+        imgs = images_table(spark, n=60, seed=42, fmts=FMTS_TIFF)
+        rows = mosaic_pyramid(imgs, world_px=512, tile=64, thumb=16,
+                              levels=3).collect()
+        by_level = {}
+        for r in rows:
+            by_level.setdefault(r["level"], set()).add((r["tx"], r["ty"]))
+        assert set(by_level) == {0, 1, 2}
+        # every level-L+1 tile set is exactly the parents of level L
+        for lvl in (0, 1):
+            parents = {(tx // 2, ty // 2) for tx, ty in by_level[lvl]}
+            assert parents == by_level[lvl + 1]
