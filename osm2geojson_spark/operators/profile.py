@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "fingerprint_shards", "diversity_profile"]
 
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
@@ -97,3 +97,34 @@ def fingerprint_shards(df: DataFrame, cols: list[str],
                  F.expr("bit_xor(h)").alias("xor_fp"),
                  F.sum(F.col("h") % F.lit(1_000_000_007))
                  .alias("sum_fp")))
+
+
+def diversity_profile(df: DataFrame, cols: list) -> DataFrame:
+    """Categorical diversity per column → ``(col, n, n_cat, dom_n,
+    d_ppm, gs_ppm)``: the unbiased Simpson concentration
+    ``D = Σ nᵢ(nᵢ−1) / (N(N−1))`` in exact integer ppm and its
+    Gini–Simpson complement — the ln-free diversity screen (Shannon
+    needs libm; Simpson is pure integer algebra, the psi_buckets
+    move). ``dom_n`` is the modal category's count (dominance).
+
+    ONE data pass: the columns stack into an exploded (col, val)
+    frame, one groupBy(col, val) count, then metadata-sized per-col
+    aggregates. NULLs count as their own category (a null-heavy
+    column IS low-diversity signal)."""
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("val"))
+        for c in cols])).alias("s")).select("s.col", "s.val")
+    counts = stacked.groupBy("col", "val").agg(F.count("*").alias("c"))
+    return (counts.groupBy("col")
+            .agg(F.sum("c").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("n_cat"),
+                 F.max("c").cast("long").alias("dom_n"),
+                 F.sum(F.expr("c * (c - 1)")).cast("long").alias("pp"))
+            .select("col", "n", "n_cat", "dom_n",
+                    F.expr("CASE WHEN n < 2 THEN NULL ELSE"
+                           " (1000000 * pp) div (n * (n - 1)) END")
+                    .alias("d_ppm"))
+            .withColumn("gs_ppm",
+                        F.expr("CASE WHEN d_ppm IS NULL THEN NULL"
+                               " ELSE 1000000 - d_ppm END")))

@@ -10040,6 +10040,48 @@ ORDER BY tid
 """
 
 
+def q_diversity(spark, sf_dir):
+    """Categorical diversity screen (operators/profile.
+    diversity_profile): unbiased Simpson concentration + Gini–Simpson
+    complement in exact integer ppm over the documents lang/source and
+    a derived length bucket — ONE pass via column-stack explode, no
+    libm (the psi_buckets ln-free move)."""
+    from osm2geojson_spark.operators.profile import diversity_profile
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("CAST(n_chars div 500 AS STRING)"))
+    return (diversity_profile(docs, ["lang", "source", "len_bucket"])
+            .orderBy("col"))
+
+
+def _sql_diversity() -> str:
+    return """
+WITH stacked AS (
+  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS val FROM documents
+  UNION ALL
+  SELECT 'source' AS col, CAST(source AS VARCHAR) AS val FROM documents
+  UNION ALL
+  SELECT 'len_bucket' AS col, CAST((n_chars // 500) AS VARCHAR) AS val
+  FROM documents),
+counts AS (
+  SELECT col, val, COUNT(*) AS c FROM stacked GROUP BY col, val),
+agg AS (
+  SELECT col, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(MAX(c) AS BIGINT) AS dom_n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS pp
+  FROM counts GROUP BY col)
+SELECT col, n, n_cat, dom_n,
+       CASE WHEN (n < 2) THEN NULL
+            ELSE ((1000000 * pp) // (n * (n - 1))) END AS d_ppm,
+       CASE WHEN (n < 2) THEN NULL
+            ELSE (1000000 - ((1000000 * pp) // (n * (n - 1)))) END
+         AS gs_ppm
+FROM agg
+ORDER BY col
+"""
+
+
 def q_mosaic_pyramid(spark, sf_dir):
     """Overview pyramid of the geo-mosaic (operators/images.
     mosaic_pyramid): base mean-blend render keeping pixels, then one
@@ -10809,6 +10851,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "effective_diameter": q_effective_diameter,
         "mosaic_pyramid": q_mosaic_pyramid,
+        "diversity": q_diversity,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11048,6 +11091,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "areal_interp": _sql_areal_interp(),
         "effective_diameter": _sql_effective_diameter(),
         "mosaic_pyramid": _sql_mosaic_pyramid(),
+        "diversity": _sql_diversity(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

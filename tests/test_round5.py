@@ -921,3 +921,26 @@ class TestMosaicPyramid:
         for lvl in (0, 1):
             parents = {(tx // 2, ty // 2) for tx, ty in by_level[lvl]}
             assert parents == by_level[lvl + 1]
+
+
+class TestDiversity:
+    def test_hand_case(self, spark):
+        from osm2geojson_spark.operators.profile import diversity_profile
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"), (None, "y")],
+            "c1 string, c2 string")
+        got = {r["col"]: r for r in
+               diversity_profile(df, ["c1", "c2"]).collect()}
+        # c1: counts 2,2,1 -> pp = 2+2+0 = 4; D = 4e6 // 20 = 200000
+        assert got["c1"]["n_cat"] == 3 and got["c1"]["d_ppm"] == 200000
+        assert got["c1"]["gs_ppm"] == 800000
+        # c2: counts 4,1 -> pp = 12; D = 12e6 // 20 = 600000
+        assert got["c2"]["dom_n"] == 4 and got["c2"]["d_ppm"] == 600000
+
+    def test_constant_column_zero_diversity(self, spark):
+        from osm2geojson_spark.operators.profile import diversity_profile
+
+        df = spark.createDataFrame([("k",)] * 7, "c string")
+        r = diversity_profile(df, ["c"]).collect()[0]
+        assert r["d_ppm"] == 1000000 and r["gs_ppm"] == 0
