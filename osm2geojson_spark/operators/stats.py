@@ -26,7 +26,8 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "otsu_threshold", "exact_quantiles", "ks_2samp",
            "mann_whitney_u", "iqr_outliers", "spearman_rho",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
-           "kendall_tau", "mann_kendall", "kruskal_wallis"]
+           "kendall_tau", "mann_kendall", "kruskal_wallis",
+           "randomization_test"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -670,3 +671,74 @@ def kruskal_wallis(df: DataFrame, value_col: str,
             .select("n", "k", "tie3", "sum_t",
                     F.expr(hh).alias("h"),
                     F.expr(h_adj).alias("h_adj")))
+
+
+def randomization_test(df: DataFrame, group_col: str, g1, g2,
+                       value_col: str, id_col: str,
+                       k: int = 199) -> DataFrame:
+    """Deterministic randomization test for a two-group mean difference
+    → ONE row ``(n, n_a, n_b, d0, k_total, k_valid, k_ge, p)``.
+
+    The permutation-test shape with hash randomness instead of an RNG:
+    replicate ``k`` assignments where row i joins pseudo-group A iff
+    ``pmod(xxhash64(id, rep), n) < n_a`` — deterministic, partition-
+    order-free, and replayable bit-exactly by the pure-Python XXH64
+    twin (the bloom/CMS parity discipline; the rep index rides the
+    exploded ``sequence`` as IntegerType — the 4-byte form). Mean
+    differences never become floats: ``d = n_b·S_a − n_a·S_b`` and
+    replicates compare by cross-multiplication
+    ``|d_k|·(n_a·n_b) ≥ |d0|·(n_a_k·n_b_k)`` — exact int64 (bound:
+    |values|·n² < 2⁶³). Replicates with an empty pseudo-group don't
+    count (``k_valid``). ``p = (k_ge + 1)/(k_valid + 1)`` is the
+    standard add-one estimate, the only double.
+
+    Scale shape: ONE data pass for the observed row, one ×k explode
+    with map-side-combinable per-rep aggregation (the k-table is
+    metadata-sized), broadcast joins only."""
+    src = (df.select(
+        F.when(F.col(group_col) == g1, 1)
+         .when(F.col(group_col) == g2, 2).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).cast("long").alias("rid"))
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull()))
+    obs = src.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+        .alias("s_a"),
+        F.sum(F.when(F.col("g") == 2, F.col("v")).otherwise(0))
+        .alias("s_b"))
+    obs = obs.select(
+        "n", "n_a", F.expr("n - n_a").alias("n_b"),
+        F.expr("((n - n_a) * s_a) - (n_a * s_b)").alias("d0"))
+    reps = (src.select(
+        "v", "rid",
+        F.explode(F.expr(f"sequence(1, {int(k)})")).alias("rep"))
+        .crossJoin(F.broadcast(obs.select("n", "n_a")))
+        .select("rep", "v",
+                F.expr("pmod(xxhash64(rid, rep), n) < n_a")
+                .alias("in_a"))
+        .groupBy("rep")
+        .agg(F.count("*").alias("nk"),
+             F.sum(F.expr("CASE WHEN in_a THEN 1 ELSE 0 END"))
+             .alias("nak"),
+             F.sum(F.expr("CASE WHEN in_a THEN v ELSE 0 END"))
+             .alias("sak"),
+             F.sum(F.expr("CASE WHEN in_a THEN 0 ELSE v END"))
+             .alias("sbk")))
+    scored = (reps.crossJoin(F.broadcast(obs))
+              .where("(nak > 0) AND (nak < nk)")
+              .select(
+                  F.expr("abs(((nk - nak) * sak) - (nak * sbk))"
+                         " * (n_a * n_b)").alias("lhs"),
+                  F.expr("abs(d0) * (nak * (nk - nak))").alias("rhs")))
+    tally = scored.agg(
+        F.count("*").alias("k_valid"),
+        F.sum(F.expr("CASE WHEN lhs >= rhs THEN 1 ELSE 0 END"))
+        .cast("long").alias("k_ge"))
+    return (obs.crossJoin(F.broadcast(tally))
+            .select("n", "n_a", "n_b", "d0",
+                    F.lit(int(k)).cast("long").alias("k_total"),
+                    "k_valid", "k_ge",
+                    F.expr("CAST(k_ge + 1 AS DOUBLE)"
+                           " / CAST(k_valid + 1 AS DOUBLE)").alias("p")))

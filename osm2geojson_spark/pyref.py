@@ -2583,3 +2583,40 @@ def ref_mosaic_pyramid(n: int = 300, seed: int = 42, fmts=None,
                  + world[1::2, 0::2] + world[1::2, 1::2]) // 4
         level_tiles = {(tx // 2, ty // 2) for tx, ty in level_tiles}
     return sorted(out)
+
+
+def ref_randomization_test(n: int = 900, k: int = 199) -> "list[tuple]":
+    """Twin of the ``randomization_test`` catalog query: identical
+    closed-form series (id arithmetic — Spark builds the same rows
+    with spark.range column math), assignments replayed through the
+    pure-Python XXH64 (spark_xxhash64_long_lit — the bloom parity),
+    all-int cross-multiplied compares. Returns the single row
+    [(n, n_a, n_b, d0, k_total, k_valid, k_ge, p)]."""
+    rows = []
+    for i in range(n):
+        g = 1 if ((i * 7) % 10) < 4 else 2
+        v = ((i * 2654435761) % 1000) + ((i % 13) * 3) + (7 if g == 1 else 0)
+        rows.append((g, v, i))
+    n_tot = len(rows)
+    n_a = sum(1 for g, _v, _i in rows if g == 1)
+    n_b = n_tot - n_a
+    s_a = sum(v for g, v, _i in rows if g == 1)
+    s_b = sum(v for g, v, _i in rows if g == 2)
+    d0 = n_b * s_a - n_a * s_b
+    k_valid = k_ge = 0
+    for rep in range(1, k + 1):
+        nak = sak = sbk = 0
+        for _g, v, rid in rows:
+            if spark_xxhash64_long_lit(rid, rep) % n_tot < n_a:
+                nak += 1
+                sak += v
+            else:
+                sbk += v
+        if nak == 0 or nak == n_tot:
+            continue
+        k_valid += 1
+        if (abs((n_tot - nak) * sak - nak * sbk) * (n_a * n_b)
+                >= abs(d0) * (nak * (n_tot - nak))):
+            k_ge += 1
+    p = float(k_ge + 1) / float(k_valid + 1)
+    return [(n_tot, n_a, n_b, d0, k, k_valid, k_ge, p)]

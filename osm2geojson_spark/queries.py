@@ -10040,6 +10040,37 @@ ORDER BY tid
 """
 
 
+def q_randomization(spark, sf_dir):
+    """Deterministic randomization test (operators/stats.
+    randomization_test) on a closed-form 900-row two-group series with
+    a planted +7 shift: 199 hash-assignment replicates
+    (pmod(xxhash64(id, rep), n) < n_a — IntegerType rep, the 4-byte
+    form), mean diffs compared by exact int64 cross-multiplication.
+    Oracle = pyref pure-Python XXH64 replay (the bloom parity
+    discipline)."""
+    from osm2geojson_spark.operators.stats import randomization_test
+
+    df = spark.range(900).select(
+        F.expr("CASE WHEN ((id * 7) % 10) < 4 THEN 'a' ELSE 'b' END")
+        .alias("g"),
+        F.expr("(((id * 2654435761) % 1000) + ((id % 13) * 3))"
+               " + (CASE WHEN ((id * 7) % 10) < 4 THEN 7 ELSE 0 END)")
+        .alias("v"),
+        F.col("id").alias("rid"))
+    return randomization_test(df, "g", "a", "b", "v", "rid", k=199)
+
+
+def _sql_randomization() -> str:
+    from osm2geojson_spark import pyref
+
+    rows = pyref.ref_randomization_test(n=900, k=199)
+    return pyref.values_sql(
+        rows, [("n", "BIGINT"), ("n_a", "BIGINT"), ("n_b", "BIGINT"),
+               ("d0", "BIGINT"), ("k_total", "BIGINT"),
+               ("k_valid", "BIGINT"), ("k_ge", "BIGINT"),
+               ("p", "DOUBLE")])
+
+
 def q_diversity(spark, sf_dir):
     """Categorical diversity screen (operators/profile.
     diversity_profile): unbiased Simpson concentration + Gini–Simpson
@@ -10852,6 +10883,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "mosaic_pyramid": q_mosaic_pyramid,
         "diversity": q_diversity,
+        "randomization_test": q_randomization,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11092,6 +11124,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "effective_diameter": _sql_effective_diameter(),
         "mosaic_pyramid": _sql_mosaic_pyramid(),
         "diversity": _sql_diversity(),
+        "randomization_test": _sql_randomization(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),
