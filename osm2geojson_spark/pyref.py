@@ -2595,7 +2595,7 @@ def ref_randomization_test(n: int = 900, k: int = 199) -> "list[tuple]":
     rows = []
     for i in range(n):
         g = 1 if ((i * 7) % 10) < 4 else 2
-        v = ((i * 2654435761) % 1000) + ((i % 13) * 3) + (7 if g == 1 else 0)
+        v = ((i * 2654435761) % 1000) + ((i % 13) * 3) + (150 if g == 1 else 0)
         rows.append((g, v, i))
     n_tot = len(rows)
     n_a = sum(1 for g, _v, _i in rows if g == 1)

@@ -10043,7 +10043,7 @@ ORDER BY tid
 def q_randomization(spark, sf_dir):
     """Deterministic randomization test (operators/stats.
     randomization_test) on a closed-form 900-row two-group series with
-    a planted +7 shift: 199 hash-assignment replicates
+    a planted +150 shift: 199 hash-assignment replicates
     (pmod(xxhash64(id, rep), n) < n_a — IntegerType rep, the 4-byte
     form), mean diffs compared by exact int64 cross-multiplication.
     Oracle = pyref pure-Python XXH64 replay (the bloom parity
@@ -10054,7 +10054,7 @@ def q_randomization(spark, sf_dir):
         F.expr("CASE WHEN ((id * 7) % 10) < 4 THEN 'a' ELSE 'b' END")
         .alias("g"),
         F.expr("(((id * 2654435761) % 1000) + ((id % 13) * 3))"
-               " + (CASE WHEN ((id * 7) % 10) < 4 THEN 7 ELSE 0 END)")
+               " + (CASE WHEN ((id * 7) % 10) < 4 THEN 150 ELSE 0 END)")
         .alias("v"),
         F.col("id").alias("rid"))
     return randomization_test(df, "g", "a", "b", "v", "rid", k=199)

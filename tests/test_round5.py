@@ -944,3 +944,39 @@ class TestDiversity:
         df = spark.createDataFrame([("k",)] * 7, "c string")
         r = diversity_profile(df, ["c"]).collect()[0]
         assert r["d_ppm"] == 1000000 and r["gs_ppm"] == 0
+
+
+class TestRandomizationTest:
+    def test_planted_shift_detected_and_null_not(self, spark):
+        from osm2geojson_spark.operators.stats import randomization_test
+
+        def series(shift):
+            return spark.range(300).selectExpr(
+                "CASE WHEN ((id * 7) % 10) < 4 THEN 'a' ELSE 'b' END"
+                " AS g",
+                f"(((id * 2654435761) % 100) + ((id % 13) * 3))"
+                f" + (CASE WHEN ((id * 7) % 10) < 4 THEN {shift}"
+                " ELSE 0 END) AS v",
+                "id AS rid")
+
+        hot = randomization_test(series(80), "g", "a", "b", "v",
+                                 "rid", k=99).collect()[0]
+        assert hot["k_valid"] == 99 and hot["p"] == 1.0 / 100.0
+        null = randomization_test(series(0), "g", "a", "b", "v",
+                                  "rid", k=99).collect()[0]
+        assert null["p"] > 0.1  # no effect -> not significant
+
+    def test_matches_pyref_twin(self, spark):
+        from osm2geojson_spark import pyref
+        from osm2geojson_spark.operators.stats import randomization_test
+
+        df = spark.range(200).selectExpr(
+            "CASE WHEN ((id * 7) % 10) < 4 THEN 'a' ELSE 'b' END AS g",
+            "(((id * 2654435761) % 1000) + ((id % 13) * 3))"
+            " + (CASE WHEN ((id * 7) % 10) < 4 THEN 150 ELSE 0 END)"
+            " AS v",
+            "id AS rid")
+        got = randomization_test(df, "g", "a", "b", "v", "rid",
+                                 k=99).collect()[0]
+        want = pyref.ref_randomization_test(n=200, k=99)[0]
+        assert tuple(got) == want
