@@ -27,7 +27,7 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "mann_whitney_u", "iqr_outliers", "spearman_rho",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
            "kendall_tau", "mann_kendall", "kruskal_wallis",
-           "randomization_test"]
+           "randomization_test", "gini_coefficient"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -742,3 +742,43 @@ def randomization_test(df: DataFrame, group_col: str, g1, g2,
                     "k_valid", "k_ge",
                     F.expr("CAST(k_ge + 1 AS DOUBLE)"
                            " / CAST(k_valid + 1 AS DOUBLE)").alias("p")))
+
+
+def gini_coefficient(df: DataFrame, value_col: str,
+                     group_col: str | None = None) -> DataFrame:
+    """Gini concentration coefficient per group (or one global row) →
+    ``(group?, n, s, a, gini)`` — the inequality screen for spend /
+    token-count / degree distributions.
+
+    EXACT rank-sum form without a global sort: with values sorted and
+    1-based ranks i, ``G = 2·Σ i·xᵢ / (n·S) − (n+1)/n``; ties make
+    Σ i·xᵢ order-invariant, and the distinct-value histogram gives it
+    exactly as ``A = Σ_v v·c·(2s + c + 1)`` (s = cumulative count of
+    smaller values — one histogram-sized window, the midrank
+    substrate). ``gini = (A − (n+1)·S) / (n·S)`` is the single guarded
+    double. Requires non-negative values (raise upstream); NULL gini
+    when S = 0. int64 bound: v·n² < 2⁶³."""
+    src = (df.select(*([F.col(group_col).alias("g")] if group_col
+                       else []),
+                     F.col(value_col).cast("long").alias("v"))
+           .where(F.col(value_col).isNotNull()))
+    gk = ["g"] if group_col else []
+    hist = src.groupBy(*gk, "v").agg(F.count("*").alias("c"))
+    if group_col:
+        w = (Window.partitionBy("g").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        w = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "s_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = (cum.groupBy(*gk)
+           .agg(F.sum("c").cast("long").alias("n"),
+                F.sum(F.expr("v * c")).cast("long").alias("s"),
+                F.sum(F.expr("v * c * ((2 * s_before) + c + 1)"))
+                .cast("long").alias("a")))
+    gini = ("CASE WHEN (s = 0) OR (n = 0) THEN NULL ELSE"
+            " (CAST(a AS DOUBLE) - (CAST(n + 1 AS DOUBLE)"
+            " * CAST(s AS DOUBLE)))"
+            " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END")
+    return agg.select(*gk, "n", "s", "a", F.expr(gini).alias("gini"))

@@ -10040,6 +10040,47 @@ ORDER BY tid
 """
 
 
+def q_gini(spark, sf_dir):
+    """Gini concentration per order priority (operators/stats.
+    gini_coefficient) over floored order totals — the exact rank-sum
+    form on the distinct-value histogram (one partitioned window, no
+    global sort); gini is the single guarded double. DuckDB twin is
+    the literal same algebra."""
+    from osm2geojson_spark.operators.stats import gini_coefficient
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("tp"))
+    return (gini_coefficient(od, "tp", "o_orderpriority")
+            .orderBy("g"))
+
+
+def _sql_gini() -> str:
+    return """
+WITH src AS (
+  SELECT o_orderpriority AS g, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+  FROM orders WHERE (o_totalprice IS NOT NULL)),
+hist AS (SELECT g, v, COUNT(*) AS c FROM src GROUP BY g, v),
+cum AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS s_before
+  FROM hist),
+agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(v * c) AS BIGINT) AS s,
+         CAST(SUM(v * c * ((2 * s_before) + c + 1)) AS BIGINT) AS a
+  FROM cum GROUP BY g)
+SELECT g, n, s, a,
+       CASE WHEN ((s = 0) OR (n = 0)) THEN NULL ELSE
+       (CAST(a AS DOUBLE) - (CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE)))
+       / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END AS gini
+FROM agg
+ORDER BY g
+"""
+
+
 def q_randomization(spark, sf_dir):
     """Deterministic randomization test (operators/stats.
     randomization_test) on a closed-form 900-row two-group series with
@@ -10884,6 +10925,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_pyramid": q_mosaic_pyramid,
         "diversity": q_diversity,
         "randomization_test": q_randomization,
+        "gini": q_gini,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11125,6 +11167,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "mosaic_pyramid": _sql_mosaic_pyramid(),
         "diversity": _sql_diversity(),
         "randomization_test": _sql_randomization(),
+        "gini": _sql_gini(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

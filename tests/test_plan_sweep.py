@@ -30,14 +30,15 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 #    ≤ max_buckets by the auto-coarsening ladder), and the ks_2samp /
 #    mann_whitney_u / spearman_rho cumulative-CDF and midrank walks
 #    over the DISTINCT-VALUE histogram (same bound class), plus
-#    kendall_tau's equidepth block map and kruskal_wallis's midranks.
+#    kendall_tau's equidepth block map, kruskal_wallis's midranks and
+#    gini_coefficient's ungrouped histogram walk.
 #  - operators/graph.py: effective_diameter's cumulative walk over
 #    the pooled DISTANCE histogram (bounded-int edge weights ->
 #    metadata-sized).
 WINDOW_WHITELIST = {
     "operators/graph.py": 1,
     "operators/shards.py": 1,
-    "operators/stats.py": 7,
+    "operators/stats.py": 8,
     "spatial/strpack.py": 1,
 }
 

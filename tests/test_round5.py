@@ -980,3 +980,27 @@ class TestRandomizationTest:
                                  k=99).collect()[0]
         want = pyref.ref_randomization_test(n=200, k=99)[0]
         assert tuple(got) == want
+
+
+class TestGini:
+    def test_hand_cases(self, spark):
+        from osm2geojson_spark.operators.stats import gini_coefficient
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 8), ("b", 5), ("b", 5)],
+            "g string, v long")
+        got = {r["g"]: r for r in
+               gini_coefficient(df, "v", "g").collect()}
+        # [1,1,8]: mean-abs-diff Gini = 28/60
+        assert got["a"]["gini"] == pytest.approx(28.0 / 60.0, abs=1e-15)
+        # equal values -> 0
+        assert got["b"]["gini"] == 0.0
+
+    def test_global_ungrouped(self, spark):
+        from osm2geojson_spark.operators.stats import gini_coefficient
+
+        df = spark.createDataFrame([(v,) for v in (0, 0, 0, 10)],
+                                   "v long")
+        r = gini_coefficient(df, "v").collect()[0]
+        # one holder of everything among 4 -> G = (n-1)/n = 0.75
+        assert r["gini"] == pytest.approx(0.75, abs=1e-15)
