@@ -27,7 +27,8 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "mann_whitney_u", "iqr_outliers", "spearman_rho",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
            "kendall_tau", "mann_kendall", "kruskal_wallis",
-           "randomization_test", "gini_coefficient"]
+           "randomization_test", "gini_coefficient", "lorenz_curve",
+           "median_mad"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -782,3 +783,77 @@ def gini_coefficient(df: DataFrame, value_col: str,
             " * CAST(s AS DOUBLE)))"
             " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END")
     return agg.select(*gk, "n", "s", "a", F.expr(gini).alias("gini"))
+
+
+def lorenz_curve(df: DataFrame, value_col: str,
+                 pcts: list | None = None) -> DataFrame:
+    """Lorenz curve points → ``(p_pct, k, cum_v, n, s, pop_share,
+    value_share)`` — the concentration curve behind
+    :func:`gini_coefficient` (what share of total value the bottom p%
+    holds). EXACT: rank ``k = ceil(p·n/100)`` under truncating div,
+    and the cumulative value at rank k reads off the distinct-value
+    histogram walk — inside a tie bucket every row equals v, so
+    ``cum_v = cum_before + (k − s_before)·v`` is exact int64. Shares
+    are the only doubles. One histogram-sized window (the midrank
+    bound class); non-negative integer values required."""
+    ps = [int(p) for p in (pcts or [10, 20, 30, 40, 50,
+                                    60, 70, 80, 90, 100])]
+    if any(not 0 < p <= 100 for p in ps):
+        raise ValueError("pcts must be in (0, 100]")
+    src = (df.select(F.col(value_col).cast("long").alias("v"))
+           .where(F.col(value_col).isNotNull()))
+    hist = src.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (hist
+           .withColumn("s_before",
+                       F.coalesce(F.sum("c").over(w), F.lit(0)))
+           .withColumn("v_before",
+                       F.coalesce(F.sum(F.expr("v * c")).over(w),
+                                  F.lit(0))))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"),
+                   F.sum(F.expr("v * c")).cast("long").alias("s"))
+    p_tbl = df.sparkSession.createDataFrame(
+        [(p,) for p in ps], "p_pct long")
+    ranks = (p_tbl.crossJoin(F.broadcast(tot))
+             .withColumn("k", F.expr(
+                 "((p_pct * n) + 99) div 100")))
+    hit = (ranks.join(
+        cum,
+        (F.col("s_before") < F.col("k"))
+        & (F.col("k") <= F.col("s_before") + F.col("c")))
+        .select("p_pct", "k", "n", "s",
+                F.expr("v_before + ((k - s_before) * v)")
+                .alias("cum_v")))
+    return (hit.select(
+        "p_pct", "k", "cum_v", "n", "s",
+        F.expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)")
+        .alias("pop_share"),
+        F.expr("CASE WHEN s = 0 THEN NULL ELSE"
+               " CAST(cum_v AS DOUBLE) / CAST(s AS DOUBLE) END")
+        .alias("value_share")))
+
+
+def median_mad(df: DataFrame, value_col: str,
+               bucket_expr: str | None = None) -> DataFrame:
+    """Robust location/scale → ONE row ``(n, median, mad)``: the exact
+    median (low element of the pair at even n — the exact_quantiles
+    p=50 convention) and the exact median absolute deviation — both
+    REAL data values, no interpolation, via two exact_quantiles passes
+    (|v − median| stays integer for integer inputs). The robust
+    z-score denominator every outlier screen wants without assuming
+    normality."""
+    med_row = exact_quantiles(df.select(F.col(value_col).alias("v")),
+                              "v", [500_000],
+                              bucket_expr=bucket_expr)
+    med = med_row.select(F.col("value").cast("long").alias("median"))
+    dev = (df.select(F.col(value_col).cast("long").alias("v"))
+           .where(F.col(value_col).isNotNull())
+           .crossJoin(F.broadcast(med))
+           .select("median", F.expr("abs(v - median)").alias("d")))
+    mad_row = exact_quantiles(dev.select("d"), "d", [500_000],
+                              bucket_expr=bucket_expr)
+    n_row = dev.agg(F.count("*").cast("long").alias("n"),
+                    F.max("median").alias("median"))
+    return (n_row.crossJoin(F.broadcast(
+        mad_row.select(F.col("value").cast("long").alias("mad"))))
+        .select("n", "median", "mad"))

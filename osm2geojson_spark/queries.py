@@ -10081,6 +10081,97 @@ ORDER BY g
 """
 
 
+def q_lorenz(spark, sf_dir):
+    """Lorenz concentration curve (operators/stats.lorenz_curve) of
+    floored order totals at the 10 deciles — exact ranks and exact
+    cumulative value at each rank read off the distinct-value
+    histogram (inside a tie bucket every row equals v, so the partial
+    sum is (k − s_before)·v); shares are the only doubles."""
+    from osm2geojson_spark.operators.stats import lorenz_curve
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("tp"))
+    return lorenz_curve(od, "tp").orderBy("p_pct")
+
+
+def _sql_lorenz() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+  FROM orders WHERE (o_totalprice IS NOT NULL)),
+hist AS (SELECT v, COUNT(*) AS c FROM src GROUP BY v),
+cum AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER w, 0) AS s_before,
+         COALESCE(SUM(v * c) OVER w, 0) AS v_before
+  FROM hist
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(v * c) AS BIGINT) AS s FROM hist),
+p AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+        AS p_pct),
+ranks AS (
+  SELECT CAST(p_pct AS BIGINT) AS p_pct, n, s,
+         (((p_pct * n) + 99) // 100) AS k
+  FROM p CROSS JOIN tot),
+hit AS (
+  SELECT r.p_pct, CAST(r.k AS BIGINT) AS k,
+         CAST(c.v_before + ((r.k - c.s_before) * c.v) AS BIGINT)
+           AS cum_v,
+         r.n, r.s
+  FROM ranks r JOIN cum c
+    ON ((c.s_before < r.k) AND (r.k <= (c.s_before + c.c))))
+SELECT p_pct, k, cum_v, n, s,
+       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS pop_share,
+       CASE WHEN (s = 0) THEN NULL ELSE
+            (CAST(cum_v AS DOUBLE) / CAST(s AS DOUBLE)) END
+         AS value_share
+FROM hit
+ORDER BY p_pct
+"""
+
+
+def q_median_mad(spark, sf_dir):
+    """Robust location/scale (operators/stats.median_mad) of floored
+    event values: exact low-median and exact MAD via two
+    exact_quantiles passes — real data values, no interpolation."""
+    from osm2geojson_spark.operators.stats import median_mad
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("fv"))
+    return median_mad(ev, "fv")
+
+
+def _sql_median_mad() -> str:
+    def med_cte(src: str, col: str, name: str) -> str:
+        return f"""
+{name}_h AS (SELECT {col} AS v, COUNT(*) AS c FROM {src} GROUP BY {col}),
+{name}_c AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    AS cume
+  FROM {name}_h),
+{name}_t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM {name}_h),
+{name}_m AS (
+  SELECT MIN(v) AS med FROM {name}_c CROSS JOIN {name}_t
+  WHERE (cume >= (((500000 * n) + 999999) // 1000000)))"""
+
+    return f"""
+WITH src AS (
+  SELECT CAST(FLOOR(value) AS BIGINT) AS fv
+  FROM events WHERE (value IS NOT NULL)),
+{med_cte('src', 'fv', 'm1').lstrip()},
+dev AS (
+  SELECT abs(src.fv - m1_m.med) AS d, m1_m.med AS med
+  FROM src CROSS JOIN m1_m),
+{med_cte('dev', 'd', 'm2').lstrip()}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n,
+       CAST((SELECT med FROM m1_m) AS BIGINT) AS median,
+       CAST((SELECT med FROM m2_m) AS BIGINT) AS mad
+"""
+
+
 def q_randomization(spark, sf_dir):
     """Deterministic randomization test (operators/stats.
     randomization_test) on a closed-form 900-row two-group series with
@@ -10926,6 +11017,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity": q_diversity,
         "randomization_test": q_randomization,
         "gini": q_gini,
+        "lorenz": q_lorenz,
+        "median_mad": q_median_mad,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11168,6 +11261,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "diversity": _sql_diversity(),
         "randomization_test": _sql_randomization(),
         "gini": _sql_gini(),
+        "lorenz": _sql_lorenz(),
+        "median_mad": _sql_median_mad(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

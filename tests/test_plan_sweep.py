@@ -38,7 +38,7 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 WINDOW_WHITELIST = {
     "operators/graph.py": 1,
     "operators/shards.py": 1,
-    "operators/stats.py": 8,
+    "operators/stats.py": 9,
     "spatial/strpack.py": 1,
 }
 

@@ -1004,3 +1004,26 @@ class TestGini:
         r = gini_coefficient(df, "v").collect()[0]
         # one holder of everything among 4 -> G = (n-1)/n = 0.75
         assert r["gini"] == pytest.approx(0.75, abs=1e-15)
+
+
+class TestLorenzMad:
+    def test_lorenz_hand_case(self, spark):
+        from osm2geojson_spark.operators.stats import lorenz_curve
+
+        # values 1,1,8 (the gini test distribution)
+        df = spark.createDataFrame([(1,), (1,), (8,)], "v long")
+        got = {r["p_pct"]: r for r in
+               lorenz_curve(df, "v", pcts=[34, 67, 100]).collect()}
+        # k = ceil(.34*3)=2 -> cum 2/10; ceil(.67*3)=3 -> 10/10
+        assert got[34]["k"] == 2 and got[34]["cum_v"] == 2
+        assert got[34]["value_share"] == 0.2
+        assert got[67]["k"] == 3 and got[67]["cum_v"] == 10
+        assert got[100]["cum_v"] == 10
+
+    def test_median_mad_hand_case(self, spark):
+        from osm2geojson_spark.operators.stats import median_mad
+
+        # values 1,2,4,100: low-median 2; |v-2| = 1,0,2,98 -> mad 1
+        df = spark.createDataFrame([(1,), (2,), (4,), (100,)], "v long")
+        r = median_mad(df, "v").collect()[0]
+        assert (r["n"], r["median"], r["mad"]) == (4, 2, 1)
