@@ -31,7 +31,7 @@ __all__ = ["pagerank", "triangle_count", "k_core", "link_prediction",
            "strongly_connected_components", "hits", "label_propagation",
            "degree_assortativity", "modularity", "closeness_centrality",
            "stress_centrality", "eccentricity_sample",
-           "harmonic_centrality", "effective_diameter"]
+           "harmonic_centrality", "effective_diameter", "dag_layers"]
 
 
 def pagerank(
@@ -875,3 +875,51 @@ def effective_diameter(edges: DataFrame, sources: list,
     return (walk.where(F.col("cum") >= F.col("k"))
             .groupBy("n_pairs", "k")
             .agg(F.min("dist").alias("eff_diam")))
+
+
+def dag_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Longest-path layering of a DAG → ``(node, layer)`` — the
+    dependency-scheduling depth (build stages, lineage depth):
+    layer 0 = sources (zero in-degree), layer r = nodes whose
+    predecessors all sit in layers < r with at least one in r−1.
+
+    The Kahn peel as distributed rounds (the k_core discipline): each
+    round removes the current zero-in-degree frontier, stamps it with
+    the round index, and decrements successors — implemented
+    join-free-ish as repeated anti-joins against the shrinking edge
+    set with localCheckpoint truncation; rounds = DAG depth, the
+    driver sees ONE count per round. Raises if ``max_rounds`` passes
+    leave edges standing (a cycle — not a DAG)."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .where("src IS NOT NULL AND dst IS NOT NULL").distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    out = None
+    remaining = nodes
+    for r in range(int(max_rounds)):
+        if remaining.isEmpty():
+            break
+        with_pred = e.select(F.col("dst").alias("node")).distinct()
+        frontier = (remaining.join(with_pred, "node", "left_anti")
+                    .select("node", F.lit(r).cast("long")
+                            .alias("layer"))
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            raise ValueError(
+                f"cycle detected: no zero-in-degree node at round {r}")
+        out = frontier if out is None else out.unionByName(frontier)
+        remaining = (remaining
+                     .join(frontier.select("node"), "node", "left_anti")
+                     .localCheckpoint(eager=True))
+        e = (e.join(frontier.select(F.col("node").alias("src")), "src",
+                    "left_anti")
+             .localCheckpoint(eager=True))
+    else:
+        if not remaining.isEmpty():
+            raise ValueError(
+                f"dag_layers did not finish in {max_rounds} rounds")
+    return out if out is not None else nodes.select(
+        "node", F.lit(0).cast("long").alias("layer"))

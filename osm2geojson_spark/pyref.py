@@ -2620,3 +2620,26 @@ def ref_randomization_test(n: int = 900, k: int = 199) -> "list[tuple]":
             k_ge += 1
     p = float(k_ge + 1) / float(k_valid + 1)
     return [(n_tot, n_a, n_b, d0, k, k_valid, k_ge, p)]
+
+
+def ref_dag_layers(edges: "list[tuple]") -> "list[tuple]":
+    """Twin of operators/graph.dag_layers: python Kahn rounds (layer =
+    peel round = longest path from a source). Returns sorted
+    [(node, layer)]."""
+    e = sorted({(int(u), int(v)) for u, v in edges if int(u) != int(v)})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    layer = {}
+    remaining = set(nodes)
+    es = set(e)
+    r = 0
+    while remaining:
+        with_pred = {v for _u, v in es}
+        frontier = {n for n in remaining if n not in with_pred}
+        if not frontier:
+            raise ValueError("cycle")
+        for n in frontier:
+            layer[n] = r
+        remaining -= frontier
+        es = {(u, v) for u, v in es if u not in frontier}
+        r += 1
+    return sorted(layer.items())

@@ -10081,6 +10081,35 @@ ORDER BY g
 """
 
 
+def q_dag_layers(spark, sf_dir):
+    """Longest-path DAG layering (operators/graph.dag_layers) of a
+    hash-derived acyclic graph (edges oriented min→max id, so
+    acyclicity is by construction): distributed Kahn peel rounds with
+    localCheckpoint truncation — rounds = DAG depth. Oracle = pyref
+    python Kahn twin."""
+    from osm2geojson_spark.operators.graph import dag_layers
+
+    n, m = 400, 900
+    e = spark.range(m).select(
+        F.expr(f"least((id * 2654435761) % {n},"
+               f" ((id * 40503) + 7) % {n})").alias("src"),
+        F.expr(f"greatest((id * 2654435761) % {n},"
+               f" ((id * 40503) + 7) % {n})").alias("dst"))
+    return (dag_layers(e.where("src <> dst")).orderBy("node"))
+
+
+def _sql_dag_layers() -> str:
+    from osm2geojson_spark import pyref
+
+    n, m = 400, 900
+    raw = [((i * 2654435761) % n, ((i * 40503) + 7) % n)
+           for i in range(m)]
+    edges = [(min(u, v), max(u, v)) for u, v in raw if u != v]
+    rows = pyref.ref_dag_layers(edges)
+    return pyref.values_sql(
+        rows, [("node", "BIGINT"), ("layer", "BIGINT")])         + " ORDER BY node"
+
+
 def q_lorenz(spark, sf_dir):
     """Lorenz concentration curve (operators/stats.lorenz_curve) of
     floored order totals at the 10 deciles — exact ranks and exact
@@ -11019,6 +11048,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "lorenz": q_lorenz,
         "median_mad": q_median_mad,
+        "dag_layers": q_dag_layers,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11263,6 +11293,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "gini": _sql_gini(),
         "lorenz": _sql_lorenz(),
         "median_mad": _sql_median_mad(),
+        "dag_layers": _sql_dag_layers(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

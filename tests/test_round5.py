@@ -1027,3 +1027,23 @@ class TestLorenzMad:
         df = spark.createDataFrame([(1,), (2,), (4,), (100,)], "v long")
         r = median_mad(df, "v").collect()[0]
         assert (r["n"], r["median"], r["mad"]) == (4, 2, 1)
+
+
+class TestDagLayers:
+    def test_diamond_and_chain(self, spark):
+        from osm2geojson_spark.operators.graph import dag_layers
+
+        # diamond 0->{1,2}->3 plus chain 3->4->5: longest-path layers
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+            "src long, dst long")
+        got = {r["node"]: r["layer"] for r in dag_layers(edges).collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_cycle_raises(self, spark):
+        from osm2geojson_spark.operators.graph import dag_layers
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="cycle"):
+            dag_layers(edges)
