@@ -14,7 +14,7 @@ splittable when one bucket is hot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,33 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
                  F.max(end_col).alias("end"),
                  F.count("*").alias("n_merged"))
             .drop("_grp"))
+
+
+def interval_coverage(df: DataFrame, key_col: str, start_col: str,
+                      end_col: str) -> DataFrame:
+    """Sweep-line coverage profile per key → ``(key, t, t_next, cov)``:
+    how many half-open ``[start, end)`` intervals cover each span
+    between consecutive breakpoints — the occupancy/concurrency
+    profile (sessions online, bookings overlapping, coverage depth).
+
+    Pure window algebra: ±1 delta events, one groupBy(key, t), one
+    partitioned cumulative sum + lead; exact ints end-to-end. The
+    closing breakpoint emits cov = 0 with t_next NULL (profile
+    closure). Scale shape: one shuffle on (key, t), windows
+    partitioned by key — never a global sort."""
+    src = (df.select(F.col(key_col).alias("key"),
+                     F.col(start_col).cast("long").alias("s"),
+                     F.col(end_col).cast("long").alias("e"))
+           .where("s IS NOT NULL AND e IS NOT NULL AND s < e"))
+    ev = (src.select("key", F.col("s").alias("t"),
+                     F.lit(1).alias("d"))
+          .unionByName(src.select("key", F.col("e").alias("t"),
+                                  F.lit(-1).alias("d"))))
+    agg = ev.groupBy("key", "t").agg(F.sum("d").alias("d"))
+    w = (Window.partitionBy("key").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lead_w = Window.partitionBy("key").orderBy("t")
+    return (agg
+            .withColumn("cov", F.sum("d").over(w).cast("long"))
+            .withColumn("t_next", F.lead("t").over(lead_w))
+            .select("key", "t", "t_next", "cov"))

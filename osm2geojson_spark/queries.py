@@ -10081,6 +10081,50 @@ ORDER BY g
 """
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Sweep-line interval coverage (operators/ranges.
+    interval_coverage): per-priority order activity windows (order
+    date + keyed duration) collapsed to the exact concurrency profile
+    between breakpoints — ±1 events, one partitioned cumsum + lead,
+    all int64."""
+    from osm2geojson_spark.operators.ranges import interval_coverage
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01"
+               " 00:00:00', CAST(o_orderdate AS TIMESTAMP_NTZ))"
+               " div 86400").alias("d0"))
+    iv = od.select(
+        "o_orderpriority", F.col("d0").alias("s"),
+        (F.col("d0") + 1 + F.expr("pmod(d0, 30)")).alias("e"))
+    return (interval_coverage(iv, "o_orderpriority", "s", "e")
+            .orderBy("key", "t"))
+
+
+def _sql_interval_coverage() -> str:
+    return """
+WITH od AS (
+  SELECT o_orderpriority,
+         (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS d0
+  FROM orders),
+iv AS (
+  SELECT o_orderpriority AS key, d0 AS s,
+         ((d0 + 1) + (((d0 % 30) + 30) % 30)) AS e
+  FROM od),
+ev AS (
+  SELECT key, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT key, e AS t, -1 AS d FROM iv),
+agg AS (SELECT key, t, SUM(d) AS d FROM ev GROUP BY key, t)
+SELECT key, t,
+       LEAD(t) OVER (PARTITION BY key ORDER BY t) AS t_next,
+       CAST(SUM(d) OVER (PARTITION BY key ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cov
+FROM agg
+ORDER BY key, t
+"""
+
+
 def q_dag_layers(spark, sf_dir):
     """Longest-path DAG layering (operators/graph.dag_layers) of a
     hash-derived acyclic graph (edges oriented min→max id, so
@@ -11049,6 +11093,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz": q_lorenz,
         "median_mad": q_median_mad,
         "dag_layers": q_dag_layers,
+        "interval_coverage": q_interval_coverage,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11294,6 +11339,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "lorenz": _sql_lorenz(),
         "median_mad": _sql_median_mad(),
         "dag_layers": _sql_dag_layers(),
+        "interval_coverage": _sql_interval_coverage(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

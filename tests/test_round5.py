@@ -1047,3 +1047,17 @@ class TestDagLayers:
             [(1, 2), (2, 3), (3, 1)], "src long, dst long")
         with pytest.raises(ValueError, match="cycle"):
             dag_layers(edges)
+
+
+class TestIntervalCoverage:
+    def test_hand_profile(self, spark):
+        from osm2geojson_spark.operators.ranges import interval_coverage
+
+        # [0,10), [5,15), [5,8): breakpoints 0,5,8,10,15
+        iv = spark.createDataFrame(
+            [("k", 0, 10), ("k", 5, 15), ("k", 5, 8)],
+            "key string, s long, e long")
+        got = {r["t"]: (r["t_next"], r["cov"]) for r in
+               interval_coverage(iv, "key", "s", "e").collect()}
+        assert got == {0: (5, 1), 5: (8, 3), 8: (10, 2),
+                       10: (15, 1), 15: (None, 0)}
