@@ -28,7 +28,7 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
            "kendall_tau", "mann_kendall", "kruskal_wallis",
            "randomization_test", "gini_coefficient", "lorenz_curve",
-           "median_mad"]
+           "median_mad", "runs_test"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -857,3 +857,43 @@ def median_mad(df: DataFrame, value_col: str,
     return (n_row.crossJoin(F.broadcast(
         mad_row.select(F.col("value").cast("long").alias("mad"))))
         .select("n", "median", "mad"))
+
+
+def runs_test(df: DataFrame, order_col: str, flag_col: str) -> DataFrame:
+    """Wald–Wolfowitz runs test → ONE row ``(n, n1, n2, runs, z)`` —
+    the randomness screen for a binary sequence in a given order
+    (residual signs, above/below-threshold flags): too few runs =
+    clumping, too many = oscillation.
+
+    Exact core: ``runs = 1 + Σ(flagᵢ ≠ flagᵢ₋₁)`` via one ordered lag
+    (the caller's ``order_col`` must be a unique total order — the
+    sessionize discipline), counts n1/n2 from the same pass. ``z``
+    applies the normal approximation μ = 2n1n2/n + 1,
+    σ² = 2n1n2(2n1n2 − n)/(n²(n−1)) as a single fixed-order double
+    expression (NULL when either class is empty). The lag window is
+    UNPARTITIONED by the test's nature (one global sequence) — callers
+    with per-key series should partition upstream and call per key;
+    the catalog entry keeps the sequence histogram-bounded."""
+    src = (df.select(F.col(order_col).alias("o"),
+                     F.col(flag_col).cast("boolean").alias("f"))
+           .where(F.col(flag_col).isNotNull()))
+    w = Window.orderBy("o")
+    flipped = src.select(
+        "f", F.when(F.lag("f").over(w).isNull(), F.lit(0))
+        .when(F.lag("f").over(w) != F.col("f"), F.lit(1))
+        .otherwise(F.lit(0)).alias("flip"))
+    agg = flipped.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN f THEN 1 ELSE 0 END")).cast("long")
+        .alias("n1"),
+        (F.sum("flip") + 1).cast("long").alias("runs"))
+    z = ("CASE WHEN (n1 = 0) OR (n1 = n) OR (n < 2) THEN NULL ELSE"
+         " (CAST(runs AS DOUBLE) - ((2.0E0 * CAST(n1 AS DOUBLE)"
+         " * CAST(n - n1 AS DOUBLE)) / CAST(n AS DOUBLE) + 1.0E0))"
+         " / sqrt(((2.0E0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))"
+         " * ((2.0E0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))"
+         " - CAST(n AS DOUBLE)))"
+         " / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+         " * CAST(n - 1 AS DOUBLE))) END")
+    return agg.select("n", "n1", F.expr("n - n1").alias("n2"),
+                      "runs", F.expr(z).alias("z"))

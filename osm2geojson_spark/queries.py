@@ -10125,6 +10125,52 @@ ORDER BY key, t
 """
 
 
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test (operators/stats.runs_test) on the
+    above-250 flag sequence of a 1/17 event slice in time order (the
+    encoded unique order key) — exact runs count via one ordered lag,
+    z as a single fixed-order double."""
+    from osm2geojson_spark.operators.stats import runs_test
+
+    ev = _t(spark, sf_dir, "events").where("(event_id % 17) = 0") \
+        .select(
+            F.expr("(timestampdiff(SECOND, TIMESTAMP_NTZ"
+                   " '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP_NTZ))"
+                   " * 10000000) + event_id").alias("okey"),
+            F.expr("value > 250.0").alias("hot"))
+    return runs_test(ev, "okey", "hot")
+
+
+def _sql_runs_test() -> str:
+    return """
+WITH ev AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) * 10000000) + event_id)
+           AS okey,
+         (value > 250.0) AS f
+  FROM events WHERE (((event_id % 17) = 0) AND (value IS NOT NULL))),
+flipped AS (
+  SELECT f, CASE WHEN (LAG(f) OVER (ORDER BY okey) IS NULL) THEN 0
+               WHEN (LAG(f) OVER (ORDER BY okey) <> f) THEN 1
+               ELSE 0 END AS flip
+  FROM ev),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(flip) + 1 AS BIGINT) AS runs
+  FROM flipped)
+SELECT n, n1, (n - n1) AS n2, runs,
+       CASE WHEN ((n1 = 0) OR (n1 = n) OR (n < 2)) THEN NULL ELSE
+       (CAST(runs AS DOUBLE) - ((2.0E0 * CAST(n1 AS DOUBLE)
+        * CAST(n - n1 AS DOUBLE)) / CAST(n AS DOUBLE) + 1.0E0))
+       / sqrt(((2.0E0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+         * ((2.0E0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+            - CAST(n AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+            * CAST(n - 1 AS DOUBLE))) END AS z
+FROM agg
+"""
+
+
 def q_dag_layers(spark, sf_dir):
     """Longest-path DAG layering (operators/graph.dag_layers) of a
     hash-derived acyclic graph (edges oriented min→max id, so
@@ -11094,6 +11140,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_mad": q_median_mad,
         "dag_layers": q_dag_layers,
         "interval_coverage": q_interval_coverage,
+        "runs_test": q_runs_test,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11340,6 +11387,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "median_mad": _sql_median_mad(),
         "dag_layers": _sql_dag_layers(),
         "interval_coverage": _sql_interval_coverage(),
+        "runs_test": _sql_runs_test(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

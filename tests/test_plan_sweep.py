@@ -31,14 +31,17 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 #    mann_whitney_u / spearman_rho cumulative-CDF and midrank walks
 #    over the DISTINCT-VALUE histogram (same bound class), plus
 #    kendall_tau's equidepth block map, kruskal_wallis's midranks and
-#    gini_coefficient's ungrouped histogram walk.
+#    gini_coefficient's ungrouped histogram walk, lorenz_curve's
+#    decile walk, and runs_test's sequence lag (documented: ONE global
+#    sequence by the test's nature; per-key callers partition upstream,
+#    the catalog entry feeds a bounded slice).
 #  - operators/graph.py: effective_diameter's cumulative walk over
 #    the pooled DISTANCE histogram (bounded-int edge weights ->
 #    metadata-sized).
 WINDOW_WHITELIST = {
     "operators/graph.py": 1,
     "operators/shards.py": 1,
-    "operators/stats.py": 9,
+    "operators/stats.py": 10,
     "spatial/strpack.py": 1,
 }
 

@@ -1061,3 +1061,29 @@ class TestIntervalCoverage:
                interval_coverage(iv, "key", "s", "e").collect()}
         assert got == {0: (5, 1), 5: (8, 3), 8: (10, 2),
                        10: (15, 1), 15: (None, 0)}
+
+
+class TestRunsTest:
+    def test_hand_sequences(self, spark):
+        import math
+
+        from osm2geojson_spark.operators.stats import runs_test
+
+        def seq(flags):
+            return spark.createDataFrame(
+                [(i, bool(f)) for i, f in enumerate(flags)],
+                "o long, f boolean")
+
+        # perfectly alternating: max runs
+        r = runs_test(seq([1, 0, 1, 0, 1, 0]), "o", "f").collect()[0]
+        assert (r["n"], r["n1"], r["runs"]) == (6, 3, 6)
+        mu = 2.0 * 3 * 3 / 6 + 1.0
+        var = (2.0 * 3 * 3) * (2.0 * 3 * 3 - 6) / (36.0 * 5.0)
+        assert r["z"] == pytest.approx((6 - mu) / math.sqrt(var),
+                                       rel=1e-12)
+        # fully clumped: 2 runs
+        r = runs_test(seq([1, 1, 1, 0, 0, 0]), "o", "f").collect()[0]
+        assert r["runs"] == 2 and r["z"] < 0
+        # degenerate one-class
+        r = runs_test(seq([1, 1, 1]), "o", "f").collect()[0]
+        assert r["z"] is None and r["runs"] == 1
