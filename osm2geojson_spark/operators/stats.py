@@ -28,7 +28,7 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
            "kendall_tau", "mann_kendall", "kruskal_wallis",
            "randomization_test", "gini_coefficient", "lorenz_curve",
-           "median_mad", "runs_test"]
+           "median_mad", "runs_test", "weighted_median", "group_mode"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -897,3 +897,44 @@ def runs_test(df: DataFrame, order_col: str, flag_col: str) -> DataFrame:
          " * CAST(n - 1 AS DOUBLE))) END")
     return agg.select("n", "n1", F.expr("n - n1").alias("n2"),
                       "runs", F.expr(z).alias("z"))
+
+
+def weighted_median(df: DataFrame, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted (lower) median → ONE row ``(n, w_total, wmed)``:
+    the smallest value whose cumulative weight reaches half the total
+    (ceil under truncating div) — a real data value, located on the
+    distinct-value histogram walk (the lorenz/quantiles bound class).
+    Integer weights required."""
+    src = (df.select(F.col(value_col).cast("long").alias("v"),
+                     F.col(weight_col).cast("long").alias("wt"))
+           .where(F.col(value_col).isNotNull()
+                  & F.col(weight_col).isNotNull()
+                  & (F.col(weight_col) > 0)))
+    hist = src.groupBy("v").agg(F.count("*").alias("c"),
+                                F.sum("wt").alias("w"))
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("c").cast("long").alias("n"),
+                   F.sum("w").cast("long").alias("w_total"))
+    walk = (hist.withColumn("cum_w", F.sum("w").over(win))
+            .crossJoin(F.broadcast(tot)))
+    return (walk.where("cum_w >= ((w_total + 1) div 2)")
+            .groupBy("n", "w_total")
+            .agg(F.min("v").alias("wmed")))
+
+
+def group_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode with a PINNED tie rule → ``(key, mode,
+    mode_n)``: the most frequent value, ties broken by the smallest
+    value (deterministic, the focal_mode convention) — one
+    groupBy(key, value) count + one partitioned rank window."""
+    counts = (df.select(F.col(key_col).alias("key"),
+                        F.col(value_col).alias("val"))
+              .where(F.col(value_col).isNotNull())
+              .groupBy("key", "val").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("key").orderBy(
+        F.col("cnt").desc(), F.col("val").asc())
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("key", F.col("val").alias("mode"),
+                    F.col("cnt").alias("mode_n")))

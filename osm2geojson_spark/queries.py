@@ -10171,6 +10171,69 @@ FROM agg
 """
 
 
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted lower median (operators/stats.weighted_median)
+    of part size weighted by floored retail price — the smallest value
+    whose cumulative weight reaches half the total, read off the
+    histogram walk."""
+    from osm2geojson_spark.operators.stats import weighted_median
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("sz"),
+        F.expr("CAST(FLOOR(p_retailprice) AS BIGINT)").alias("wt"))
+    return weighted_median(p, "sz", "wt")
+
+
+def _sql_weighted_median() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(p_size AS BIGINT) AS v,
+         CAST(FLOOR(p_retailprice) AS BIGINT) AS wt
+  FROM part
+  WHERE ((p_size IS NOT NULL) AND (p_retailprice IS NOT NULL)
+         AND (FLOOR(p_retailprice) > 0))),
+hist AS (
+  SELECT v, COUNT(*) AS c, SUM(wt) AS w FROM src GROUP BY v),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(w) AS BIGINT) AS w_total FROM hist),
+walk AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM hist)
+SELECT t.n, t.w_total, CAST(MIN(w.v) AS BIGINT) AS wmed
+FROM walk w CROSS JOIN tot t
+WHERE (w.cum_w >= ((t.w_total + 1) // 2))
+GROUP BY t.n, t.w_total
+"""
+
+
+def q_group_mode(spark, sf_dir):
+    """Exact per-group mode with the smallest-value tie rule
+    (operators/stats.group_mode): dominant part type per brand — one
+    count + one partitioned rank window; identical SQL twin."""
+    from osm2geojson_spark.operators.stats import group_mode
+
+    p = _t(spark, sf_dir, "part")
+    return group_mode(p, "p_brand", "p_type").orderBy("key")
+
+
+def _sql_group_mode() -> str:
+    return """
+WITH counts AS (
+  SELECT p_brand AS key, p_type AS val, COUNT(*) AS cnt
+  FROM part WHERE (p_type IS NOT NULL)
+  GROUP BY p_brand, p_type),
+ranked AS (
+  SELECT key, val, cnt,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY cnt DESC, val ASC) AS rn
+  FROM counts)
+SELECT key, val AS mode, CAST(cnt AS BIGINT) AS mode_n
+FROM ranked WHERE (rn = 1)
+ORDER BY key
+"""
+
+
 def q_dag_layers(spark, sf_dir):
     """Longest-path DAG layering (operators/graph.dag_layers) of a
     hash-derived acyclic graph (edges oriented min→max id, so
@@ -11141,6 +11204,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers": q_dag_layers,
         "interval_coverage": q_interval_coverage,
         "runs_test": q_runs_test,
+        "weighted_median": q_weighted_median,
+        "group_mode": q_group_mode,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11388,6 +11453,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "dag_layers": _sql_dag_layers(),
         "interval_coverage": _sql_interval_coverage(),
         "runs_test": _sql_runs_test(),
+        "weighted_median": _sql_weighted_median(),
+        "group_mode": _sql_group_mode(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

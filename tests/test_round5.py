@@ -1087,3 +1087,24 @@ class TestRunsTest:
         # degenerate one-class
         r = runs_test(seq([1, 1, 1]), "o", "f").collect()[0]
         assert r["z"] is None and r["runs"] == 1
+
+
+class TestWeightedMedianMode:
+    def test_weighted_median_hand(self, spark):
+        from osm2geojson_spark.operators.stats import weighted_median
+
+        # values 1(w=1), 2(w=1), 3(w=10): half of 12 -> 6 -> wmed 3
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 10)], "v long, w long")
+        r = weighted_median(df, "v", "w").collect()[0]
+        assert (r["n"], r["w_total"], r["wmed"]) == (3, 12, 3)
+
+    def test_group_mode_tie_rule(self, spark):
+        from osm2geojson_spark.operators.stats import group_mode
+
+        df = spark.createDataFrame(
+            [("k", "b"), ("k", "b"), ("k", "a"), ("k", "a"),
+             ("j", "z")], "g string, v string")
+        got = {r["key"]: (r["mode"], r["mode_n"]) for r in
+               group_mode(df, "g", "v").collect()}
+        assert got == {"k": ("a", 2), "j": ("z", 1)}
