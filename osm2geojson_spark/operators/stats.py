@@ -28,7 +28,7 @@ __all__ = ["contingency_chi2", "cramers_v2_ppb", "otsu_curve",
            "two_prop_ztest", "welch_ttest", "psi_buckets",
            "kendall_tau", "mann_kendall", "kruskal_wallis",
            "randomization_test", "gini_coefficient", "lorenz_curve",
-           "median_mad", "runs_test", "weighted_median", "group_mode"]
+           "median_mad", "runs_test", "weighted_median", "group_mode", "trimmed_mean"]
 
 _D = "CAST({} AS DECIMAL(38,0))"
 
@@ -938,3 +938,57 @@ def group_mode(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             .where("rn = 1")
             .select("key", F.col("val").alias("mode"),
                     F.col("cnt").alias("mode_n")))
+
+
+def trimmed_mean(df: DataFrame, value_col: str,
+                 trim_ppm: int = 100_000) -> DataFrame:
+    """Exact trimmed mean → ONE row ``(n, k, kept_n, kept_sum,
+    tmean)``: drop the ``k = (trim_ppm·n) div 10⁶`` smallest AND
+    largest observations, average the rest — the robust location
+    everyone actually ships. The kept sum is EXACT: the cumulative
+    value at any rank r reads off the distinct-value histogram
+    (``cum_v(r) = v_before + (r − s_before)·v`` inside the tie
+    bucket — the lorenz_curve partial), so
+    ``kept_sum = cum_v(n−k) − cum_v(k)``; ``tmean`` is the single
+    division. Integer values; one histogram-sized window."""
+    p = int(trim_ppm)
+    if not 0 <= p < 500_000:
+        raise ValueError("trim_ppm must be in [0, 500000)")
+    src = (df.select(F.col(value_col).cast("long").alias("v"))
+           .where(F.col(value_col).isNotNull()))
+    hist = src.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (hist
+           .withColumn("s_before",
+                       F.coalesce(F.sum("c").over(w), F.lit(0)))
+           .withColumn("v_before",
+                       F.coalesce(F.sum(F.expr("v * c")).over(w),
+                                  F.lit(0))))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    ranks = (tot.select(
+        "n", F.expr(f"(({p} * n) div 1000000)").alias("k"))
+        .select("n", "k", F.expr("k").alias("r_lo"),
+                F.expr("n - k").alias("r_hi")))
+
+    def cum_at(r_col: str, alias: str) -> DataFrame:
+        # rank 0 → cumulative 0 (nothing dropped below)
+        return (ranks.join(
+            cum, (F.col("s_before") < F.col(r_col))
+            & (F.col(r_col) <= F.col("s_before") + F.col("c")),
+            "left")
+            .select("n", "k",
+                    F.coalesce(
+                        F.expr(f"v_before + (({r_col} - s_before) * v)"),
+                        F.lit(0)).cast("long").alias(alias)))
+
+    lo = cum_at("r_lo", "cum_lo")
+    hi = cum_at("r_hi", "cum_hi")
+    out = (lo.join(hi, ["n", "k"])
+           .select("n", "k",
+                   F.expr("n - (2 * k)").alias("kept_n"),
+                   F.expr("cum_hi - cum_lo").alias("kept_sum")))
+    return out.select(
+        "n", "k", "kept_n", "kept_sum",
+        F.expr("CASE WHEN kept_n <= 0 THEN NULL ELSE"
+               " CAST(kept_sum AS DOUBLE) / CAST(kept_n AS DOUBLE)"
+               " END").alias("tmean"))

@@ -10234,6 +10234,60 @@ ORDER BY key
 """
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """Exact 10%-trimmed mean (operators/stats.trimmed_mean) of
+    floored extended prices — kept sum via two exact cumulative-value
+    lookups on the histogram walk (the lorenz partial); tmean is the
+    single division."""
+    from osm2geojson_spark.operators.stats import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").alias("ep"))
+    return trimmed_mean(li, "ep", trim_ppm=100_000)
+
+
+def _sql_trimmed_mean() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem WHERE (l_extendedprice IS NOT NULL)),
+hist AS (SELECT v, COUNT(*) AS c FROM src GROUP BY v),
+cum AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER w, 0) AS s_before,
+         COALESCE(SUM(v * c) OVER w, 0) AS v_before
+  FROM hist
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+ranks AS (
+  SELECT n, ((100000 * n) // 1000000) AS k,
+         ((100000 * n) // 1000000) AS r_lo,
+         (n - ((100000 * n) // 1000000)) AS r_hi
+  FROM tot),
+lo AS (
+  SELECT r.n, r.k,
+         COALESCE(CAST(MIN(c.v_before + ((r.r_lo - c.s_before) * c.v))
+                  AS BIGINT), 0) AS cum_lo
+  FROM ranks r LEFT JOIN cum c
+    ON ((c.s_before < r.r_lo) AND (r.r_lo <= (c.s_before + c.c)))
+  GROUP BY r.n, r.k),
+hi AS (
+  SELECT r.n, r.k,
+         COALESCE(CAST(MIN(c.v_before + ((r.r_hi - c.s_before) * c.v))
+                  AS BIGINT), 0) AS cum_hi
+  FROM ranks r LEFT JOIN cum c
+    ON ((c.s_before < r.r_hi) AND (r.r_hi <= (c.s_before + c.c)))
+  GROUP BY r.n, r.k)
+SELECT lo.n, lo.k, (lo.n - (2 * lo.k)) AS kept_n,
+       (hi.cum_hi - lo.cum_lo) AS kept_sum,
+       CASE WHEN ((lo.n - (2 * lo.k)) <= 0) THEN NULL ELSE
+            (CAST(hi.cum_hi - lo.cum_lo AS DOUBLE)
+             / CAST(lo.n - (2 * lo.k) AS DOUBLE)) END AS tmean
+FROM lo JOIN hi ON ((lo.n = hi.n) AND (lo.k = hi.k))
+"""
+
+
 def q_dag_layers(spark, sf_dir):
     """Longest-path DAG layering (operators/graph.dag_layers) of a
     hash-derived acyclic graph (edges oriented min→max id, so
@@ -11206,6 +11260,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "weighted_median": q_weighted_median,
         "group_mode": q_group_mode,
+        "trimmed_mean": q_trimmed_mean,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "bm25_topk": q_bm25_topk,
@@ -11455,6 +11510,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "runs_test": _sql_runs_test(),
         "weighted_median": _sql_weighted_median(),
         "group_mode": _sql_group_mode(),
+        "trimmed_mean": _sql_trimmed_mean(),
         "inverted_index": _sql_inverted_index(),
         "phrase_search": _sql_phrase_search(),
         "bm25_topk": _sql_bm25_topk(),

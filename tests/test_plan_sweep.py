@@ -41,7 +41,7 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(
 WINDOW_WHITELIST = {
     "operators/graph.py": 1,
     "operators/shards.py": 1,
-    "operators/stats.py": 11,
+    "operators/stats.py": 12,
     "spatial/strpack.py": 1,
 }
 

@@ -1108,3 +1108,24 @@ class TestWeightedMedianMode:
         got = {r["key"]: (r["mode"], r["mode_n"]) for r in
                group_mode(df, "g", "v").collect()}
         assert got == {"k": ("a", 2), "j": ("z", 1)}
+
+
+class TestTrimmedMean:
+    def test_hand_case(self, spark):
+        from osm2geojson_spark.operators.stats import trimmed_mean
+
+        # 10 values 1..9 + 1000; trim 10% -> drop min (1) and max
+        # (1000): kept 2..9 -> mean 5.5
+        df = spark.createDataFrame(
+            [(v,) for v in list(range(1, 10)) + [1000]], "v long")
+        r = trimmed_mean(df, "v", trim_ppm=100_000).collect()[0]
+        assert (r["n"], r["k"], r["kept_n"]) == (10, 1, 8)
+        assert r["kept_sum"] == sum(range(2, 10))
+        assert r["tmean"] == 5.5
+
+    def test_zero_trim_is_plain_mean(self, spark):
+        from osm2geojson_spark.operators.stats import trimmed_mean
+
+        df = spark.createDataFrame([(2,), (4,), (9,)], "v long")
+        r = trimmed_mean(df, "v", trim_ppm=0).collect()[0]
+        assert r["kept_sum"] == 15 and r["tmean"] == 5.0
